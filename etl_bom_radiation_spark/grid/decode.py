@@ -1,0 +1,165 @@
+"""ESRI ASCII grid decode — the flagship transform (SURVEY §2.C, G1-G6).
+
+Semantics mirror the reference's ``extract_data`` (reference
+bom/bom.py:110-157) and ``extract_datetime`` (bom/bom.py:94-107), expressed
+as pure DataFrame operations so the whole pipeline stays inside Catalyst /
+whole-stage codegen. The plan is narrow-only (scan -> project -> generate ->
+filter -> project): NO shuffle anywhere, which is the property that lets it
+scale linearly with file count on a large cluster — one task per file group,
+zero exchange.
+
+Decode semantics under test (FIXTURES.md §A):
+
+* header = first 6 lines: ncols, nrows, xllcorner, yllcorner, cellsize,
+  NODATA_value (bom.py:125-139);
+* latitude starts from the TOP edge: ``y0 = yllcorner + nrows*cellsize`` and
+  body row ``r`` (0-based) has ``lat = y0 - (r+1)*cellsize`` (bom.py:138,142);
+* longitude restarts at ``xllcorner`` each row and advances by ``cellsize``
+  per cell INCLUDING nodata cells (bom.py:141,146-149) — hence positions come
+  from ``posexplode`` indices, never from a post-filter counter;
+* cells equal to NODATA_value are dropped (bom.py:144-147);
+* the timestamp comes from the FILENAME ``<base>_<TYPE>_<YYYYMMDD>_<HHMM>``
+  (bom.py:94-107): parsed at hour precision ("%Y%m%d %H", bom.py:102-103)
+  as UTC and converted to Australia/Sydney (bom.py:104). We keep the session
+  timezone pinned to UTC and convert explicitly with ``from_utc_timestamp``.
+
+Files are NOT splittable (cell position depends on line position), so the
+unit of parallelism is the file — matching the reference's one-Lambda-per-file
+model (bom.py:89), but with thousands of files per Spark job instead of one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SYDNEY_TZ = "Australia/Sydney"
+
+#: Output schema of the decoded fact table (typed; the reference stringifies
+#: everything at bom.py:148 — typing is an intentional upgrade, SURVEY §1.2).
+FACT_COLUMNS = ["Date", "RadiationType", "Longitude", "Latitude", "Radiation"]
+
+
+def read_grid_files(spark: SparkSession, path: str) -> DataFrame:
+    """S1: whole-file text scan — one row per grid file.
+
+    Mirrors get_object + Body.read().decode(...).splitlines()
+    (bom.py:57-59) but distributed: Spark lists the input once on the
+    driver and fans file reads out to executors.
+    """
+    return spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("_path"),
+        F.col("value").alias("_content"),
+    )
+
+
+def with_filename_metadata(df: DataFrame, path_col: str = "_path") -> DataFrame:
+    """S2 + F1/F6/F7: extract (base, radiation_type, utc_ts, sydney_ts) from
+    the object key, grammar 1: ``<base>_<TYPE>_<YYYYMMDD>_<HHMM...>.<ext>``
+    (bom.py:89-107).
+
+    The reference parses the timestamp at hour precision ("%Y%m%d %H",
+    bom.py:102-103); minutes in the filename are deliberately dropped.
+    """
+    filename = F.element_at(F.split(F.col(path_col), "/"), -1)
+    stem = F.regexp_replace(filename, r"\.[^.]*$", "")  # os.path.splitext, bom.py:95
+    pieces = F.split(stem, "_")  # bom.py:96
+    utc_ts = F.to_timestamp(
+        F.concat_ws(
+            " ",
+            F.element_at(pieces, 3),
+            F.substring(F.element_at(pieces, 4), 1, 2),  # time_str[:2], bom.py:102
+        ),
+        "yyyyMMdd HH",
+    )
+    return (
+        df.withColumn("_filename", filename)
+        .withColumn("_base", F.element_at(pieces, 1))
+        .withColumn("RadiationType", F.element_at(pieces, 2))  # bom.py:97
+        .withColumn("_utc_ts", utc_ts)
+        # bom.py:101-104: UTC -> Sydney wall clock (DST-aware).
+        .withColumn("Date", F.from_utc_timestamp(utc_ts, SYDNEY_TZ))
+    )
+
+
+def _header_field(lines: Column, line_no: int) -> Column:
+    """G1 helper: ``lines[line_no]`` -> value token (split on whitespace,
+    take the 2nd token; reference splits on a single space, bom.py:124-137)."""
+    return F.element_at(F.split(F.trim(F.element_at(lines, line_no)), r"\s+"), 2)
+
+
+def decode_grids(files: DataFrame, with_partition_cols: bool = True) -> DataFrame:
+    """G1-G6: grid text -> long-format point table.
+
+    Input: DataFrame with ``_path``/``_content`` (from :func:`read_grid_files`),
+    already passed through :func:`with_filename_metadata`.
+    Output columns: Date timestamp, RadiationType string, Longitude double,
+    Latitude double, Radiation int (+ year/month/day/hour partition ints).
+
+    The whole thing is one narrow Catalyst plan:
+    Project(header scalars) -> Generate(posexplode rows) ->
+    Generate(posexplode cells) -> Filter(nodata) -> Project(coords).
+    """
+    lines = F.split(F.col("_content"), r"\r?\n")
+
+    # G1: header extraction — six scalar columns in one projection.
+    headed = files.select(
+        "*",
+        _header_field(lines, 1).cast("int").alias("_ncols"),
+        _header_field(lines, 2).cast("int").alias("_nrows"),
+        _header_field(lines, 3).cast("double").alias("_xll"),
+        _header_field(lines, 4).cast("double").alias("_yll"),
+        _header_field(lines, 5).cast("double").alias("_cellsize"),
+        _header_field(lines, 6).cast("int").alias("_nodata"),
+        F.slice(lines, 7, F.element_at(F.split(F.trim(F.element_at(lines, 2)), r"\s+"), 2).cast("int")).alias("_body"),
+    )
+
+    # G2: body lines -> rows with 0-based row index (latitude driver).
+    rows = headed.select(
+        "*", F.posexplode("_body").alias("_row_idx", "_line")
+    ).drop("_body")
+
+    # G3: cells -> rows with 0-based column index (longitude driver).
+    # posexplode index — NOT a post-filter counter — so nodata cells still
+    # advance the longitude (bom.py:146-149).
+    cells = rows.select(
+        "*",
+        F.posexplode(F.split(F.rtrim(F.col("_line")), " ")).alias("_col_idx", "_cell"),
+    )
+
+    # G4: nodata filter (bom.py:144-147). Empty cells (ragged trailing
+    # whitespace) cast to NULL and are dropped by the same predicate.
+    radiation = F.col("_cell").cast("int")
+    kept = cells.withColumn("Radiation", radiation).filter(
+        radiation.isNotNull() & (radiation != F.col("_nodata"))
+    )
+
+    # G5: coordinate arithmetic (bom.py:138-149).
+    #   lon = xll + col*cs ;  lat = (yll + nrows*cs) - (row+1)*cs
+    out = kept.select(
+        "Date",
+        "RadiationType",
+        (F.col("_xll") + F.col("_col_idx") * F.col("_cellsize")).alias("Longitude"),
+        (
+            F.col("_yll")
+            + F.col("_nrows") * F.col("_cellsize")
+            - (F.col("_row_idx") + 1) * F.col("_cellsize")
+        ).alias("Latitude"),
+        "Radiation",
+    )
+
+    if with_partition_cols:
+        # S4 partition keys (bom.py:28-32): Sydney-local year/month/day/hour.
+        out = out.select(
+            "*",
+            F.year("Date").alias("year"),
+            F.month("Date").alias("month"),
+            F.dayofmonth("Date").alias("day"),
+            F.hour("Date").alias("hour"),
+        )
+    return out
+
+
+def decode_grid_directory(spark: SparkSession, path: str, **kw) -> DataFrame:
+    """Convenience: S1 -> S2 -> G1..G6 over a directory of grid files."""
+    return decode_grids(with_filename_metadata(read_grid_files(spark, path)), **kw)

@@ -1,0 +1,121 @@
+"""Golden + property tests for the flagship grid decode (SURVEY §5.2.2-3)."""
+
+from __future__ import annotations
+
+import random
+from pathlib import Path
+
+import pytest
+
+from etl_bom_radiation_spark.grid import decode_grids, read_grid_files, with_filename_metadata
+from etl_bom_radiation_spark.grid.decode import decode_grid_directory
+from etl_bom_radiation_spark.grid.filenames import parse_run_timestamp
+
+FIXTURES = Path(__file__).resolve().parent.parent / "fixtures" / "grids"
+
+GOLDEN = {
+    # (Longitude, Latitude) -> Radiation ; FIXTURES.md §A.2
+    (112.0, -43.0): 10,
+    (113.0, -43.0): 12,
+    (113.5, -43.0): 13,
+    (112.0, -43.5): 20,
+    (112.5, -43.5): 21,
+    (113.5, -43.5): 23,
+    (112.0, -44.0): 30,
+    (112.5, -44.0): 31,
+    (113.0, -44.0): 32,
+}
+
+
+def test_golden_grid_aest(spark):
+    """UTC 2018-04-01 01:00 -> Sydney AEST (UTC+10) 2018-04-01 11:00."""
+    df = decode_grid_directory(
+        spark, str(FIXTURES / "IDCJ0000_GLOBAL_20180401_0100.txt")
+    )
+    rows = df.collect()
+    assert len(rows) == 9
+    got = {(r.Longitude, r.Latitude): r.Radiation for r in rows}
+    assert got == GOLDEN
+    r0 = rows[0]
+    assert r0.RadiationType == "GLOBAL"
+    assert r0.Date.strftime("%Y-%m-%d %H:%M") == "2018-04-01 11:00"
+    assert (r0.year, r0.month, r0.day, r0.hour) == (2018, 4, 1, 11)
+
+
+def test_golden_grid_aedt(spark):
+    """UTC 2018-03-30 01:00 -> Sydney AEDT (UTC+11) 2018-03-30 12:00."""
+    df = decode_grid_directory(
+        spark, str(FIXTURES / "IDCJ0000_GLOBAL_20180330_0100.txt")
+    )
+    r0 = df.collect()[0]
+    assert r0.Date.strftime("%Y-%m-%d %H:%M") == "2018-03-30 12:00"
+    assert r0.hour == 12
+
+
+def _write_random_grid(path: Path, rng: random.Random) -> tuple[int, int, float, float, float, int, list[list[int]]]:
+    ncols, nrows = rng.randint(1, 12), rng.randint(1, 9)
+    xll = round(rng.uniform(-180, 170), 2)
+    yll = round(rng.uniform(-80, 70), 2)
+    cs = rng.choice([0.25, 0.5, 1.0])
+    nodata = -999
+    body = [
+        [nodata if rng.random() < 0.3 else rng.randint(0, 40) for _ in range(ncols)]
+        for _ in range(nrows)
+    ]
+    lines = [
+        f"ncols {ncols}",
+        f"nrows {nrows}",
+        f"xllcorner {xll}",
+        f"yllcorner {yll}",
+        f"cellsize {cs}",
+        f"NODATA_value {nodata}",
+        *(" ".join(str(v) for v in row) for row in body),
+    ]
+    path.write_text("\n".join(lines) + "\n")
+    return ncols, nrows, xll, yll, cs, nodata, body
+
+
+def test_random_grid_invariants(spark, tmp_path):
+    """SURVEY §5.2.3 property invariants on randomized grids."""
+    rng = random.Random(7)
+    for i in range(5):
+        p = tmp_path / f"rand{i}_GLOBAL_20200115_{i:02d}00.txt"
+        ncols, nrows, xll, yll, cs, nodata, body = _write_random_grid(p, rng)
+        df = decode_grid_directory(spark, str(p))
+        rows = df.collect()
+        n_nodata = sum(v == nodata for r in body for v in r)
+        assert len(rows) == ncols * nrows - n_nodata
+        if rows:
+            lons = [r.Longitude for r in rows]
+            lats = [r.Latitude for r in rows]
+            assert min(lons) >= xll - 1e-9
+            assert max(lons) <= xll + (ncols - 1) * cs + 1e-9
+            assert max(lats) <= yll + (nrows - 1) * cs + 1e-9
+            assert min(lats) >= yll - 1e-9
+        # roundtrip: every surviving cell matches its source value
+        for r in rows:
+            col = round((r.Longitude - xll) / cs)
+            row_i = round((yll + nrows * cs - r.Latitude) / cs) - 1
+            assert body[row_i][col] == r.Radiation
+
+
+def test_nodata_advances_longitude(spark, tmp_path):
+    """The trap in bom.py:146-149: x advances across skipped nodata cells."""
+    p = tmp_path / "t_GLOBAL_20200101_0000.txt"
+    p.write_text(
+        "ncols 3\nnrows 1\nxllcorner 0.0\nyllcorner 0.0\ncellsize 1.0\n"
+        "NODATA_value -1\n-1 5 -1\n"
+    )
+    rows = decode_grid_directory(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0].Longitude == 1.0  # NOT 0.0 — the nodata cell consumed x=0
+
+
+def test_filename_grammar2(spark):
+    """bom_partition.py:14-26 — NEMPriceSetter_20171031123.csv -> 04:00 + 615m."""
+    df = spark.createDataFrame(
+        [("NEMPriceSetter_20171031123.csv",), ("no_digits_here.csv",)], ["fn"]
+    ).select(parse_run_timestamp("fn").alias("ts"))
+    got = [r.ts for r in df.collect()]
+    assert got[0].strftime("%Y-%m-%d %H:%M") == "2017-10-31 14:15"
+    assert got[1] is None
