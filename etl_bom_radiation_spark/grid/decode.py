@@ -60,22 +60,27 @@ def with_filename_metadata(df: DataFrame, path_col: str = "_path") -> DataFrame:
 
     The reference parses the timestamp at hour precision ("%Y%m%d %H",
     bom.py:102-103); minutes in the filename are deliberately dropped.
+
+    ANSI-safe: ``try_element_at`` + ``try_to_timestamp`` so a filename that
+    doesn't match the grammar yields NULL metadata instead of aborting the
+    batch (the reference's per-file try/except, bom.py:82-84; malformed rows
+    are routed to quarantine by the ingest layer, not crashed on).
     """
     filename = F.element_at(F.split(F.col(path_col), "/"), -1)
     stem = F.regexp_replace(filename, r"\.[^.]*$", "")  # os.path.splitext, bom.py:95
     pieces = F.split(stem, "_")  # bom.py:96
-    utc_ts = F.to_timestamp(
+    utc_ts = F.try_to_timestamp(
         F.concat_ws(
             " ",
-            F.element_at(pieces, 3),
-            F.substring(F.element_at(pieces, 4), 1, 2),  # time_str[:2], bom.py:102
+            F.try_element_at(pieces, F.lit(3)),
+            F.substring(F.try_element_at(pieces, F.lit(4)), 1, 2),  # time_str[:2], bom.py:102
         ),
-        "yyyyMMdd HH",
+        F.lit("yyyyMMdd HH"),
     )
     return (
         df.withColumn("_filename", filename)
-        .withColumn("_base", F.element_at(pieces, 1))
-        .withColumn("RadiationType", F.element_at(pieces, 2))  # bom.py:97
+        .withColumn("_base", stem)  # full stem, mirroring bom.py:95 csv_name
+        .withColumn("RadiationType", F.try_element_at(pieces, F.lit(2)))  # bom.py:97
         .withColumn("_utc_ts", utc_ts)
         # bom.py:101-104: UTC -> Sydney wall clock (DST-aware).
         .withColumn("Date", F.from_utc_timestamp(utc_ts, SYDNEY_TZ))
@@ -84,8 +89,14 @@ def with_filename_metadata(df: DataFrame, path_col: str = "_path") -> DataFrame:
 
 def _header_field(lines: Column, line_no: int) -> Column:
     """G1 helper: ``lines[line_no]`` -> value token (split on whitespace,
-    take the 2nd token; reference splits on a single space, bom.py:124-137)."""
-    return F.element_at(F.split(F.trim(F.element_at(lines, line_no)), r"\s+"), 2)
+    take the 2nd token; reference splits on a single space, bom.py:124-137).
+
+    ``try_element_at`` so a short/truncated file yields NULL header fields
+    (-> zero decoded rows) instead of aborting the batch under ANSI mode.
+    """
+    return F.try_element_at(
+        F.split(F.trim(F.try_element_at(lines, F.lit(line_no))), r"\s+"), F.lit(2)
+    )
 
 
 def decode_grids(files: DataFrame, with_partition_cols: bool = True) -> DataFrame:
@@ -103,15 +114,19 @@ def decode_grids(files: DataFrame, with_partition_cols: bool = True) -> DataFram
     lines = F.split(F.col("_content"), r"\r?\n")
 
     # G1: header extraction — six scalar columns in one projection.
+    # try_cast throughout: a malformed header degrades to NULL fields (and
+    # zero decoded rows for that file) rather than killing the whole batch
+    # under ANSI mode — the reference quarantines per-file (bom.py:82-84).
+    nrows_col = _header_field(lines, 2).try_cast("int")
     headed = files.select(
         "*",
-        _header_field(lines, 1).cast("int").alias("_ncols"),
-        _header_field(lines, 2).cast("int").alias("_nrows"),
-        _header_field(lines, 3).cast("double").alias("_xll"),
-        _header_field(lines, 4).cast("double").alias("_yll"),
-        _header_field(lines, 5).cast("double").alias("_cellsize"),
-        _header_field(lines, 6).cast("int").alias("_nodata"),
-        F.slice(lines, 7, F.element_at(F.split(F.trim(F.element_at(lines, 2)), r"\s+"), 2).cast("int")).alias("_body"),
+        _header_field(lines, 1).try_cast("int").alias("_ncols"),
+        nrows_col.alias("_nrows"),
+        _header_field(lines, 3).try_cast("double").alias("_xll"),
+        _header_field(lines, 4).try_cast("double").alias("_yll"),
+        _header_field(lines, 5).try_cast("double").alias("_cellsize"),
+        _header_field(lines, 6).try_cast("int").alias("_nodata"),
+        F.slice(lines, 7, F.coalesce(nrows_col, F.lit(0))).alias("_body"),
     )
 
     # G2: body lines -> rows with 0-based row index (latitude driver).
@@ -127,9 +142,9 @@ def decode_grids(files: DataFrame, with_partition_cols: bool = True) -> DataFram
         F.posexplode(F.split(F.rtrim(F.col("_line")), " ")).alias("_col_idx", "_cell"),
     )
 
-    # G4: nodata filter (bom.py:144-147). Empty cells (ragged trailing
-    # whitespace) cast to NULL and are dropped by the same predicate.
-    radiation = F.col("_cell").cast("int")
+    # G4: nodata filter (bom.py:144-147). Empty/non-numeric cells try_cast
+    # to NULL and are dropped by the same predicate (ANSI-safe).
+    radiation = F.col("_cell").try_cast("int")
     kept = cells.withColumn("Radiation", radiation).filter(
         radiation.isNotNull() & (radiation != F.col("_nodata"))
     )

@@ -27,10 +27,19 @@ GOLDEN = {
 }
 
 
+def _with_date_str(df):
+    """Assert on JVM-side formatting: collect() renders TimestampType via the
+    driver OS timezone, so strftime on collected datetimes is only correct on
+    a UTC machine (ADVICE r1)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn("date_str", F.date_format("Date", "yyyy-MM-dd HH:mm"))
+
+
 def test_golden_grid_aest(spark):
     """UTC 2018-04-01 01:00 -> Sydney AEST (UTC+10) 2018-04-01 11:00."""
-    df = decode_grid_directory(
-        spark, str(FIXTURES / "IDCJ0000_GLOBAL_20180401_0100.txt")
+    df = _with_date_str(
+        decode_grid_directory(spark, str(FIXTURES / "IDCJ0000_GLOBAL_20180401_0100.txt"))
     )
     rows = df.collect()
     assert len(rows) == 9
@@ -38,17 +47,17 @@ def test_golden_grid_aest(spark):
     assert got == GOLDEN
     r0 = rows[0]
     assert r0.RadiationType == "GLOBAL"
-    assert r0.Date.strftime("%Y-%m-%d %H:%M") == "2018-04-01 11:00"
+    assert r0.date_str == "2018-04-01 11:00"
     assert (r0.year, r0.month, r0.day, r0.hour) == (2018, 4, 1, 11)
 
 
 def test_golden_grid_aedt(spark):
     """UTC 2018-03-30 01:00 -> Sydney AEDT (UTC+11) 2018-03-30 12:00."""
-    df = decode_grid_directory(
-        spark, str(FIXTURES / "IDCJ0000_GLOBAL_20180330_0100.txt")
+    df = _with_date_str(
+        decode_grid_directory(spark, str(FIXTURES / "IDCJ0000_GLOBAL_20180330_0100.txt"))
     )
     r0 = df.collect()[0]
-    assert r0.Date.strftime("%Y-%m-%d %H:%M") == "2018-03-30 12:00"
+    assert r0.date_str == "2018-03-30 12:00"
     assert r0.hour == 12
 
 
@@ -109,6 +118,35 @@ def test_nodata_advances_longitude(spark, tmp_path):
     rows = decode_grid_directory(spark, str(p)).collect()
     assert len(rows) == 1
     assert rows[0].Longitude == 1.0  # NOT 0.0 — the nodata cell consumed x=0
+
+
+def test_malformed_inputs_degrade_to_null_not_crash(spark, tmp_path):
+    """ANSI-mode safety (ADVICE r1): malformed cells/headers/filenames must
+    yield NULL-degraded (dropped) rows, never abort the batch — mirroring the
+    reference's per-file try/except quarantine (bom.py:82-84)."""
+    # malformed cell value in an otherwise good grid
+    good = tmp_path / "a_GLOBAL_20200101_0000.txt"
+    good.write_text(
+        "ncols 3\nnrows 1\nxllcorner 0.0\nyllcorner 0.0\ncellsize 1.0\n"
+        "NODATA_value -1\n7 oops 9\n"
+    )
+    # truncated file: header only, fewer than 6 lines
+    trunc = tmp_path / "b_GLOBAL_20200101_0100.txt"
+    trunc.write_text("ncols 3\nnrows 1\n")
+    # filename that doesn't match grammar 1 at all
+    badname = tmp_path / "nounderscores.txt"
+    badname.write_text(
+        "ncols 1\nnrows 1\nxllcorner 0.0\nyllcorner 0.0\ncellsize 1.0\n"
+        "NODATA_value -1\n3\n"
+    )
+    rows = decode_grid_directory(spark, str(tmp_path)).collect()
+    # good file contributes its 2 parseable cells; trunc contributes 0;
+    # badname decodes its grid but with NULL Date/RadiationType.
+    vals = sorted(r.Radiation for r in rows)
+    assert vals == [3, 7, 9]
+    by_rad = {r.Radiation: r for r in rows}
+    assert by_rad[3].Date is None and by_rad[3].RadiationType is None
+    assert by_rad[7].Date is not None
 
 
 def test_filename_grammar2(spark):
