@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from the declared surface at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+result materialization on the driver — the same way a cluster job would
+be bounded by the write, not a collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per family — scan/project, fact-fact join, star join,
+# agg, window, set-op, text, embedding. Kept small enough to run per-round
+# but covering every physical-plan shape the engine produces.
+HEADLINE = [
+    "q01_projection",
+    "q05_inner_join",
+    "q06_broadcast_join",
+    "q13_multiway_join",
+    "q14_groupby_agg",
+    "q16_count_distinct",
+    "q23_ranking",
+    "q27_global_sort",
+    "q30_union",
+    "n01_exact_dedup",
+    "n03_topk_cosine",
+    "n05_text_stats",
+]
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from etl_bom_radiation_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -22,6 +22,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -68,6 +69,22 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table, whose ``ts`` is parquet TIMESTAMP(NANOS) —
+    a type Spark's vectorized reader rejects outright
+    (PARQUET_TYPE_ILLEGAL). Read nanos as raw int64 via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and rebuild a microsecond
+    timestamp column JVM-side. Micros-truncation is lossless for equality
+    with DuckDB as long as both sides compare at micro precision (DuckDB
+    reads nanos parquet at nano precision but its TIMESTAMP is micros, so
+    it truncates identically)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's 53-bit
+    # mantissa, so float division would corrupt the low microseconds.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register testdata tables as temp views for spark.sql-based queries."""
     for n, df in load_tables(spark, sf_dir, *names).items():
@@ -76,21 +93,16 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 
 _MODULES = [
     "relational",
-    "windows_setops",
-    "scalar_funcs",
-    "grid_queries",
-    "streaming_batch",
-    "llm_queries",
 ]
 
 
 def load_all() -> dict[str, Query]:
-    """Import every query module (side effect: fills REGISTRY) and return it."""
+    """Import every query module (side effect: fills REGISTRY) and return it.
+
+    Every module named in ``_MODULES`` must exist — a missing or broken
+    module raises instead of silently dropping its queries from the
+    correctness run (ADVICE r1: silent tolerance masks wiring bugs).
+    """
     for m in _MODULES:
-        try:
-            importlib.import_module(f"{__name__}.{m}")
-        except ModuleNotFoundError as e:
-            # tolerate not-yet-written modules during incremental build
-            if f"{__name__}.{m}" not in str(e):
-                raise
+        importlib.import_module(f"{__name__}.{m}")
     return REGISTRY
