@@ -93,6 +93,8 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 
 _MODULES = [
     "relational",
+    "windows_setops",
+    "scalar_funcs",
 ]
 
 

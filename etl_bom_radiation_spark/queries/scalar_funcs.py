@@ -1,0 +1,346 @@
+"""Scalar function families Q36-Q42 and the reference's own scalar surface
+F1-F13 as declared, oracle-backed queries (SURVEY §2.D, §2.E).
+
+The F-family composites re-run the reference's two filename grammars
+(reference bom/bom.py:94-107 and bom-partition/bom_partition.py:14-26) over
+deterministic filenames synthesized from testdata rows, so split /
+substring / regexp_extract / to_timestamp / tz-convert / date_format /
+make_timestamp+interval are all driver-verified — not just used in passing
+inside the grid decode.
+
+Oracle notes:
+* DuckDB ``dayofweek`` is 0-based (Sun=0); Spark is 1-based (Sun=1) → +1.
+* Sydney conversion in DuckDB via the session-TZ-independent chain
+  ``(ts AT TIME ZONE 'UTC') AT TIME ZONE 'Australia/Sydney'``.
+* All timestamps leave as formatted strings; floats rounded on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load_events, load_tables, register
+
+# ------------------------------------------------------------ Q36-Q42 families
+
+
+@register(
+    "q36_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS up, LOWER(c_name) AS lo,
+           TRIM(c_name) AS tr,
+           LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           CAST(LENGTH(c_name) AS INT) AS len,
+           SUBSTRING(c_name, 1, 8) AS pre,
+           CONCAT_WS('|', c_name, c_mktsegment) AS joined,
+           CAST(INSTR(c_name, '0') AS INT) AS pos0,
+           CASE WHEN c_name LIKE '%er#00%' THEN 1 ELSE 0 END AS has_pat,
+           REGEXP_REPLACE(c_name, '[0-9]+', '#') AS depunct
+    FROM customer
+    """,
+)
+def q36_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q36: string family — upper/lower/trim/lpad/length/substr/concat_ws/
+    instr/like/regexp_replace."""
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_name").alias("lo"),
+        F.trim("c_name").alias("tr"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.length("c_name").cast("int").alias("len"),
+        F.substring("c_name", 1, 8).alias("pre"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.instr("c_name", "0").cast("int").alias("pos0"),
+        F.when(F.col("c_name").like("%er#00%"), 1).otherwise(0).alias("has_pat"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("depunct"),
+    )
+
+
+@register(
+    "q37_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS r1,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS fl,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS ce,
+           ROUND(ABS(l_extendedprice - 30000), 2) AS ab,
+           ROUND(POW(l_quantity, 2), 2) AS sq,
+           ROUND(SQRT(l_extendedprice), 6) AS rt,
+           ROUND(LN(l_extendedprice), 6) AS lg,
+           ROUND(LOG10(l_extendedprice), 6) AS l10,
+           CAST(SIGN(l_extendedprice - 30000) AS INT) AS sg,
+           CAST(MOD(CAST(l_quantity AS BIGINT), 7) AS BIGINT) AS md
+    FROM lineitem
+    """,
+)
+def q37_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q37: math family — round/floor/ceil/abs/pow/sqrt/ln/log10/sign/mod."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.floor("l_extendedprice").cast("bigint").alias("fl"),
+        F.ceil("l_extendedprice").cast("bigint").alias("ce"),
+        F.round(F.abs(F.col("l_extendedprice") - 30000), 2).alias("ab"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("rt"),
+        F.round(F.log("l_extendedprice"), 6).alias("lg"),
+        F.round(F.log10("l_extendedprice"), 6).alias("l10"),
+        F.signum(F.col("l_extendedprice") - 30000).cast("int").alias("sg"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("md"),
+    )
+
+
+@register(
+    "q38_datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT)
+               AS days_to_end,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(weekofyear(o_orderdate) AS INT) AS woy,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def q38_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q38: date/time family — date_trunc/date_add/datediff/last_day/
+    dayofweek/weekofyear/unix_timestamp. DuckDB dow is 0-based → oracle +1."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "plus30"
+        ),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("days_to_end"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("eom"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+        F.weekofyear("o_orderdate").cast("int").alias("woy"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@register(
+    "q39_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(list_sum(CAST(embedding AS DOUBLE[])), 4) AS vec_sum,
+           ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS vec_max,
+           ROUND(list_sum(CAST(list_slice(embedding, 1, 8) AS DOUBLE[])), 4)
+               AS head_sum,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT)
+               AS n_pos,
+           ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 6) AS l2
+    FROM embeddings
+    """,
+)
+def q39_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q39: array family incl. higher-order functions — size/slice/filter/
+    transform/aggregate over the embedding vectors. All JVM-side (no UDF):
+    at 100 TB these run inside whole-stage codegen per row."""
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
+        F.round(F.array_max(vec), 6).alias("vec_max"),
+        F.round(
+            F.aggregate(F.slice(vec, 1, 8), F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("head_sum"),
+        F.size(F.filter(vec, lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.round(
+            F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+            6,
+        ).alias("l2"),
+    )
+
+
+@register(
+    "q40_map_funcs",
+    oracle="""
+    SELECT event_id,
+           'type,user' AS keys,
+           event_type AS type_val,
+           CAST(user_id AS VARCHAR) AS user_val
+    FROM events
+    """,
+)
+def q40_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q40: map family — construct a map from columns, then map_keys /
+    element_at round-trip. The oracle is the direct column expression (DuckDB
+    map support is limited; the point is Spark's map ops, whose outputs are
+    fully determined by the inputs)."""
+    ev = load_events(spark, sf_dir)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("user"), F.col("user_id").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("keys"),
+        F.element_at(m, "type").alias("type_val"),
+        F.element_at(m, "user").alias("user_val"),
+    )
+
+
+@register(
+    "q41_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_struct,
+           CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                THEN 'absent' ELSE 'present' END AS missing_key
+    FROM events
+    """,
+)
+def q41_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q41: JSON family on events.props — get_json_object path extraction and
+    typed from_json struct access."""
+    ev = load_events(spark, sf_dir)
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        parsed.getField("k").alias("k_struct"),
+        F.when(F.get_json_object("props", "$.missing").isNull(), "absent")
+        .otherwise("present")
+        .alias("missing_key"),
+    )
+
+
+@register(
+    "q42_hash_funcs",
+    oracle="""
+    SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha
+    FROM customer
+    """,
+)
+def q42_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q42: deterministic hash family — md5 / sha2-256 (the oracle-able
+    subset; xxhash64 is Spark-specific and monotonically_increasing_id /
+    uuid are nondeterministic by design, exercised in pytest only)."""
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("h_md5"),
+        F.sha2("c_name", 256).alias("h_sha"),
+    )
+
+
+# --------------------------------------------- reference scalar surface F1-F13
+
+
+@register(
+    "f_grammar_bom",
+    oracle="""
+    WITH fn AS (
+        SELECT o_orderkey,
+               'IDCJ0000_GLOBAL_' || strftime(o_orderdate, '%Y%m%d') || '_'
+                   || strftime(o_orderdate, '%H%M') || '.txt' AS filename
+        FROM orders
+    ), parts AS (
+        SELECT o_orderkey, filename,
+               string_split(regexp_replace(filename, '\\.[^.]*$', ''), '_') AS p
+        FROM fn
+    )
+    SELECT o_orderkey,
+           p[2] AS radiation_type,
+           strftime(
+             (strptime(p[3] || ' ' || substring(p[4], 1, 2), '%Y%m%d %H')
+               AT TIME ZONE 'UTC') AT TIME ZONE 'Australia/Sydney',
+             '%Y-%m-%d %H:%M') AS sydney_local
+    FROM parts
+    """,
+)
+def f_grammar_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F3/F5/F6/F7/F8/F13 composite: the reference's primary filename
+    grammar ``<base>_<type>_<YYYYMMDD>_<HHMM>.<ext>`` (bom.py:94-107) —
+    synthesize a filename per order row, then parse it back: strip extension
+    (F13), split on '_' (F1), substring the hour (F3), parse 'yyyyMMdd H'
+    (F6), convert UTC→Sydney (F7, DST-correct), format (F8)."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    fn = F.concat(
+        F.lit("IDCJ0000_GLOBAL_"),
+        F.date_format("o_orderdate", "yyyyMMdd"),
+        F.lit("_"),
+        F.date_format("o_orderdate", "HHmm"),
+        F.lit(".txt"),
+    )
+    stem = F.regexp_replace(fn, r"\.[^.]*$", "")
+    p = F.split(stem, "_")
+    ts = F.to_timestamp(
+        F.concat_ws(" ", F.element_at(p, 3), F.substring(F.element_at(p, 4), 1, 2)),
+        "yyyyMMdd H",
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(p, 2).alias("radiation_type"),
+        F.date_format(
+            F.from_utc_timestamp(ts, "Australia/Sydney"), "yyyy-MM-dd HH:mm"
+        ).alias("sydney_local"),
+    )
+
+
+@register(
+    "f_grammar_run",
+    oracle="""
+    WITH fn AS (
+        SELECT event_id,
+               'NEMPriceSetter_' || strftime(ts, '%Y%m%d')
+                   || lpad(CAST(event_id % 288 AS VARCHAR), 3, '0') || '.csv' AS filename
+        FROM events
+    ), run AS (
+        SELECT event_id, regexp_extract(filename, '[0-9]{11}') AS r FROM fn
+    )
+    SELECT event_id,
+           strftime(
+             make_timestamp(CAST(substring(r, 1, 4) AS INT),
+                            CAST(substring(r, 5, 2) AS INT),
+                            CAST(substring(r, 7, 2) AS INT), 4, 0, 0.0)
+               + to_minutes(CAST(substring(r, 9, 3) AS BIGINT) * 5),
+             '%Y-%m-%d %H:%M') AS run_ts
+    FROM run
+    """,
+)
+def f_grammar_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F9/F10 composite: the reference's second filename grammar — an
+    11-digit ``YYYYMMDDNNN`` run where NNN is a 5-minute slot added to an
+    04:00 base (bom_partition.py:14-26): regexp_extract (F2), substring
+    fields, make_timestamp + interval arithmetic (F9)."""
+    ev = load_events(spark, sf_dir)
+    fn = F.concat(
+        F.lit("NEMPriceSetter_"),
+        F.date_format("ts", "yyyyMMdd"),
+        F.lpad((F.col("event_id") % 288).cast("string"), 3, "0"),
+        F.lit(".csv"),
+    )
+    r = F.regexp_extract(fn, r"[0-9]{11}", 0)
+    base = F.make_timestamp(
+        F.substring(r, 1, 4).cast("int"),
+        F.substring(r, 5, 2).cast("int"),
+        F.substring(r, 7, 2).cast("int"),
+        F.lit(4),
+        F.lit(0),
+        F.lit(0),
+    )
+    run_ts = base + F.make_interval(mins=F.substring(r, 9, 3).cast("int") * 5)
+    return ev.select(
+        "event_id",
+        F.date_format(run_ts, "yyyy-MM-dd HH:mm").alias("run_ts"),
+    )

@@ -1,0 +1,369 @@
+"""Window functions, sorts/top-k, set operations, subqueries — Q23-Q35
+(SURVEY §2.E).
+
+Part of the Athena/Presto query surface the reference's pipeline exists to
+serve (reference README.md:4), provided natively via Spark SQL / DataFrame.
+
+Oracle discipline: every window ORDER BY carries a unique tiebreaker
+(event_id / orderkey) so ranking functions are deterministic on both
+engines; range frames are peer-inclusive and therefore tie-safe by
+construction; timestamps are emitted as epoch micros or formatted strings.
+
+Scale notes (100 TB): window functions shuffle once on partitionBy keys —
+fine when key cardinality is high (user_id, orderkey). The only global
+window here (q27/q28) is a full sort; Spark executes it as a
+range-partitioned sort (no single-node bottleneck), and top-k (q28) is
+TakeOrderedAndProject — per-partition heaps, only k rows to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import load_events, load_tables, register, register_views
+
+# ------------------------------------------------------------------ windows
+
+
+@register(
+    "q23_ranking",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROW_NUMBER()  OVER w AS rn,
+           RANK()        OVER w AS rk,
+           DENSE_RANK()  OVER w AS drk,
+           NTILE(4)      OVER w AS quart
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def q23_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q23: row_number / rank / dense_rank / ntile per priority class.
+    Unique (o_totalprice, o_orderkey) order makes every rank deterministic."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quart"),
+    )
+
+
+@register(
+    "q24_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           COALESCE(CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT), -1)
+               AS us_since_prev,
+           COALESCE(LEAD(event_type) OVER w, 'none') AS next_type,
+           FIRST_VALUE(event_type) OVER w AS first_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def q24_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q24: lag / lead / first per user session stream."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)), F.lit(-1)
+        ).alias("us_since_prev"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("none")).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+@register(
+    "q25_frames",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_sum,
+           ROUND(AVG(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+               AS moving_avg4
+    FROM events
+    """,
+)
+def q25_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q25: explicit row frames — running sum and 4-row moving average."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+            "running_sum"
+        ),
+        F.round(F.avg("value").over(w.rowsBetween(-3, 0)), 4).alias("moving_avg4"),
+    )
+
+
+@register(
+    "q26_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+               AS trailing_1h
+    FROM events
+    """,
+)
+def q26_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q26: time-based range frame — trailing 1-hour sum per user, ordered by
+    epoch seconds. Range frames include all peers, so ties need no breaker."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts") / 1_000_000)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("trailing_1h"),
+    )
+
+
+# ------------------------------------------------------------ sorts / top-k
+
+
+@register(
+    "q27_global_sort",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS pos
+    FROM orders
+    """,
+)
+def q27_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q27: global multi-key sort. The value hash is order-insensitive, so the
+    sort position is materialized as a column (row_number over the same
+    order). At scale Spark range-partitions the sort — no single-task sort."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+@register(
+    "q28_topk",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q28_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q28: ORDER BY + LIMIT → TakeOrderedAndProjectExec (per-partition heaps,
+    k rows to driver — never a full sort). Ties broken by orderkey."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@register(
+    "q29_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS price,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def q29_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q29: top-3 per group via ranked window + filter. Spark pushes the
+    rn<=3 filter into the window sort (WindowGroupLimit) — per-group heaps,
+    not a full per-group sort."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# -------------------------------------------------------------------- set ops
+
+
+@register(
+    "q30_union",
+    oracle="""
+    SELECT k, src FROM (
+        SELECT c_nationkey AS k, 'c' AS src FROM customer
+        UNION ALL
+        SELECT s_nationkey AS k, 's' AS src FROM supplier)
+    UNION
+    SELECT n_nationkey AS k, 'n' AS src FROM nation
+    """,
+)
+def q30_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q30: UNION ALL (bag) then UNION (distinct) — Spark union() is bag
+    semantics, distinct() applies the set semantics explicitly."""
+    t = load_tables(spark, sf_dir, "customer", "supplier", "nation")
+    c = t["customer"].select(F.col("c_nationkey").alias("k"), F.lit("c").alias("src"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("k"), F.lit("s").alias("src"))
+    n = t["nation"].select(F.col("n_nationkey").alias("k"), F.lit("n").alias("src"))
+    return c.union(s).union(n).distinct()
+
+
+@register(
+    "q31_intersect",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q31_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q31: INTERSECT (distinct) — nations having both customers and
+    suppliers."""
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    return t["customer"].select(F.col("c_nationkey").alias("k")).intersect(
+        t["supplier"].select(F.col("s_nationkey").alias("k"))
+    )
+
+
+@register(
+    "q31b_intersect_all",
+    oracle="""
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q31b_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q31b: INTERSECT ALL (bag intersection, multiplicity = min of sides)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    return a.intersectAll(r)
+
+
+@register(
+    "q32_except",
+    oracle="""
+    SELECT o_orderkey AS k FROM orders
+    EXCEPT
+    SELECT l_orderkey FROM lineitem
+    """,
+)
+def q32_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q32: EXCEPT (distinct) — orders with no lineitems (non-empty at every
+    SF in this testdata)."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    return (
+        t["orders"]
+        .select(F.col("o_orderkey").alias("k"))
+        .exceptAll(t["lineitem"].select(F.col("l_orderkey").alias("k")).distinct())
+        .distinct()
+    )
+
+
+@register(
+    "q32b_except_all",
+    oracle="""
+    SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'O'
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def q32b_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q32b: EXCEPT ALL (bag difference, multiplicity-aware)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    o = li.filter(F.col("l_linestatus") == "O").select(F.col("l_suppkey").alias("k"))
+    f = li.filter(F.col("l_linestatus") == "F").select(F.col("l_suppkey").alias("k"))
+    return o.exceptAll(f)
+
+
+@register(
+    "q33_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def q33_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q33: DISTINCT on a column subset. (dropDuplicates(subset) keeps an
+    arbitrary survivor row — SURVEY §7 risk 4 — so the declared, hashable
+    form projects the key columns only; the arbitrary-survivor variant is
+    exercised in pytest.)"""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+# ------------------------------------------------------------------ subqueries
+
+
+@register(
+    "q34_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def q34_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q34: scalar subquery — orders above 1.5x the global average price.
+    Catalyst plans the subquery as a broadcast scalar (one extra stage, then
+    a pushed-down filter); no per-row re-evaluation."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "q35_exists_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
+    """,
+)
+def q35_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q35: IN + correlated EXISTS subqueries — Catalyst decorrelates both
+    into semi-joins (the IN side broadcasts: nation is 25 rows)."""
+    register_views(spark, sf_dir, "supplier", "nation", "lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
+        """
+    )
