@@ -95,6 +95,7 @@ _MODULES = [
     "relational",
     "windows_setops",
     "scalar_funcs",
+    "grid_queries",
 ]
 
 
