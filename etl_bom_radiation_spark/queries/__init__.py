@@ -96,6 +96,7 @@ _MODULES = [
     "windows_setops",
     "scalar_funcs",
     "grid_queries",
+    "llm_queries",
 ]
 
 

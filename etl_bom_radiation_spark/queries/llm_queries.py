@@ -1,0 +1,616 @@
+"""LLM-data-pipeline operators (SURVEY §2.H, N1-N8 + extensions): dedup,
+similarity search, text analysis, multimodal plumbing over the driver's
+``documents`` and ``embeddings`` tables.
+
+Design rules at 100 TB:
+
+* everything except the explicitly-marked brute-force oracles is linear:
+  hashing, per-doc token work, LSH bucketing. The brute-force cosine
+  self-join (n04) exists as the ORACLE for the LSH variants and for small
+  candidate sets — never run it on the full corpus;
+* exact dedup is a hash groupBy (shuffle on the 128-bit digest — uniform,
+  skew-free by construction);
+* token/char work uses Spark higher-order functions (JVM, codegen), not
+  Python UDFs. The only Python here is the Arrow-batched multimodal stub
+  (mm01), whose decode step is a documented deterministic fake — the
+  image/audio libs are not in this container; the Spark-side plumbing
+  (binary payloads, schema, mapInPandas batching) is real;
+* the char-level rolling hash (_polyhash) is a 31-base polynomial mod
+  2^31-1, implemented identically in Spark and DuckDB so fingerprints and
+  simhashes are exactly oracle-checkable (no dependence on engine-private
+  hash functions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import load_events, load_tables, register
+
+# ------------------------------------------------------------ shared helpers
+
+_POLY_MOD = 2147483647  # 2^31 - 1
+
+
+def _tokens(col) -> Column:
+    """Lowercased whitespace tokens, empties dropped (identical on both
+    engines: split on \\s+, filter length > 0)."""
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+
+_DUCK_TOKENS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> length(t) > 0)"
+)
+
+
+def _polyhash(col) -> Column:
+    """Deterministic 31-base polynomial rolling hash of a string, mod 2^31-1.
+    Engine-neutral (defined over code points) so oracles can recompute it."""
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda a, c: (a * 31 + c) % _POLY_MOD
+    )
+
+
+def _duck_polyhash(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {_POLY_MOD})"
+    )
+
+
+def _cosine(a, b) -> Column:
+    """Cosine similarity of two double arrays via zip_with + aggregate —
+    pure JVM, codegen'd; no UDF."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+# ------------------------------------------------------------------- dedup
+
+
+@register(
+    "n01_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS h,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper,
+           CAST(COUNT(*) AS BIGINT) AS copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def n01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1: exact dedup by content hash. Deterministic survivor (min doc_id)
+    instead of dropDuplicates' arbitrary row (SURVEY §7 risk 4). The groupBy
+    shuffles on the digest — uniform keys, no skew, linear at any scale."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        d.withColumn("h", F.md5("text"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("copies"))
+    )
+
+
+@register("n02_minhash_lsh", oracle=None)
+def n02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2: near-dup detection — word-2-gram shingles → HashingTF →
+    MinHashLSH.approxSimilarityJoin (banded/bucketed: candidates only from
+    matching hash buckets, never all-pairs). Approximate → rows-only for the
+    driver; pytest cross-checks recall against the brute-force Jaccard on a
+    small slice. Seeded for determinism."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    shingled = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(_tokens(F.col("text"))) - 1, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(_tokens(F.col("text")), i),
+                    F.element_at(_tokens(F.col("text")), i + 1),
+                ),
+            )
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.9, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_sim"),
+        )
+    )
+
+
+# -------------------------------------------------------- similarity search
+
+
+@register(
+    "n03_topk_cosine",
+    oracle="""
+    SELECT b.vec_id,
+           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY sim DESC, b.vec_id ASC
+    LIMIT 10
+    """,
+)
+def n03_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3: brute-force top-k cosine search for one query vector — the exact
+    baseline (and the oracle for the LSH variant n03b). Broadcast the 1-row
+    query side; the scan side computes sim in one narrow pass, then
+    TakeOrderedAndProject keeps k. Linear in corpus size; at 100 TB this is
+    the right plan for a single query (it reads every vector exactly once)."""
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", vec.alias("v"))
+    q = base.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        base.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register("n03b_topk_cosine_lsh", oracle=None)
+def n03b_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3b: the scale path — BucketedRandomProjectionLSH approximate nearest
+    neighbours. Bucketed candidates only (not a corpus scan per query when
+    the model/buckets are reused across queries). Approximate → rows-only;
+    pytest checks overlap with n03's exact top-k."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    feat = e.select("vec_id", array_to_vector("embedding").alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(feat)
+    key = feat.filter(F.col("vec_id") == 0).head()
+    if key is None:  # empty corpus — degrade to an empty result, same schema
+        return feat.select("vec_id", F.lit(0.0).alias("dist")).limit(0)
+    nn = model.approxNearestNeighbors(feat, key.features, 10, distCol="dist")
+    return nn.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+@register(
+    "n04_similarity_selfjoin",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """,
+)
+def n04_similarity_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: all pairs with cosine >= 0.35 — BRUTE FORCE, declared as the exact
+    oracle surface at sf0.01 only. This is O(n^2): at 100 TB use n04b (LSH
+    bucketed join) and keep this as its correctness reference on samples.
+    Norms are precomputed per side before the join (halves the inner-loop
+    work); the join itself broadcasts the smaller projection."""
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    side = e.select("vec_id", vec.alias("v"), norm.alias("n"))
+    a = side.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = side.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("sim") >= 0.35)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+@register("n04b_similarity_selfjoin_lsh", oracle=None)
+def n04b_similarity_selfjoin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4b: the scale path for the similarity self-join — LSH-bucketed
+    candidate generation (approxSimilarityJoin on Euclidean distance;
+    for unit-normalized vectors cos >= t  <=>  ||a-b|| <= sqrt(2-2t)).
+    Normalizes, buckets, joins only within buckets. Rows-only."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    unit = e.select(
+        "vec_id",
+        array_to_vector(F.transform(vec, lambda x: x / norm)).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=1.0, numHashTables=6, seed=7
+    )
+    model = lsh.fit(unit)
+    thresh = float((2 - 2 * 0.35) ** 0.5)  # cos 0.35 -> euclidean on unit sphere
+    pairs = model.approxSimilarityJoin(unit, unit, thresh, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("id_a"),
+            F.col("datasetB.vec_id").alias("id_b"),
+            F.round(1 - F.col("dist") * F.col("dist") / 2, 6).alias("cos_sim"),
+        )
+    )
+
+
+# ------------------------------------------------------------- text analysis
+
+
+@register(
+    "n05_text_stats",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(AVG(len({_DUCK_TOKENS})), 4) AS avg_tokens,
+           CAST(MAX(length(text)) AS BIGINT) AS max_len
+    FROM documents GROUP BY lang, source
+    """,
+)
+def n05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: text statistics per (lang, source) — doc counts, char/token
+    averages. Token counting is a JVM higher-order expression (no UDF)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(_tokens(F.col("text")))), 4).alias("avg_tokens"),
+        F.max(F.length("text")).cast("bigint").alias("max_len"),
+    )
+
+
+@register(
+    "n06_normalization",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_hash,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                           ' +', ' ', 'g'))) AS INT) AS norm_len
+    FROM documents
+    """,
+)
+def n06_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6: text normalization — lowercase, strip non-alphanumerics, collapse
+    whitespace, trim. Emitted as md5 + length so the compare is compact.
+    (DuckDB regexp_replace needs the 'g' flag; Spark is global by default.)"""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("int").alias("norm_len"),
+    )
+
+
+@register(
+    "n07_nested_enrich",
+    oracle="""
+    SELECT e.event_id,
+           CAST(json_extract_string(e.props, '$.k') AS INT) AS k,
+           CAST(len(m.embedding) AS INT) AS dim,
+           ROUND(list_sum(CAST(m.embedding AS DOUBLE[])), 4) AS vec_sum
+    FROM events e JOIN embeddings m ON e.event_id % 500 = m.vec_id
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def n07_nested_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N7: nested/multimodal columns through a join — JSON props parsed to a
+    struct, array embeddings carried through and reduced JVM-side."""
+    ev = load_events(spark, sf_dir)
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    em = e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("k", F.from_json("props", "k INT").getField("k"))
+        .join(em, ev.event_id % 500 == em.vec_id)
+        .select("event_id", "k", "dim", "vec_sum")
+    )
+
+
+@register(
+    "n08_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               len({_DUCK_TOKENS}) AS n_tokens,
+               len(list_filter({_DUCK_TOKENS},
+                   t -> t IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens AS INT) AS n_tokens,
+           ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stop_ratio
+    FROM scored
+    WHERE n_chars BETWEEN 100 AND 450
+      AND lang IN ('en', 'es', 'de')
+      AND n_tokens >= 15
+      AND CAST(stop_hits AS DOUBLE) / n_tokens <= 0.6
+    """,
+)
+def n08_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N8: quality filtering — length band, language whitelist, minimum token
+    count, stopword-ratio cap. A predicate stack over derived features; all
+    pushable, all narrow."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = _tokens(F.col("text"))
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "is", "in")])
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).alias("stop_hits"),
+    )
+    return (
+        scored.filter(
+            F.col("n_chars").between(100, 450)
+            & F.col("lang").isin("en", "es", "de")
+            & (F.col("n_tokens") >= 15)
+            & (F.col("stop_hits").cast("double") / F.col("n_tokens") <= 0.6)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "n_tokens",
+            F.round(F.col("stop_hits").cast("double") / F.col("n_tokens"), 6).alias(
+                "stop_ratio"
+            ),
+        )
+    )
+
+
+@register(
+    "n09_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter({_DUCK_TOKENS},
+                   t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS en_hits,
+               len({_DUCK_TOKENS}) AS n_tokens
+    FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CAST(en_hits AS INT) AS en_hits,
+           CASE WHEN CAST(en_hits AS DOUBLE) / n_tokens >= 0.05 THEN 'en'
+                ELSE 'unk' END AS guessed_lang
+    FROM scored
+    """,
+)
+def n09_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N9 (extension): heuristic language ID — stopword-hit-rate n-gram
+    heuristic. (The synthetic corpus is English-vocab regardless of its lang
+    label, so the interesting output is the hit-rate machinery, verified
+    exactly; a real model would swap in per-language stopword tables.)"""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = _tokens(F.col("text"))
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to")])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits.cast("int").alias("en_hits"),
+        F.when(hits.cast("double") / F.size(toks) >= 0.05, "en")
+        .otherwise("unk")
+        .alias("guessed_lang"),
+    )
+
+
+@register(
+    "n10_fingerprint",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ), sh AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [array_to_string(toks, ' ')] END AS shingles
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(list_min(list_transform(shingles,
+                s -> {_duck_polyhash('s')})) AS BIGINT) AS fingerprint
+    FROM sh
+    """,
+)
+def n10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N10 (extension): document fingerprint — min rolling-hash over word
+    3-gram shingles (a 1-permutation MinHash). Engine-neutral polynomial
+    hash, so the oracle recomputes it exactly."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = _tokens(F.col("text"))
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return d.select(
+        "doc_id",
+        F.array_min(F.transform(shingles, _polyhash)).cast("bigint").alias("fingerprint"),
+    )
+
+
+@register(
+    "n11_simhash",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform({_DUCK_TOKENS}, tk -> {_duck_polyhash('tk')}) AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 16),
+               b -> CASE WHEN list_sum(list_transform(hs,
+                        h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+             AS BIGINT) AS simhash16
+    FROM t
+    """,
+)
+def n11_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N11 (extension): 16-bit SimHash over token rolling-hashes — per bit,
+    tokens vote +1/-1 by their hash bit; the majority sign sets the output
+    bit. Near-dup docs differ in few bits (Hamming). All JVM higher-order
+    expressions; one pass per bit over the token-hash array."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    hashes = F.transform(_tokens(F.col("text")), _polyhash)
+    out = d.select("doc_id", hashes.alias("hs"))
+
+    def _vote(bit: int):
+        # closure factory: Spark inspects lambda arity, so the bit index must
+        # be captured outside the 2-arg merge lambda
+        def merge(a, h):
+            return a + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate("hs", F.lit(0), merge)
+
+    sim = F.lit(0).cast("long")
+    for b in range(16):
+        sim = sim + F.when(_vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out.select("doc_id", sim.alias("simhash16"))
+
+
+@register(
+    "n12_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len({_DUCK_TOKENS})),
+                   i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1])) AS s
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def n12_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N12 (extension): word-2-gram Jaccard similarity between consecutive
+    doc pairs (linear pair generation — the full-pair version at scale goes
+    through LSH bucketing, n02). set ops via array_intersect/array_union."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = _tokens(F.col("text"))
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ).alias("s"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+
+@register(
+    "mm01_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(octet_length(encode(text)) // 256 AS INT) AS n_frames,
+           'application/octet-stream' AS mime
+    FROM documents
+    """,
+)
+def mm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM1 (extension): multimodal-column plumbing — an opaque ``binary``
+    payload column plus typed metadata, feature-extracted with an
+    Arrow-batched mapInPandas. The decode step is a DETERMINISTIC FAKE
+    (byte length + frame count at 256 B/frame): real image/audio codecs are
+    not in this container. The Spark-side contract — binary column, output
+    schema, Arrow batch iteration, per-partition parallelism — is the real
+    thing; swap `_extract` for an actual decoder on a real cluster."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    payload = d.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def _extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["payload"]
+            n_bytes = raw.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int32"),
+                    "n_frames": (n_bytes // 256).astype("int32"),
+                    "mime": "application/octet-stream",
+                }
+            )
+
+    return payload.mapInPandas(
+        _extract, "doc_id long, n_bytes int, n_frames int, mime string"
+    )
