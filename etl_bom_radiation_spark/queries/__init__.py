@@ -97,6 +97,7 @@ _MODULES = [
     "scalar_funcs",
     "grid_queries",
     "llm_queries",
+    "udfs",
 ]
 
 
