@@ -1,0 +1,151 @@
+"""Ingest pipeline + workspace tests: S3/S4/S6-S10, D1-D4, T1, T8.
+
+Covers the reference's full file lifecycle (reference
+bom-create-bucket/bom_create_bucket.py:80-118, bom/bom.py:35-84,
+bom-partition/bom_partition.py:134-163) in both batch and streaming modes,
+plus the scale assertions: partition pruning visible in the physical plan,
+quarantine instead of abort for malformed files, exactly-once across
+stream restarts.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_bom_radiation_spark import workspace as W
+from etl_bom_radiation_spark.ingest import ingest_batch, ingest_stream, write_points_csv
+
+FIXTURES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "grids")
+
+GOOD_FILES = [
+    "IDCJ0000_GLOBAL_20180330_0100.txt",
+    "IDCJ0000_GLOBAL_20180401_0100.txt",
+]
+
+BAD_GRID = "IDCJ0000_GLOBAL_20180401_0200.txt"  # malformed header
+BAD_NAME = "notagridfile.txt"  # filename grammar miss
+
+
+def _stage_inputs(ws_dir: str, include_bad: bool = True) -> None:
+    indir = os.path.join(ws_dir, "in")
+    os.makedirs(indir, exist_ok=True)
+    for f in GOOD_FILES:
+        shutil.copy(os.path.join(FIXTURES, f), os.path.join(indir, f))
+    if include_bad:
+        with open(os.path.join(indir, BAD_GRID), "w") as fh:
+            fh.write("ncols x\nnrows 2\nbroken header\n")
+        with open(os.path.join(indir, BAD_NAME), "w") as fh:
+            fh.write("not a grid at all\n")
+
+
+@pytest.fixture()
+def ws(spark, tmp_path):
+    return W.init_workspace(spark, str(tmp_path / "wsbase"))
+
+
+def test_init_workspace_idempotent(spark, ws):
+    for p in W.PREFIXES:
+        assert os.path.isdir(ws.prefix(p))
+    again = W.init_workspace(spark, ws.base)  # S10 idempotence
+    assert again.base == ws.base
+
+
+def test_ingest_batch_lifecycle(spark, ws, tmp_path):
+    _stage_inputs(ws.base)
+    db = W.create_database(spark, "bom-test-stack")  # D1: hyphens -> underscores
+    assert db == "bom_test_stack"
+    table = W.register_table(spark, db, "radiation", ws)
+
+    res = ingest_batch(spark, ws, fq_table=table)
+
+    # good files decoded and moved to done/ (S8)
+    assert [os.path.basename(f) for f in res.files_ok] == GOOD_FILES
+    assert sorted(os.listdir(ws.prefix("done"))) == GOOD_FILES
+    # malformed files quarantined, not aborted (upgrade of bom.py:82-84)
+    assert sorted(os.path.basename(f) for f in res.files_quarantined) == sorted(
+        [BAD_GRID, BAD_NAME]
+    )
+    assert sorted(os.listdir(ws.prefix("quarantine"))) == sorted([BAD_GRID, BAD_NAME])
+    assert os.listdir(ws.prefix("in")) == []
+
+    # 2 files x 9 valid cells (FIXTURES.md golden grids)
+    assert res.rows_written == 18
+    # Sydney-local partitions: 2018-03-30 12h (AEDT) and 2018-04-01 11h (AEST)
+    assert res.partitions == [
+        {"year": 2018, "month": 3, "day": 30, "hour": 12},
+        {"year": 2018, "month": 4, "day": 1, "hour": 11},
+    ]
+
+    # S4: hive layout on disk
+    assert os.path.isdir(os.path.join(ws.data_dir, "year=2018", "month=3", "day=30", "hour=12"))
+
+    # catalog sees the partitions (D2/D3 via T8 hook)
+    parts = {r[0] for r in spark.sql(f"SHOW PARTITIONS {table}").collect()}
+    assert "year=2018/month=3/day=30/hour=12" in parts
+    assert "year=2018/month=4/day=1/hour=11" in parts
+    # D4: first batch ran MSCK and wrote the run-once marker
+    assert W.msck_completed(spark, ws)
+
+    # partition pruning: the year/month filter reaches the scan (Q3 pattern)
+    q = spark.read.parquet(ws.data_dir).filter((F.col("year") == 2018) & (F.col("month") == 4))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "year" in plan
+    assert q.count() == 9
+
+    # second batch on an empty in/ is a no-op (idempotence)
+    res2 = ingest_batch(spark, ws, fq_table=table)
+    assert res2.rows_written == 0 and res2.files_ok == []
+
+
+def test_ingest_stream_exactly_once(spark, ws, tmp_path):
+    """T1/S6: AvailableNow streaming drain; re-running with the same
+    checkpoint must not duplicate rows; a late-arriving file is picked up
+    incrementally (the reference's per-file S3 trigger semantics)."""
+    ckpt = str(tmp_path / "ckpt")
+    indir = ws.prefix("in")
+    shutil.copy(os.path.join(FIXTURES, GOOD_FILES[0]), os.path.join(indir, GOOD_FILES[0]))
+
+    q = ingest_stream(spark, ws, checkpoint=ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(ws.data_dir).count() == 9
+
+    # restart with same checkpoint, no new files -> no duplicates
+    q = ingest_stream(spark, ws, checkpoint=ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(ws.data_dir).count() == 9
+
+    # late file arrives -> exactly its rows are appended
+    shutil.copy(os.path.join(FIXTURES, GOOD_FILES[1]), os.path.join(indir, GOOD_FILES[1]))
+    q = ingest_stream(spark, ws, checkpoint=ckpt)
+    q.awaitTermination(120)
+    df = spark.read.parquet(ws.data_dir)
+    assert df.count() == 18
+    assert df.select("year", "month").distinct().count() == 2
+
+
+def test_csv_sink_parity(spark, ws, tmp_path):
+    """S3: the reference's own output shape — headed CSV under the hive
+    layout (bom.py:111,153-156)."""
+    _stage_inputs(ws.base, include_bad=False)
+    from etl_bom_radiation_spark.grid.decode import decode_grid_directory
+
+    points = decode_grid_directory(spark, ws.prefix("in"))
+    out = str(tmp_path / "csvout")
+    write_points_csv(points, out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 18
+    assert set(["Date", "RadiationType", "Longitude", "Latitude", "Radiation"]).issubset(
+        set(back.columns) | {"year", "month", "day", "hour"}
+    )
+
+
+def test_clean_prefixes(spark, ws):
+    _stage_inputs(ws.base)
+    assert len(os.listdir(ws.prefix("in"))) > 0
+    W.clean_prefixes(spark, ws, prefixes=("in", "processing", "done"))
+    assert os.listdir(ws.prefix("in")) == []  # S9
+    assert os.path.isdir(ws.prefix("in"))
