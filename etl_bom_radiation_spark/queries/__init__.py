@@ -98,6 +98,7 @@ _MODULES = [
     "grid_queries",
     "llm_queries",
     "udfs",
+    "streaming_batch",
 ]
 
 

@@ -1,0 +1,152 @@
+"""Structured Streaming tests: T2/T5 (watermarked windows), T6 (streaming
+dedup), T7 (custom per-key state) — the streaming-only semantics that SQL
+oracles cannot express (SURVEY §5.2 item 4, §7 risk 6).
+
+Driven with JSON file sources: each "micro-batch" is a file dropped into
+the source directory while ONE continuous query runs (memory sinks cannot
+recover a checkpoint, so cross-restart recovery is covered separately by
+tests/test_ingest.py::test_ingest_stream_exactly_once with a parquet sink).
+``processAllAvailable`` barriers between drops make watermark movement,
+dedup state, and per-key accumulators deterministic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from etl_bom_radiation_spark import streaming as S
+
+
+def _write_batch(src_dir: str, name: str, events: list[dict]) -> None:
+    os.makedirs(src_dir, exist_ok=True)
+    tmp = os.path.join(src_dir, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        for e in events:
+            fh.write(json.dumps(e) + "\n")
+    os.rename(tmp, os.path.join(src_dir, name))
+
+
+def _ev(eid: int, ts: str, uid: int = 1, etype: str = "click", value: float = 1.0) -> dict:
+    return {"event_id": eid, "ts": ts, "user_id": uid, "event_type": etype, "value": value}
+
+
+def _start(df, ckpt: str, name: str, mode: str = "append"):
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
+def test_windowed_counts_watermark_late_drop(spark, tmp_path):
+    """T2+T5: append-mode windows emit once the watermark passes; a late
+    event behind the watermark is dropped and the emitted window is final."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    stream = S.windowed_counts(S.read_event_stream(spark, src), "15 minutes", "30 minutes")
+    q = _start(stream, ckpt, "win")
+    try:
+        # batch 1: two events in the 10:00 window; watermark still at 0
+        _write_batch(src, "b1.json", [_ev(1, "2024-01-01 10:01:00"), _ev(2, "2024-01-01 10:07:00")])
+        q.processAllAvailable()
+        # batch 2: event at 12:00 pushes the watermark to 11:30 -> the
+        # 10:00-10:15 window is finalized and emitted
+        _write_batch(src, "b2.json", [_ev(3, "2024-01-01 12:00:00")])
+        q.processAllAvailable()
+        emitted = {r["win_start"]: r["n"] for r in spark.sql("SELECT * FROM win").collect()}
+        assert emitted.get("2024-01-01 10:00") == 2
+
+        # batch 3: a LATE event for the finalized window + a fresh one; the
+        # late event is dropped — the 10:00 window must not re-emit/correct
+        _write_batch(src, "b3.json", [_ev(4, "2024-01-01 10:09:00"), _ev(5, "2024-01-01 13:00:00")])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM win WHERE win_start = '2024-01-01 10:00'").collect()
+        assert len(rows) == 1 and rows[0]["n"] == 2
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """T6: the same event_id delivered in two different micro-batches is
+    emitted exactly once (at-least-once source -> exactly-once output)."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    q = _start(S.dedup_stream(S.read_event_stream(spark, src)), ckpt, "dedup")
+    try:
+        _write_batch(src, "b1.json", [_ev(1, "2024-01-01 10:00:00"), _ev(2, "2024-01-01 10:01:00")])
+        q.processAllAvailable()
+        # redelivery of event 2 + new event 3 in a later micro-batch
+        _write_batch(src, "b2.json", [_ev(2, "2024-01-01 10:01:00"), _ev(3, "2024-01-01 10:02:00")])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT event_id FROM dedup").collect()
+        assert sorted(r["event_id"] for r in rows) == [1, 2, 3]  # 2 only once
+    finally:
+        q.stop()
+
+
+def test_stateful_per_key(spark, tmp_path):
+    """T7: applyInPandasWithState — per-user running totals accumulate
+    across micro-batches through the state store; only touched keys
+    re-emit, carrying their accumulated state."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    q = _start(
+        S.running_totals_stateful(S.read_event_stream(spark, src)), ckpt, "state", mode="update"
+    )
+    try:
+        _write_batch(
+            src,
+            "b1.json",
+            [
+                _ev(1, "2024-01-01 10:00:00", uid=1, value=2.0),
+                _ev(2, "2024-01-01 10:01:00", uid=1, value=3.0),
+                _ev(3, "2024-01-01 10:02:00", uid=2, value=5.0),
+            ],
+        )
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM state").collect()
+        }
+        assert got == {1: (2, 5.0), 2: (1, 5.0)}
+
+        _write_batch(src, "b2.json", [_ev(4, "2024-01-01 10:05:00", uid=1, value=4.0)])
+        q.processAllAvailable()
+        latest = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql(
+                # memory sink in update mode appends rows; take each key's last
+                "SELECT user_id, n_events, total_value FROM state"
+            ).collect()
+        }
+        assert latest[1] == (3, 9.0)  # 2+1 events, 5.0+4.0 carried state
+        assert latest[2] == (1, 5.0)
+    finally:
+        q.stop()
+
+
+def test_backpressure_max_files(spark, tmp_path):
+    """maxFilesPerTrigger: a 3-file backlog drains in 3 micro-batches of 1
+    file — the ingest backpressure knob for 100 TB backfills (SURVEY §7 M5)."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    for i in range(3):
+        _write_batch(src, f"b{i}.json", [_ev(i, f"2024-01-01 10:0{i}:00")])
+    stream = S.read_event_stream(spark, src, max_files_per_trigger=1).select(
+        "event_id", F.lit(1).alias("one")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("bp")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) AS n FROM bp").collect()[0]["n"] == 3
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 3
