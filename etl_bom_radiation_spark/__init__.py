@@ -9,12 +9,13 @@ columns, text analysis) designed for 100 TB scale.
 Layout:
     session      - SparkSession factory (UTC, AQE, tuned shuffle partitions)
     grid/        - ESRI ASCII grid decode (the flagship transform)
-    workspace    - catalog/warehouse bootstrap (CREATE DATABASE/TABLE, dirs)
+    workspace    - catalog/warehouse bootstrap (CREATE DATABASE/TABLE, dirs,
+                   MSCK/ADD PARTITION, prefix cleanup)
     ingest       - batch + streaming ingest pipeline with archival/quarantine
-    maintenance  - prefix bulk delete and workspace cleanup utilities
-    queries/     - the declared query surface (registry of spark fn + oracle)
+    queries/     - the declared query surface (registry of spark fn + DuckDB
+                   oracle): relational, windows/set-ops, scalar functions,
+                   grid, LLM-pipeline, UDFs, streaming batch forms
     streaming/   - structured-streaming operators (windows, dedup, state)
-    llm/         - dedup / similarity / text-analysis / multimodal operators
 """
 
 __version__ = "0.1.0"
