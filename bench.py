@@ -50,6 +50,12 @@ def main() -> int:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
 
+    # warmup: JVM JIT + parquet footer cache + codegen, so the first timed
+    # query measures the query, not session startup
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in names:
         df = qs[name](spark, SF_DIR)
