@@ -1,0 +1,89 @@
+"""Scale levers: bucketed co-located joins and salted skew joins.
+
+These are the two shuffle-elimination techniques the declared query surface
+relies on implicitly (AQE skew handling is on in session.py; dimension
+joins broadcast) made explicit and testable:
+
+* **Bucketing** — persist both sides of a recurring fact-fact join
+  bucketed (and sorted) on the join key: the join then reads co-located
+  buckets and does a zero-Exchange SortMergeJoin. At 100 TB this converts
+  the dominant lineitem⋈orders shuffle (TBs of network) into a local merge
+  per bucket. The bucket count should be chosen once, cluster-wide
+  (e.g. 2-4x executor count) — both tables MUST use the same count.
+* **Salting** — when one join key is hot (a "celebrity" key holding >>1
+  partition of rows), explode the small side into N salted replicas and
+  scatter the big side's hot rows across them: the hot key's rows spread
+  over N tasks instead of one straggler. AQE's skew-join splitting handles
+  moderate skew automatically; explicit salting is for the pathological
+  key that AQE cannot split because it is a single shuffle key.
+
+tests/test_scale.py asserts the zero-Exchange plan for the bucketed join
+and result-equality (vs the plain join) for the salted join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist *df* as a bucketed (and bucket-sorted) parquet table.
+
+    Sorting within buckets lets the subsequent SortMergeJoin skip its sort
+    phase entirely — the join becomes a streaming merge of pre-sorted,
+    co-located buckets."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, left_key: str, right_key: str
+) -> DataFrame:
+    """Join two same-bucket-count tables on their bucket keys — planned as
+    an Exchange-free SortMergeJoin (assert via explain: no
+    'Exchange hashpartitioning' above either scan)."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, F.col(left_key) == F.col(right_key))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: replicate the small side ``salt`` times and
+    scatter the big side uniformly across replicas.
+
+    big:   key -> (key, salt_id = pmod(hash(row), salt))
+    small: key -> salt x (key, salt_id = 0..salt-1)
+
+    The shuffle key becomes (key, salt_id): a hot key now lands on ``salt``
+    reducers instead of one. Costs ``salt``x replication of the small side
+    — use for fact⋈dim with a hot dim key; for fact⋈fact prefer AQE skew
+    split or bucketing. Result is row-identical to the plain join."""
+    big_salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+    )
+    small_salted = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = big_salted.join(
+        small_salted,
+        (F.col(big_key) == F.col(small_key)) & (big_salted["_salt"] == small_salted["_salt"]),
+        how,
+    )
+    return out.drop("_salt")
