@@ -29,6 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
     end-to-end. Driver checks rows > 0 and a stable schema."""
     from etl_bom_radiation_spark.grid.decode import decode_grid_directory
 
+    # driver-owned session: pin the TZ the partition columns assume
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     points = decode_grid_directory(spark, os.path.join(_REPO, "fixtures", "grids"))
     hourly = points.groupBy("RadiationType", "year", "month", "day", "hour").agg(
         F.count(F.lit(1)).alias("points"),

@@ -52,12 +52,26 @@ TABLES = (
 
 
 def register(name: str, oracle: str | None = None):
-    """Decorator: add a query to the registry."""
+    """Decorator: add a query to the registry.
+
+    The registered callable pins ``spark.sql.session.timeZone=UTC`` before
+    building the plan: the driver runs queries on ITS session, and
+    session-TZ-sensitive expressions (date_format/year/unix_timestamp)
+    capture the timezone at analysis time — without the pin, a non-UTC
+    harness session would silently diverge from the DuckDB oracles.
+    """
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+
+        def pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        pinned.__name__ = fn.__name__
+        pinned.__doc__ = fn.__doc__
+        REGISTRY[name] = Query(name=name, fn=pinned, oracle=oracle, doc=fn.__doc__ or "")
         return fn
 
     return deco

@@ -151,9 +151,15 @@ def test_malformed_inputs_degrade_to_null_not_crash(spark, tmp_path):
 
 def test_filename_grammar2(spark):
     """bom_partition.py:14-26 — NEMPriceSetter_20171031123.csv -> 04:00 + 615m."""
+    from pyspark.sql import functions as F
+
     df = spark.createDataFrame(
         [("NEMPriceSetter_20171031123.csv",), ("no_digits_here.csv",)], ["fn"]
-    ).select(parse_run_timestamp("fn").alias("ts"))
-    got = [r.ts for r in df.collect()]
-    assert got[0].strftime("%Y-%m-%d %H:%M") == "2017-10-31 14:15"
+    ).select(
+        # JVM-side formatting: collected datetimes render in the driver OS
+        # timezone (ADVICE r1)
+        F.date_format(parse_run_timestamp("fn"), "yyyy-MM-dd HH:mm").alias("ts_str")
+    )
+    got = [r.ts_str for r in df.collect()]
+    assert got[0] == "2017-10-31 14:15"
     assert got[1] is None
