@@ -1,0 +1,127 @@
+"""Bounded-error / nondeterminism tests for the ops that cannot carry exact
+DuckDB oracles (SURVEY §7 risk 5): HLL distinct counts, approximate
+percentiles, LSH recall, and the deliberately-nondeterministic functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_bom_radiation_spark.queries import load_all
+
+QS = load_all()
+
+
+def test_approx_count_distinct_bounded_error(spark, oracle_sf_dir):
+    """Q17: HLL++ estimate within 3x the configured rsd of the exact count."""
+    li = spark.read.parquet(f"{oracle_sf_dir}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in QS["q17_approx_count_distinct"].fn(spark, oracle_sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3 * 0.02 * n, 5), (k, approx[k], n)
+
+
+def test_percentile_approx_bounded_error(spark, oracle_sf_dir):
+    """Q18b: GK-sketch median lands inside the exact p40-p60 band."""
+    li = spark.read.parquet(f"{oracle_sf_dir}/lineitem.parquet")
+    bands = {
+        r["l_returnflag"]: (r["lo"], r["hi"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.4).alias("lo"),
+            F.percentile("l_extendedprice", 0.6).alias("hi"),
+        )
+        .collect()
+    }
+    for r in QS["q18b_percentile_approx"].fn(spark, oracle_sf_dir).collect():
+        lo, hi = bands[r["l_returnflag"]]
+        assert lo <= r["approx_median_price"] <= hi
+
+
+def test_minhash_lsh_recall(spark, oracle_sf_dir):
+    """N2: every pair MinHashLSH reports must truly be similar-ish, and the
+    reported Jaccard estimate must correlate with the true shingle Jaccard
+    (spot-check on the reported pairs; 5 hash tables -> recall is
+    probabilistic, precision of the estimate is what we bound)."""
+    pairs = QS["n02_minhash_lsh"].fn(spark, oracle_sf_dir).collect()
+    assert len(pairs) > 0  # the corpus does contain near-dup shingle sets
+    docs = {
+        r["doc_id"]: set(
+            " ".join(p)
+            for p in zip(
+                r["toks"], r["toks"][1:]
+            )
+        )
+        for r in spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"), lambda t: F.length(t) > 0
+            ).alias("toks"),
+        )
+        .collect()
+    }
+    for p in pairs[:50]:
+        a, b = docs[p["doc_a"]], docs[p["doc_b"]]
+        true_j = len(a & b) / len(a | b)
+        # MinHash estimate from 5 tables is coarse; bound the gap loosely
+        assert abs(true_j - p["jaccard_sim"]) <= 0.5
+        assert true_j >= 0.02  # reported pairs share at least some shingles
+
+
+def test_lsh_topk_overlap_with_exact(spark, oracle_sf_dir):
+    """N3b: approximate top-10 overlaps the exact top-10 by >= 5 of 10."""
+    exact = {r["vec_id"] for r in QS["n03_topk_cosine"].fn(spark, oracle_sf_dir).collect()}
+    approx = {r["vec_id"] for r in QS["n03b_topk_cosine_lsh"].fn(spark, oracle_sf_dir).collect()}
+    assert len(exact & approx) >= 5
+
+
+def test_lsh_selfjoin_recall_vs_brute(spark, oracle_sf_dir):
+    """N4b vs N4: the LSH self-join recovers >= 80% of the true pairs and
+    reports no pair below ~the threshold (small float slack)."""
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in QS["n04_similarity_selfjoin"].fn(spark, oracle_sf_dir).collect()
+    }
+    lsh_pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in QS["n04b_similarity_selfjoin_lsh"].fn(spark, oracle_sf_dir).collect()
+    }
+    assert len(true_pairs) > 0
+    recall = len(true_pairs & set(lsh_pairs)) / len(true_pairs)
+    assert recall >= 0.8, recall
+    assert all(sim >= 0.35 - 1e-6 for sim in lsh_pairs.values())
+
+
+def test_dropduplicates_subset_arbitrary_survivor(spark, oracle_sf_dir):
+    """Q33 variant: dropDuplicates(subset) keeps exactly one arbitrary row
+    per key — key set identical to DISTINCT on the subset."""
+    li = spark.read.parquet(f"{oracle_sf_dir}/lineitem.parquet")
+    deduped = li.dropDuplicates(["l_returnflag", "l_linestatus"])
+    assert deduped.count() == li.select("l_returnflag", "l_linestatus").distinct().count()
+    # survivors are genuine source rows
+    assert deduped.join(
+        li, on=list(li.columns), how="left_anti"
+    ).isEmpty()
+
+
+def test_nondeterministic_ids(spark, oracle_sf_dir):
+    """Q42 tail: monotonically_increasing_id is unique + increasing per
+    partition; uuid is unique; xxhash64 is deterministic within a session."""
+    c = spark.read.parquet(f"{oracle_sf_dir}/customer.parquet").limit(1000)
+    ids = c.select(F.monotonically_increasing_id().alias("i"), F.expr("uuid()").alias("u"))
+    n = ids.count()
+    assert ids.select("i").distinct().count() == n
+    assert ids.select("u").distinct().count() == n
+    h1 = c.select(F.xxhash64("c_name").alias("h")).collect()
+    h2 = c.select(F.xxhash64("c_name").alias("h")).collect()
+    assert [r["h"] for r in h1] == [r["h"] for r in h2]
