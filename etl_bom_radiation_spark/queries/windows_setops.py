@@ -50,10 +50,10 @@ def q23_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rk"),
-        F.dense_rank().over(w).alias("drk"),
-        F.ntile(4).over(w).alias("quart"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rk"),
+        F.dense_rank().over(w).cast("bigint").alias("drk"),
+        F.ntile(4).over(w).cast("bigint").alias("quart"),
     )
 
 
@@ -159,7 +159,7 @@ def q27_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.round("o_totalprice", 2).alias("price"),
-        F.row_number().over(w).alias("pos"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
     )
 
 
@@ -207,7 +207,7 @@ def q29_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "o_orderkey",
             F.round("o_totalprice", 2).alias("price"),
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
     )

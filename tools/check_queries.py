@@ -52,6 +52,15 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     if sorted(got.columns) != sorted(want.columns):
         problems.append(f"columns differ: spark={sorted(got.columns)} duck={sorted(want.columns)}")
         return problems
+    # dtype parity: a stricter driver could hash typed values, so flag
+    # Spark-vs-DuckDB width/kind mismatches (int32 vs int64, etc.)
+    for col in sorted(got.columns):
+        g_k = got[col].dtype.kind
+        w_k = want[col].dtype.kind
+        if (g_k, got[col].dtype.itemsize) != (w_k, want[col].dtype.itemsize):
+            problems.append(
+                f"dtype differs for {col!r}: spark={got[col].dtype} duck={want[col].dtype}"
+            )
     if len(got) != len(want):
         problems.append(f"row count differs: spark={len(got)} duck={len(want)}")
         return problems
