@@ -570,6 +570,33 @@ def n12_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "n13_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKENS}) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+                AS INT) AS bpe_ish_tokens,
+           CAST(length(text) AS INT) AS chars
+    FROM documents
+    """,
+)
+def n13_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N13 (extension): token counting two ways — whitespace tokens and a
+    BPE-ish pre-tokenizer regex (word runs + individual non-word symbols,
+    the GPT-2-style pre-split shape). Pure JVM regexp_extract_all; the
+    chars/tokens ratio is the usual budget estimator for LLM corpora."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("int").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"), 0)
+        ).cast("int").alias("bpe_ish_tokens"),
+        F.length("text").cast("int").alias("chars"),
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 
