@@ -191,6 +191,53 @@ def n03b_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nn.select("vec_id", F.round("dist", 6).alias("dist"))
 
 
+@register("n03c_topk_cosine_ivf", oracle=None)
+def n03c_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3c: IVF (inverted-file) approximate nearest neighbours — the other
+    scale path beside LSH: k-means coarse quantizer assigns every vector to
+    a cell; a query probes only the `nprobe` nearest cells, scanning
+    |corpus| * nprobe/k vectors instead of all. Here k=16, nprobe=4 (25% of
+    the corpus scanned). Seeded k-means -> deterministic given the data;
+    approximate -> rows-only; overlap vs exact top-k asserted in
+    tests/test_approx_ops.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    feat = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat)
+
+    q_row = assigned.filter(F.col("vec_id") == 0).head()
+    if q_row is None:
+        return assigned.select("vec_id", F.lit(0.0).alias("sim")).limit(0)
+    centers = model.clusterCenters()
+    qv = q_row["embedding"]
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    # probe the 4 cells whose centroids are most query-similar (driver-side
+    # over k=16 centroids — O(k), never corpus-sized)
+    probe = sorted(range(len(centers)), key=lambda i: -cos(qv, centers[i]))[:4]
+    qdf = assigned.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+    )
+    cand = assigned.filter(F.col("cell").isin(*[int(c) for c in probe]))
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    return (
+        cand.crossJoin(F.broadcast(qdf))
+        .select("vec_id", F.round(_cosine(vec, F.col("qv")), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 @register(
     "n04_similarity_selfjoin",
     oracle="""
@@ -641,3 +688,41 @@ def mm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload.mapInPandas(
         _extract, "doc_id long, n_bytes int, n_frames int, mime string"
     )
+
+
+@register(
+    "mm02_frame_sample",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * 256 AS INT) AS byte_offset
+    FROM meta, unnest(range(0, (n_bytes // 256) + 1, 4)) AS u(i)
+    """,
+)
+def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM2 (extension): frame sampling over an opaque binary "video" —
+    every 4th 256-byte frame becomes an output row (one row in → many out,
+    through Arrow batches). Decode is the same documented deterministic
+    stub as mm01; the contract being exercised is the exploding mapInPandas
+    shape a real frame sampler has (batch in, variable rows out)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def _sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out_doc, out_idx, out_off = [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(raw) // 256 + 1
+                for i in range(0, n_frames, 4):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_off.append(i * 256)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "byte_offset": out_off}
+            )
+
+    return payload.mapInPandas(_sample, "doc_id long, frame_idx int, byte_offset int")

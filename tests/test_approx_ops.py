@@ -85,6 +85,14 @@ def test_lsh_topk_overlap_with_exact(spark, oracle_sf_dir):
     assert len(exact & approx) >= 5
 
 
+def test_ivf_topk_overlap_with_exact(spark, oracle_sf_dir):
+    """N3c: IVF (probe 4/16 cells) top-10 overlaps the exact top-10 by >= 5
+    — near neighbours concentrate in the query's nearest cells."""
+    exact = {r["vec_id"] for r in QS["n03_topk_cosine"].fn(spark, oracle_sf_dir).collect()}
+    ivf = {r["vec_id"] for r in QS["n03c_topk_cosine_ivf"].fn(spark, oracle_sf_dir).collect()}
+    assert len(exact & ivf) >= 5
+
+
 def test_lsh_selfjoin_recall_vs_brute(spark, oracle_sf_dir):
     """N4b vs N4: the LSH self-join recovers >= 80% of the true pairs and
     reports no pair below ~the threshold (small float slack)."""
