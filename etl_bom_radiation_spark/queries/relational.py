@@ -415,6 +415,48 @@ def q13_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q13b_profit_star",
+    oracle="""
+    SELECT n.n_name, p.p_brand,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit,
+           CAST(COUNT(*) AS BIGINT) AS items
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY n.n_name, p.p_brand
+    """,
+)
+def q13b_profit_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13b (TPC-H Q9 shape): profit by supplier nation and brand through
+    the part/supplier dimensions. The p_type filter prunes part BEFORE the
+    join (pushed to its scan); part and supplier broadcast (both far under
+    threshold at any realistic dimension size); only lineitem shuffles —
+    for the final aggregation, not the joins."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    econ = t["part"].filter(F.col("p_type") == "ECONOMY")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(econ), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("profit"),
+            F.count(F.lit(1)).alias("items"),
+        )
+    )
+
+
 # ------------------------------------------------------------- aggregations
 
 
