@@ -569,6 +569,42 @@ def n11_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", sim.alias("simhash16"))
 
 
+_DUCK_SIMHASH = f"""
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 16),
+                   b -> CASE WHEN list_sum(list_transform(
+                            list_transform({_DUCK_TOKENS}, tk -> {_duck_polyhash('tk')}),
+                            h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+                 AS BIGINT) AS simhash16
+        FROM documents
+"""
+
+
+@register(
+    "n11b_simhash_neardup",
+    oracle=f"""
+    WITH sim AS ({_DUCK_SIMHASH})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash16
+    FROM sim a JOIN sim b ON a.simhash16 = b.simhash16 AND a.doc_id < b.doc_id
+    """,
+)
+def n11b_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N11b: SimHash-bucketed near-dup candidate pairs — docs sharing the
+    same 16-bit signature join within buckets (an equi-join on the hash:
+    one shuffle, never all-pairs). The standard scale-out: with 64-bit
+    simhash and Hamming radius r, join on each of C(bands) rotated key
+    segments; here the 16-bit exact-collision form is the declared,
+    exactly-oracled core."""
+    sim = n11_simhash(spark, sf_dir)
+    a = sim.select(F.col("doc_id").alias("doc_a"), "simhash16")
+    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash16").alias("sh_b"))
+    return (
+        a.join(b, (F.col("simhash16") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "simhash16")
+    )
+
+
 @register(
     "n12_ngram_jaccard",
     oracle=f"""
