@@ -155,6 +155,52 @@ def g_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g_bbox_filter",
+    oracle=_ORACLE_BASE
+    + """
+    , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
+    , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
+    , pts AS (
+        SELECT ROUND(xll + (j-1)*cs, 6) AS Longitude,
+               ROUND(yll + nrows*cs - i*cs, 6) AS Latitude,
+               CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS Radiation
+        FROM cls
+        WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
+          AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
+    )
+    SELECT Longitude, Latitude,
+           CAST(SUM(Radiation) AS BIGINT) AS total_radiation,
+           CAST(COUNT(*) AS BIGINT) AS obs
+    FROM pts
+    WHERE Longitude BETWEEN 112.25 AND 113.25 AND Latitude BETWEEN -43.75 AND -43.25
+    GROUP BY Longitude, Latitude
+    """,
+)
+def g_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial slice of the decoded point table — the bounding-box +
+    aggregate shape analysts run on the radiation table. With the sink
+    sorted within partitions on (Latitude, Longitude) this filter also
+    prunes parquet row groups via min/max stats at scale."""
+    pts = decode_grid_directory(spark, GRID_DIR)
+    return (
+        pts.select(
+            F.round("Longitude", 6).alias("Longitude"),
+            F.round("Latitude", 6).alias("Latitude"),
+            "Radiation",
+        )
+        .filter(
+            F.col("Longitude").between(112.25, 113.25)
+            & F.col("Latitude").between(-43.75, -43.25)
+        )
+        .groupBy("Longitude", "Latitude")
+        .agg(
+            F.sum("Radiation").cast("bigint").alias("total_radiation"),
+            F.count(F.lit(1)).alias("obs"),
+        )
+    )
+
+
+@register(
     "g_filename_metadata",
     oracle=f"""
     WITH f AS (

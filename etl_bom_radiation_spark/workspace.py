@@ -148,6 +148,17 @@ def register_batch_partitions(spark: SparkSession, fq_table: str, ws: Workspace,
         add_partitions(spark, fq_table, parts)
 
 
+def analyze_table(spark: SparkSession, fq_table: str, columns: tuple[str, ...] = ()) -> None:
+    """Refresh table + column statistics for CBO (join reordering, broadcast
+    decisions). The reference had no optimizer to feed; Spark's CBO uses
+    these row counts / NDVs when AQE's runtime stats aren't available
+    (e.g. first access to a cold table)."""
+    spark.sql(f"ANALYZE TABLE {fq_table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {fq_table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
 def clean_prefixes(spark: SparkSession, ws: Workspace, prefixes=("in", "processing", "done")) -> int:
     """S9: recursive prefix delete (bom-clean-test-files/
     bom_clean_test_files.py:43-49) — test teardown / workspace reset."""

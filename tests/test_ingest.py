@@ -100,6 +100,12 @@ def test_ingest_batch_lifecycle(spark, ws, tmp_path):
     res2 = ingest_batch(spark, ws, fq_table=table)
     assert res2.rows_written == 0 and res2.files_ok == []
 
+    # statistics for CBO land in the catalog
+    W.analyze_table(spark, table, columns=("RadiationType", "Radiation"))
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    stats = [r for r in desc if r["col_name"] == "Statistics"]
+    assert stats and "rows" in stats[0]["data_type"]
+
 
 def test_ingest_stream_exactly_once(spark, ws, tmp_path):
     """T1/S6: AvailableNow streaming drain; re-running with the same
