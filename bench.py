@@ -42,6 +42,35 @@ HEADLINE = [
 ]
 
 
+def _gen_grids(n_files: int = 1000, ncols: int = 50, nrows: int = 40) -> str:
+    """Deterministic synthetic grid corpus for the flagship-decode bench
+    (~n_files * ncols * nrows cells; value = positional hash, ~10% nodata)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bench_grids_")
+    for f in range(n_files):
+        hh, mm = f % 24, (f * 7) % 60
+        day = 1 + (f % 28)
+        lines = [
+            f"ncols {ncols}",
+            f"nrows {nrows}",
+            "xllcorner 112.0",
+            "yllcorner -44.0",
+            "cellsize 0.05",
+            "NODATA_value -999",
+        ]
+        for r in range(nrows):
+            row = [
+                str(-999 if (f + r + c) % 10 == 0 else (f * 31 + r * 7 + c) % 1400)
+                for c in range(ncols)
+            ]
+            lines.append(" ".join(row))
+        name = f"B{f:04d}_GLOBAL_2018{(f % 12) + 1:02d}{day:02d}_{hh:02d}{mm:02d}.txt"
+        with open(os.path.join(d, name), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    return d
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from etl_bom_radiation_spark.session import get_spark
@@ -62,6 +91,21 @@ def main() -> int:
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    # flagship at scale: decode 1000 grids (~2M points) end-to-end.
+    # Generation is outside the timed section; decode+noop is the metric.
+    import shutil
+
+    from etl_bom_radiation_spark.grid.decode import decode_grid_directory
+
+    grids = _gen_grids()
+    try:
+        decoded = decode_grid_directory(spark, grids)
+        t0 = time.time()
+        decoded.write.format("noop").mode("overwrite").save()
+        timings["grid_decode_1000_files"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(grids, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     try:
