@@ -103,20 +103,54 @@ def write_points_csv(df: DataFrame, out_dir: str, mode: str = "overwrite") -> No
     )
 
 
+#: wholetext holds one full file per row in executor memory — a grid far
+#: beyond any real BOM product is malformed by definition and goes straight
+#: to quarantine WITHOUT being read (size from the FS listing, no I/O).
+DEFAULT_MAX_FILE_BYTES = 256 * 1024 * 1024
+
+
+def _split_by_size(
+    spark: SparkSession, in_dir: str, max_bytes: int
+) -> tuple[list[str], set[str]]:
+    """FS-listing size guard: (readable file paths, oversized paths).
+    Oversized files are never handed to the wholetext reader — their size
+    comes from the listing, zero I/O."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(in_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    readable: list[str] = []
+    oversized: set[str] = set()
+    if not fs.exists(path):
+        return readable, oversized
+    for st in fs.listStatus(path):
+        if not st.isFile():
+            continue
+        p = st.getPath().toString()
+        (oversized.add(p) if st.getLen() > max_bytes else readable.append(p))
+    return sorted(readable), oversized
+
+
 def ingest_batch(
     spark: SparkSession,
     ws: Workspace,
     fq_table: str | None = None,
     move_files: bool = True,
+    max_file_bytes: int = DEFAULT_MAX_FILE_BYTES,
 ) -> IngestResult:
     """One batch drain of ``in/``: decode, write good points partitioned,
     move good files to ``done/`` and bad files to ``quarantine/``, register
     partitions (T8). Mirrors process_file (bom.py:35-84) at batch scale."""
     res = IngestResult()
-    meta = with_filename_metadata(read_grid_files(spark, ws.in_dir))
-    flags = _classify_files(meta).collect()  # one row per FILE (small)
+    readable, oversized = _split_by_size(spark, ws.in_dir, max_file_bytes)
+    if not readable and not oversized:
+        return res
+    if readable:
+        meta = with_filename_metadata(read_grid_files(spark, readable))
+        flags = _classify_files(meta).collect()  # one row per FILE (small)
+    else:
+        meta, flags = None, []
     ok_files = {r["_path"] for r in flags if r["_ok"]}
-    bad_files = {r["_path"] for r in flags if not r["_ok"]}
+    bad_files = {r["_path"] for r in flags if not r["_ok"]} | oversized
     res.files_ok = sorted(ok_files)
     res.files_quarantined = sorted(bad_files)
 
@@ -150,6 +184,67 @@ def ingest_batch(
         for f in bad_files:
             _move(spark, f, ws.quarantine_dir)
     return res
+
+
+def compact_partitions(
+    spark: SparkSession,
+    data_dir: str,
+    max_files_per_partition: int = 1,
+    min_files_to_compact: int = 2,
+) -> int:
+    """Small-file compaction for the partitioned sink (the known 100 TB
+    follow-up of per-file incremental ingest: millions of small parquet
+    files inflate driver listing time and per-task overhead).
+
+    Rewrites each hive partition that holds more than
+    ``min_files_to_compact`` data files down to ``max_files_per_partition``
+    files, atomically per partition (write to a sibling temp dir, then
+    swap). Returns the number of partitions compacted. Run it out-of-band
+    (the reference has no equivalent — its output only ever accretes)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(data_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return 0
+
+    # collect leaf partition dirs (year=/month=/day=/hour=)
+    def leaves(p):
+        subs = [s.getPath() for s in fs.listStatus(p) if s.isDirectory()]
+        if not subs:
+            return [p]
+        out = []
+        for s in subs:
+            out.extend(leaves(s))
+        return out
+
+    compacted = 0
+    for part_dir in leaves(root):
+        files = [
+            s.getPath()
+            for s in fs.listStatus(part_dir)
+            if s.isFile() and not s.getPath().getName().startswith(("_", "."))
+        ]
+        if len(files) < min_files_to_compact:
+            continue
+        part_uri = part_dir.toString()
+        tmp = jvm.org.apache.hadoop.fs.Path(part_uri + "._compacting")
+        (
+            spark.read.parquet(part_uri)
+            .coalesce(max_files_per_partition)
+            .write.mode("overwrite")
+            .parquet(tmp.toString())
+        )
+        for f in files:
+            fs.delete(f, False)
+        for s in fs.listStatus(tmp):
+            if s.isFile() and not s.getPath().getName().startswith("_"):
+                fs.rename(
+                    s.getPath(),
+                    jvm.org.apache.hadoop.fs.Path(part_uri + "/" + s.getPath().getName()),
+                )
+        fs.delete(tmp, True)
+        compacted += 1
+    return compacted
 
 
 def ingest_stream(

@@ -149,6 +149,44 @@ def test_csv_sink_parity(spark, ws, tmp_path):
     )
 
 
+def test_oversized_file_quarantined_without_read(spark, ws):
+    """The wholetext size guard: a file over the limit goes straight to
+    quarantine from the FS listing; the rest of the batch proceeds."""
+    _stage_inputs(ws.base, include_bad=False)
+    res = ingest_batch(spark, ws, max_file_bytes=100)  # both fixtures > 100 B
+    assert res.files_ok == []
+    assert sorted(os.path.basename(f) for f in res.files_quarantined) == GOOD_FILES
+    assert sorted(os.listdir(ws.prefix("quarantine"))) == GOOD_FILES
+
+    # normal limit: everything ingests
+    _stage_inputs(ws.base, include_bad=False)
+    res2 = ingest_batch(spark, ws)
+    assert res2.rows_written == 18
+
+
+def test_compact_partitions(spark, ws):
+    """Small-file compaction: two single-file ingests into the same
+    partition -> 2 files; compaction folds them to 1 with identical rows."""
+    from etl_bom_radiation_spark.ingest import compact_partitions
+
+    indir = ws.prefix("in")
+    # same grid content, two ingest batches, same partition (same hour)
+    for copy_name in ["IDCJ0001_GLOBAL_20180401_0100.txt", "IDCJ0002_GLOBAL_20180401_0100.txt"]:
+        shutil.copy(os.path.join(FIXTURES, GOOD_FILES[1]), os.path.join(indir, copy_name))
+        ingest_batch(spark, ws)
+
+    part = os.path.join(ws.data_dir, "year=2018", "month=4", "day=1", "hour=11")
+    n_before = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert n_before >= 2
+    before = spark.read.parquet(ws.data_dir).count()
+
+    n_compacted = compact_partitions(spark, ws.data_dir)
+    assert n_compacted == 1
+    n_after = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert n_after == 1
+    assert spark.read.parquet(ws.data_dir).count() == before  # no row lost
+
+
 def test_clean_prefixes(spark, ws):
     _stage_inputs(ws.base)
     assert len(os.listdir(ws.prefix("in"))) > 0
