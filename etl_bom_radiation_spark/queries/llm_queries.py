@@ -27,7 +27,6 @@ from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from . import load_events, load_tables, register
 
@@ -201,7 +200,7 @@ def n03c_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate -> rows-only; overlap vs exact top-k asserted in
     tests/test_approx_ops.py."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     feat = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))

@@ -5,9 +5,6 @@ from __future__ import annotations
 import random
 from pathlib import Path
 
-import pytest
-
-from etl_bom_radiation_spark.grid import decode_grids, read_grid_files, with_filename_metadata
 from etl_bom_radiation_spark.grid.decode import decode_grid_directory
 from etl_bom_radiation_spark.grid.filenames import parse_run_timestamp
 

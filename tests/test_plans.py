@@ -9,8 +9,6 @@ as a bench regression at 100x the data.
 
 from __future__ import annotations
 
-import pytest
-
 from etl_bom_radiation_spark.grid.decode import decode_grid_directory
 from etl_bom_radiation_spark.queries import load_all
 
