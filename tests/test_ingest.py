@@ -106,6 +106,20 @@ def test_ingest_batch_lifecycle(spark, ws, tmp_path):
     stats = [r for r in desc if r["col_name"] == "Statistics"]
     assert stats and "rows" in stats[0]["data_type"]
 
+    # the analyst path the reference delegates to Athena (README.md:4):
+    # plain SQL on the catalog table, pruned by partition predicates
+    rows = spark.sql(
+        f"""
+        SELECT RadiationType, CAST(AVG(Radiation) AS DOUBLE) AS avg_rad,
+               COUNT(*) AS n
+        FROM {table}
+        WHERE year = 2018 AND month = 4 AND day = 1 AND hour = 11
+        GROUP BY RadiationType
+        """
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 9 and abs(rows[0]["avg_rad"] - (10+12+13+20+21+23+30+31+32) / 9) < 1e-9
+
 
 def test_ingest_stream_exactly_once(spark, ws, tmp_path):
     """T1/S6: AvailableNow streaming drain; re-running with the same
