@@ -213,6 +213,55 @@ def q29_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x01_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT)
+               AS purchased_after_click
+    FROM firsts
+    """,
+)
+def x01_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: ordered funnel (view -> click -> purchase) conversion
+    counts — the classic event-analytics query. One shuffle (groupBy
+    user_id) computing first-touch timestamps via conditional MIN, then a
+    global reduce; no self-joins (the naive 3-way event self-join is the
+    anti-pattern at scale)."""
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("viewed"),
+        F.sum(
+            F.when(F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1).otherwise(0)
+        ).alias("clicked_after_view"),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_buy") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).alias("purchased_after_click"),
+    )
+
+
 # -------------------------------------------------------------------- set ops
 
 
