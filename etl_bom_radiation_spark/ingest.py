@@ -44,28 +44,35 @@ PARTITION_COLS = ["year", "month", "day", "hour"]
 class IngestResult:
     files_ok: list[str] = field(default_factory=list)
     files_quarantined: list[str] = field(default_factory=list)
+    #: path -> reason code ('bad_header' | 'bad_filename' | 'oversized') —
+    #: the observability the reference's swallow-and-log lacked (bom.py:82-84)
+    quarantine_reasons: dict[str, str] = field(default_factory=dict)
     rows_written: int = 0
     partitions: list[dict] = field(default_factory=list)
 
 
 def _classify_files(meta: DataFrame) -> DataFrame:
     """Mark each file good/bad from header + filename metadata only (G1/S2
-    columns; no full decode): bad = unparseable header or filename grammar."""
+    columns; no full decode): bad = unparseable header or filename grammar.
+    Emits a reason code per bad file."""
     from .grid.decode import _header_field
 
     lines = F.split(F.col("_content"), r"\r?\n")
+    header_ok = (
+        _header_field(lines, 1).try_cast("int").isNotNull()
+        & _header_field(lines, 2).try_cast("int").isNotNull()
+        & _header_field(lines, 3).try_cast("double").isNotNull()
+        & _header_field(lines, 4).try_cast("double").isNotNull()
+        & _header_field(lines, 5).try_cast("double").isNotNull()
+        & _header_field(lines, 6).try_cast("int").isNotNull()
+    )
+    name_ok = F.col("Date").isNotNull() & F.col("RadiationType").isNotNull()
     return meta.select(
         "_path",
-        (
-            _header_field(lines, 1).try_cast("int").isNotNull()
-            & _header_field(lines, 2).try_cast("int").isNotNull()
-            & _header_field(lines, 3).try_cast("double").isNotNull()
-            & _header_field(lines, 4).try_cast("double").isNotNull()
-            & _header_field(lines, 5).try_cast("double").isNotNull()
-            & _header_field(lines, 6).try_cast("int").isNotNull()
-            & F.col("Date").isNotNull()
-            & F.col("RadiationType").isNotNull()
-        ).alias("_ok"),
+        (header_ok & name_ok).alias("_ok"),
+        F.when(~header_ok, "bad_header")
+        .when(~name_ok, "bad_filename")
+        .alias("_reason"),
     )
 
 
@@ -153,6 +160,10 @@ def ingest_batch(
     bad_files = {r["_path"] for r in flags if not r["_ok"]} | oversized
     res.files_ok = sorted(ok_files)
     res.files_quarantined = sorted(bad_files)
+    res.quarantine_reasons = {
+        **{r["_path"]: r["_reason"] for r in flags if not r["_ok"]},
+        **{p: "oversized" for p in oversized},
+    }
 
     if ok_files:
         from pyspark.sql import Observation

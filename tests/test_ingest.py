@@ -39,7 +39,12 @@ def _stage_inputs(ws_dir: str, include_bad: bool = True) -> None:
         with open(os.path.join(indir, BAD_GRID), "w") as fh:
             fh.write("ncols x\nnrows 2\nbroken header\n")
         with open(os.path.join(indir, BAD_NAME), "w") as fh:
-            fh.write("not a grid at all\n")
+            # valid grid body, but the filename misses grammar 1 -> the
+            # quarantine reason must be 'bad_filename', not 'bad_header'
+            fh.write(
+                "ncols 1\nnrows 1\nxllcorner 0.0\nyllcorner 0.0\ncellsize 1.0\n"
+                "NODATA_value -1\n5\n"
+            )
 
 
 @pytest.fixture()
@@ -70,6 +75,9 @@ def test_ingest_batch_lifecycle(spark, ws, tmp_path):
         [BAD_GRID, BAD_NAME]
     )
     assert sorted(os.listdir(ws.prefix("quarantine"))) == sorted([BAD_GRID, BAD_NAME])
+    reasons = {os.path.basename(p): r for p, r in res.quarantine_reasons.items()}
+    assert reasons[BAD_GRID] == "bad_header"
+    assert reasons[BAD_NAME] == "bad_filename"
     assert os.listdir(ws.prefix("in")) == []
 
     # 2 files x 9 valid cells (FIXTURES.md golden grids)
