@@ -1,0 +1,58 @@
+"""Incremental hourly rollup: merged partials must equal the full
+recompute, across multiple batches and after compaction."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from etl_bom_radiation_spark.grid.decode import decode_grid_directory
+from etl_bom_radiation_spark.streaming import rollup as R
+
+FIXTURES = Path(__file__).resolve().parent.parent / "fixtures" / "grids"
+
+
+def _full_recompute(points):
+    return points.groupBy(*R.KEYS).agg(
+        F.count(F.lit(1)).alias("points"),
+        F.avg("Radiation").alias("avg_radiation"),
+        F.min("Radiation").alias("min_radiation"),
+        F.max("Radiation").alias("max_radiation"),
+    )
+
+
+def _as_dict(df):
+    return {
+        tuple(r[k] for k in R.KEYS): (
+            r["points"],
+            round(r["avg_radiation"], 9),
+            r["min_radiation"],
+            r["max_radiation"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_rollup_matches_full_recompute(spark, tmp_path):
+    rdir = str(tmp_path / "rollup")
+    files = sorted(FIXTURES.glob("*.txt"))
+
+    # batch 1: first file; batch 2: second file; batch 3: first file AGAIN
+    # (same hour touched twice -> partials for that hour must merge)
+    batches = [files[0], files[1], files[0]]
+    all_points = []
+    for f in batches:
+        pts = decode_grid_directory(spark, str(f))
+        R.append_hourly_partials(pts, rdir)
+        all_points.append(pts)
+
+    union = all_points[0].unionAll(all_points[1]).unionAll(all_points[2])
+    assert _as_dict(R.read_hourly_rollup(spark, rdir)) == _as_dict(_full_recompute(union))
+
+    # compaction folds partial rows but must not change the merged result
+    before = _as_dict(R.read_hourly_rollup(spark, rdir))
+    n_partials_before = spark.read.parquet(rdir).count()
+    R.compact_rollup(spark, rdir)
+    assert spark.read.parquet(rdir).count() < n_partials_before
+    assert _as_dict(R.read_hourly_rollup(spark, rdir)) == before
