@@ -258,12 +258,44 @@ def compact_partitions(
     return compacted
 
 
+def reprocess_partition(
+    spark: SparkSession, ws: Workspace, year: int, month: int, day: int, hour: int
+) -> int:
+    """Ops path for corrected source data: re-derive ONE hour partition from
+    the archived originals in ``done/`` and swap it in atomically via
+    dynamic partition overwrite — only the targeted partition is rewritten,
+    every other partition is untouched (the reference could only ever
+    append, bom.py:76; corrections meant manual S3 surgery)."""
+    meta = with_filename_metadata(read_grid_files(spark, ws.done_dir))
+    points = decode_grids(meta).filter(
+        (F.col("year") == year)
+        & (F.col("month") == month)
+        & (F.col("day") == day)
+        & (F.col("hour") == hour)
+    )
+    n = points.count()
+    with_conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        points.repartition(*PARTITION_COLS)
+        .write.mode("overwrite")
+        .partitionBy(*PARTITION_COLS)
+        .parquet(ws.data_dir)
+    )
+    return n
+
+
+def with_conf(spark: SparkSession, key: str, value: str) -> None:
+    """Set a runtime SQL conf (split out so callers/tests can see the knob)."""
+    spark.conf.set(key, value)
+
+
 def ingest_stream(
     spark: SparkSession,
     ws: Workspace,
     checkpoint: str,
     fq_table: str | None = None,
     available_now: bool = True,
+    rollup_dir: str | None = None,
 ):
     """T1/S6: incremental exactly-once file ingest — Structured Streaming
     file source + checkpoint (the reference's S3 ObjectCreated trigger +
@@ -273,7 +305,14 @@ def ingest_stream(
     each commit — synchronous, removing the reference's fire-and-forget
     partition-visibility race (bom_partition.py:80,129). With
     ``available_now`` the query drains pending files and stops (batch-drain
-    semantics); otherwise it keeps watching ``in/``.
+    semantics); otherwise it keeps watching ``in/``. With ``rollup_dir``
+    each batch also appends hourly partial aggregates (the incrementally-
+    maintained rollup, streaming/rollup.py).
+
+    Note: malformed files are not moved here (the streaming source tracks
+    its input files; moving them mid-stream breaks the source) — their rows
+    degrade to NULL and are dropped by decode; run :func:`ingest_batch` for
+    the moving/quarantining state machine.
     """
     files = (
         spark.readStream.format("text")
@@ -287,6 +326,10 @@ def ingest_stream(
         if batch_df.isEmpty():
             return
         write_points(batch_df, ws.data_dir)
+        if rollup_dir is not None:
+            from .streaming.rollup import append_hourly_partials
+
+            append_hourly_partials(batch_df, rollup_dir)
         if fq_table is not None:
             parts = [
                 r.asDict()

@@ -155,6 +155,43 @@ def test_ingest_stream_exactly_once(spark, ws, tmp_path):
     assert df.select("year", "month").distinct().count() == 2
 
 
+def test_ingest_stream_maintains_rollup(spark, ws, tmp_path):
+    """The streaming sink keeps the incremental hourly rollup in step with
+    the fact table across micro-batches."""
+    from etl_bom_radiation_spark.streaming.rollup import read_hourly_rollup
+
+    ckpt, rdir = str(tmp_path / "ckpt"), str(tmp_path / "rollup")
+    indir = ws.prefix("in")
+    for i, f in enumerate(GOOD_FILES):
+        shutil.copy(os.path.join(FIXTURES, f), os.path.join(indir, f))
+        q = ingest_stream(spark, ws, checkpoint=ckpt, rollup_dir=rdir)
+        q.awaitTermination(120)
+
+    merged = {
+        (r["year"], r["month"], r["day"], r["hour"]): r["points"]
+        for r in read_hourly_rollup(spark, rdir).collect()
+    }
+    assert merged == {(2018, 3, 30, 12): 9, (2018, 4, 1, 11): 9}
+
+
+def test_reprocess_partition(spark, ws):
+    """Dynamic-partition-overwrite reprocessing: one hour is re-derived from
+    done/ archives; the other partition's files are untouched."""
+    from etl_bom_radiation_spark.ingest import reprocess_partition
+
+    _stage_inputs(ws.base, include_bad=False)
+    ingest_batch(spark, ws)  # moves sources to done/
+
+    other = os.path.join(ws.data_dir, "year=2018", "month=3", "day=30", "hour=12")
+    other_files_before = sorted(os.listdir(other))
+
+    n = reprocess_partition(spark, ws, 2018, 4, 1, 11)
+    assert n == 9
+    df = spark.read.parquet(ws.data_dir)
+    assert df.count() == 18  # no duplication: the partition was replaced
+    assert sorted(os.listdir(other)) == other_files_before  # untouched
+
+
 def test_csv_sink_parity(spark, ws, tmp_path):
     """S3: the reference's own output shape — headed CSV under the hive
     layout (bom.py:111,153-156)."""
