@@ -148,6 +148,44 @@ def register_batch_partitions(spark: SparkSession, fq_table: str, ws: Workspace,
         add_partitions(spark, fq_table, parts)
 
 
+def register_run_file_partition(
+    spark: SparkSession, fq_table: str, filename: str, with_minute: bool = True
+) -> dict | None:
+    """The grammar-2 registration path — the full analog of the reference
+    partition lambda's per-file flow (bom_partition.py:134-163, intended
+    semantics): parse the 11-digit run from the filename, derive the
+    partition tuple, submit ``ADD IF NOT EXISTS PARTITION`` synchronously.
+
+    The tas-hydro variant registers five keys including minute
+    (bom_partition.py:126); pass ``with_minute=False`` for the canonical
+    year/month/day/hour layout. Returns the partition dict, or None when the
+    filename has no 11-digit run (the reference would raise AttributeError
+    on the failed regex — here it is a explicit no-op for the caller)."""
+    from pyspark.sql import functions as F
+
+    from .grid.filenames import parse_run_timestamp
+
+    row = (
+        spark.range(1)
+        .select(parse_run_timestamp(F.lit(filename)).alias("ts"))
+        .select(
+            F.year("ts").alias("year"),
+            F.month("ts").alias("month"),
+            F.dayofmonth("ts").alias("day"),
+            F.hour("ts").alias("hour"),
+            F.minute("ts").alias("minute"),
+        )
+        .head()
+    )
+    if row is None or row["year"] is None:
+        return None
+    part = row.asDict()
+    keys = PARTITION_COLS + (("minute",) if with_minute else ())
+    spec = ", ".join(f"{k}={int(part[k])}" for k in keys)
+    spark.sql(f"ALTER TABLE {fq_table} ADD IF NOT EXISTS PARTITION ({spec})")
+    return {k: part[k] for k in keys}
+
+
 def analyze_table(spark: SparkSession, fq_table: str, columns: tuple[str, ...] = ()) -> None:
     """Refresh table + column statistics for CBO (join reordering, broadcast
     decisions). The reference had no optimizer to feed; Spark's CBO uses

@@ -246,6 +246,30 @@ def test_compact_partitions(spark, ws):
     assert spark.read.parquet(ws.data_dir).count() == before  # no row lost
 
 
+def test_register_run_file_partition(spark, ws, tmp_path):
+    """Grammar-2 path (bom_partition.py:134-163 intended semantics): an
+    11-digit-run filename registers a 5-key partition; a non-matching
+    filename is an explicit no-op."""
+    db = W.create_database(spark, "runs-test")
+    loc = str(tmp_path / "runtable")
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {db}.prices (price DOUBLE)
+        USING PARQUET
+        PARTITIONED BY (year INT, month INT, day INT, hour INT, minute INT)
+        LOCATION '{loc}'
+        """
+    )
+    part = W.register_run_file_partition(spark, f"{db}.prices", "NEMPriceSetter_20171031123.csv")
+    # 2017-10-31 04:00 + 123*5min = 14:15
+    assert part == {"year": 2017, "month": 10, "day": 31, "hour": 14, "minute": 15}
+    parts = {r[0] for r in spark.sql(f"SHOW PARTITIONS {db}.prices").collect()}
+    assert "year=2017/month=10/day=31/hour=14/minute=15" in parts
+
+    assert W.register_run_file_partition(spark, f"{db}.prices", "no_digits.csv") is None
+    spark.sql(f"DROP TABLE {db}.prices")
+
+
 def test_clean_prefixes(spark, ws):
     _stage_inputs(ws.base)
     assert len(os.listdir(ws.prefix("in"))) > 0
