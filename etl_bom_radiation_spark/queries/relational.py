@@ -642,20 +642,27 @@ def q20_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q21_collect_list",
     oracle="""
     SELECT r.r_name,
-           array_to_string(list_sort(list(DISTINCT n.n_name)), ',') AS nations
+           array_to_string(list_sort(list(DISTINCT n.n_name)), ',') AS nations,
+           array_to_string(list_sort(list(n.n_name)), ',') AS nations_all,
+           CAST(COUNT(*) AS BIGINT) AS n
     FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
     """,
 )
 def q21_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21: array agg (collect_set ~ list DISTINCT), sorted then joined to a
-    string so the value hash is order- and type-stable."""
+    """Q21: array aggs — collect_set (distinct bag) and collect_list (full
+    bag), both sorted then joined to strings so the value hash is order- and
+    type-stable (collect order is nondeterministic by contract)."""
     t = load_tables(spark, sf_dir, "nation", "region")
     return (
         t["nation"]
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
-        .agg(F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_all"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
 
 
