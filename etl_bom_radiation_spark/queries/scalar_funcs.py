@@ -145,7 +145,13 @@ def q38_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT)
                AS n_pos,
            ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                                              x -> x * x))), 6) AS l2
+                                              x -> x * x))), 6) AS l2,
+           CASE WHEN list_contains(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x > 1.0), true)
+                THEN 1 ELSE 0 END AS any_gt1,
+           ROUND(list_sum(CAST(flatten([list_slice(embedding, 1, 4),
+                                        list_slice(embedding, 5, 8)])
+                               AS DOUBLE[])), 4) AS flat_head_sum
     FROM embeddings
     """,
 )
@@ -168,6 +174,17 @@ def q39_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
             6,
         ).alias("l2"),
+        F.when(F.array_contains(F.transform(vec, lambda x: x > 1.0), F.lit(True)), 1)
+        .otherwise(0)
+        .alias("any_gt1"),
+        F.round(
+            F.aggregate(
+                F.flatten(F.array(F.slice(vec, 1, 4), F.slice(vec, 5, 4))),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("flat_head_sum"),
     )
 
 
