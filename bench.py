@@ -79,11 +79,13 @@ def main() -> int:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # warmup: JVM JIT + parquet footer cache + codegen, so the first timed
-    # query measures the query, not session startup
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # warmup: JVM JIT + parquet footer cache + whole-stage codegen. A
+    # limit(1000) scan leaves the vectorized-reader and project codegen
+    # paths cold (first full-scan query then pays ~1.5 s of one-time JIT);
+    # a full-table noop write warms exactly what the timed queries use.
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in names:

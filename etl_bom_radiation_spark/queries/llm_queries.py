@@ -761,3 +761,62 @@ def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payload.mapInPandas(_sample, "doc_id long, frame_idx int, byte_offset int")
+
+
+_DUCK_NORM_TOKS = (
+    "list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), "
+    "' '), x -> x <> '')"
+)
+
+
+@register(
+    "n14_decontamination",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_NORM_TOKS} AS ws FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, ARRAY_TO_STRING(ws[i:i+3], ' ') AS shingle
+        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(ws) - 2, 1))) AS t(i)
+    )
+    SELECT c.doc_id, CAST(COUNT(DISTINCT b.shingle) AS BIGINT) AS hits
+    FROM sh c
+    JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20) b USING (shingle)
+    WHERE c.doc_id >= 20
+    GROUP BY c.doc_id
+    """,
+)
+def n14_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N14 (extension): benchmark decontamination — flag training documents
+    sharing any normalized word-4-gram with a benchmark set (here: doc_id <
+    20 stands in for the eval suite). The real-world shape for 100 TB: the
+    benchmark shingle set is tiny (a few eval suites), so it broadcasts and
+    the corpus side streams through a BroadcastHashJoin — no shuffle of the
+    corpus, and the per-doc COUNT(DISTINCT) groups only the (rare) hits."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    ws = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", " ")), " "
+        ),
+        lambda t: F.length(t) > 0,
+    )
+    sh = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 3),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, 4)),
+                )
+            ).alias("shingle"),
+        )
+    )
+    bench = sh.filter(F.col("doc_id") < 20).select("shingle").distinct()
+    corpus = sh.filter(F.col("doc_id") >= 20)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("hits"))
+    )

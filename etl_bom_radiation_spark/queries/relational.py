@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from . import load_tables, register
+from . import load_tables, register, register_views
 
 # ---------------------------------------------------------------- projection
 
@@ -683,4 +683,73 @@ def q22_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+    )
+
+
+@register(
+    "q19c_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS flag,
+           COALESCE(l_linestatus, '<all>') AS status,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q19c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19c: explicit GROUPING SETS with GROUPING() markers — the general
+    form of rollup/cube (q19/q19b). One Expand + one HashAggregate: each
+    input row is replicated once per grouping set map-side, then partially
+    aggregated before the single shuffle (same plan shape at 100 TB)."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '<all>') AS flag,
+               COALESCE(l_linestatus, '<all>') AS status,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               COUNT(*) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "q43_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2)
+               AS qty_f,
+           ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2)
+               AS qty_o,
+           CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+           CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q43_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q43 (extension): PIVOT — long-to-wide reshape. Pivot values are given
+    explicitly so no extra distinct-collect job runs (at 100 TB an implicit
+    pivot does a full pass just to enumerate values); compiles to conditional
+    aggregation = one HashAggregate, same cost as q14."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.coalesce(F.col("F_qty"), F.lit(0.0)).alias("qty_f"),
+        F.coalesce(F.col("O_qty"), F.lit(0.0)).alias("qty_o"),
+        F.coalesce(F.col("F_n"), F.lit(0).cast("long")).alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0).cast("long")).alias("n_o"),
     )

@@ -416,3 +416,92 @@ def q35_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
         """
     )
+
+
+@register(
+    "x02_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+               MAX(CAST(o_orderdate AS DATE)) AS hi
+        FROM orders
+    ),
+    cal AS (
+        SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds
+    ),
+    prios AS (SELECT DISTINCT o_orderpriority AS prio FROM orders),
+    daily AS (
+        SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT p.prio, STRFTIME(c.d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(dl.n, 0) AS BIGINT) AS orders_n,
+           ROUND(LAST_VALUE(dl.sum_price IGNORE NULLS) OVER (
+                     PARTITION BY p.prio ORDER BY c.d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / LAST_VALUE(dl.n IGNORE NULLS) OVER (
+                     PARTITION BY p.prio ORDER BY c.d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS filled_avg
+    FROM cal c
+    CROSS JOIN prios p
+    LEFT JOIN daily dl ON dl.prio = p.prio AND dl.d = c.d
+    """,
+)
+def x02_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x02 (extension): time-series resample + gap fill — the hypertable
+    pattern: bucket a fact table to a fixed grain, materialize missing
+    buckets from a generated calendar, zero-fill counts and forward-fill
+    (LOCF) sparse measures via last(ignorenulls) over an ordered window.
+
+    Scale shape: the only heavy stage is the daily pre-aggregation of the
+    fact table (one shuffle, partial+final). The calendar×key grid is
+    days × distinct keys — tiny relative to the fact table at any scale —
+    so the left join broadcasts the grid side is wrong-way-round; instead
+    the *aggregated* daily frame joins the grid, both already small. The
+    LOCF window shuffles by key only over the grid, never the fact table."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    prios = o.select(F.col("o_orderpriority").alias("prio")).distinct()
+    daily = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # LOCF carries (rounded sum, count) and divides afterwards:
+            # ROUND(AVG,2) is unstable across engines (accumulation order
+            # perturbs the double just enough to flip a .005 boundary),
+            # while a cent-clean rounded SUM is bit-identical on both sides
+            # and so is the IEEE quotient.
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+    grid = cal.crossJoin(prios)
+    w = (
+        Window.partitionBy("prio")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["prio", "d"], "left")
+        .select(
+            "prio",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("orders_n"),
+            F.round(
+                F.last("sum_price", ignorenulls=True).over(w)
+                / F.last("n", ignorenulls=True).over(w),
+                6,
+            ).alias("filled_avg"),
+        )
+    )
