@@ -27,6 +27,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import load_events, load_tables, register
 
@@ -819,4 +820,146 @@ def n14_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("hits"))
+    )
+
+
+@register(
+    "n15_det_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, md5('epoch7-' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST({_duck_polyhash("shuffle_key")} % 64 AS BIGINT) AS shard_id
+    FROM keyed
+    """,
+)
+def n15_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N15 (extension): deterministic training-data shuffle — every doc gets
+    a reproducible pseudo-random key md5(seed || id) and a shard assignment;
+    readers stream shards in key order for an epoch-stable global shuffle.
+    The 100 TB pattern: repartition by shard_id + sortWithinPartitions on
+    shuffle_key gives a fully distributed shuffle with no global sort and no
+    single-partition window; re-seeding ('epoch8-…') re-shuffles without
+    touching the source data."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    key = F.md5(F.concat(F.lit("epoch7-"), F.col("doc_id").cast("string")))
+    keyed = d.select("doc_id", key.alias("shuffle_key"))
+    return keyed.select(
+        "doc_id",
+        "shuffle_key",
+        (_polyhash(F.col("shuffle_key")) % 64).alias("shard_id"),
+    )
+
+
+@register(
+    "n16_train_test_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               CASE WHEN SUBSTR(md5('split42-' || CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('0', '1') THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM assigned GROUP BY split
+    """,
+)
+def n16_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N16 (extension): deterministic hash-based train/test split — membership
+    is a pure function of the id (first hex nibble of md5(seed || id) < 2 →
+    ~12.5% test), so the split is stable across runs, machines, and data
+    arrival order — no rand(), no sampling state to persist. Narrow map-side
+    predicate at any scale."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    nib = F.substring(F.md5(F.concat(F.lit("split42-"), F.col("doc_id").cast("string"))), 1, 1)
+    assigned = d.select(
+        "doc_id",
+        "lang",
+        F.when(nib.isin("0", "1"), "test").otherwise("train").alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.count_distinct("lang").alias("langs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
+    "n17_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('sample1-' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 25
+    """,
+)
+def n17_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N17 (extension): deterministic stratified sampling — a fixed quota per
+    stratum (25 docs per language), chosen by ranking on a reproducible hash
+    key instead of rand(), so the sample is exact-size, seed-stable, and
+    oracle-verifiable (unlike sampleBy's Bernoulli draw). One shuffle by
+    stratum; per-group top-k never materializes the full sort at scale
+    (WindowGroupLimit pushes rn<=k into the sort)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    key = F.md5(F.concat(F.lit("sample1-"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    return (
+        d.select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 25)
+        .drop("rn")
+    )
+
+
+@register(
+    "n18_pii_redaction",
+    oracle="""
+    WITH red AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                   '[0-9][0-9][0-9]+', '<NUM>', 'g') AS redacted
+        FROM documents
+    )
+    SELECT r.doc_id,
+           CAST(LENGTH(d.text) - LENGTH(r.redacted) AS BIGINT) AS chars_removed,
+           CAST(LENGTH(r.redacted) - LENGTH(REPLACE(r.redacted, '<EMAIL>', SUBSTR('<EMAIL>', 2))) AS BIGINT)
+               AS emails,
+           CAST(LENGTH(r.redacted) - LENGTH(REPLACE(r.redacted, '<NUM>', SUBSTR('<NUM>', 2))) AS BIGINT)
+               AS numbers
+    FROM red r JOIN documents d USING (doc_id)
+    """,
+)
+def n18_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N18 (extension): PII-style redaction pass — mask email-like tokens and
+    long digit runs, report per-doc redaction counts. Pure regexp_replace
+    (JVM-side, codegen'd); patterns kept to character classes that mean the
+    same thing in Java regex and RE2 so the oracle is exact. Narrow plan."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    red = d.select(
+        "doc_id",
+        F.col("text"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "[A-Za-z0-9._]+@[A-Za-z0-9.]+", "<EMAIL>"),
+            "[0-9][0-9][0-9]+",
+            "<NUM>",
+        ).alias("redacted"),
+    )
+    count_of = lambda col, token: (  # noqa: E731 — occurrences via length delta
+        F.length(col) - F.length(F.replace(col, F.lit(token), F.lit(token[1:])))
+    ).cast("long")
+    return red.select(
+        "doc_id",
+        (F.length("text") - F.length("redacted")).cast("long").alias("chars_removed"),
+        count_of(F.col("redacted"), "<EMAIL>").alias("emails"),
+        count_of(F.col("redacted"), "<NUM>").alias("numbers"),
     )

@@ -76,3 +76,37 @@ def test_exact_dedup_shuffles_once_on_digest(spark, oracle_sf_dir):
     p = _plan(spark, oracle_sf_dir, "n01_exact_dedup")
     assert p.count("Exchange hashpartitioning") == 1
     assert "HashAggregate" in p  # partial+final combine around the shuffle
+
+
+def test_pivot_is_single_aggregate_no_enumeration_pass(spark, oracle_sf_dir):
+    # explicit pivot values -> no separate distinct-collect job to enumerate
+    # the pivot column. Spark plans pivot as agg on (key, pivot-col) then
+    # pivotfirst on key: two Exchanges, but the second moves already-
+    # aggregated rows (|keys x pivot values|), negligible at any scale.
+    p = _plan(spark, oracle_sf_dir, "q43_pivot")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert p.count("partial_") >= 2  # map-side combine around both shuffles
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark, oracle_sf_dir):
+    p = _plan(spark, oracle_sf_dir, "q19c_grouping_sets")
+    assert p.count("Expand") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_decontamination_broadcasts_benchmark_shingles(spark, oracle_sf_dir):
+    # the corpus side must NOT shuffle for the join - only the tiny benchmark
+    # shingle set moves (broadcast), plus the final per-doc agg
+    p = _plan(spark, oracle_sf_dir, "n14_decontamination")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_stratified_sample_pushes_quota_into_sort(spark, oracle_sf_dir):
+    assert "WindowGroupLimit" in _plan(spark, oracle_sf_dir, "n17_stratified_sample")
+
+
+def test_det_shuffle_and_split_are_narrow(spark, oracle_sf_dir):
+    # hash-based shuffle keys / split membership are pure map-side functions
+    for name in ("n15_det_shuffle", "n18_pii_redaction"):
+        assert "Exchange" not in _plan(spark, oracle_sf_dir, name)

@@ -22,6 +22,9 @@ NOTES = {
     "q29_topk_per_group": "WindowGroupLimit pushes rn<=3 into the window sort",
     "n01_exact_dedup": "single shuffle on the md5 digest; uniform keys so no skew possible",
     "n03_topk_cosine": "1-row query side broadcast; corpus scanned once; TakeOrderedAndProject for k",
+    "n14_decontamination": "benchmark shingle set broadcast; corpus never shuffles for the join",
+    "n17_stratified_sample": "WindowGroupLimit: per-stratum quota applied inside the sort, full strata never materialized",
+    "x02_gapfill": "fact table aggregated before any join; calendar grid joins post-agg rows only; LOCF window shuffles the grid, not the facts",
 }
 
 
