@@ -361,3 +361,124 @@ def f_grammar_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.date_format(run_ts, "yyyy-MM-dd HH:mm").alias("run_ts"),
     )
+
+
+@register(
+    "q36b_fuzzy_string",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist,
+           REVERSE(a.n_name) AS rev,
+           TRANSLATE(a.n_name, 'AEIOU', 'aeiou') AS tr,
+           REPEAT(SUBSTR(a.n_name, 1, 2), 2) AS rep
+    FROM nation a JOIN nation b ON b.n_nationkey = a.n_nationkey + 1
+    """,
+)
+def q36b_fuzzy_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q36b (extension): fuzzy/string-shape functions — levenshtein edit
+    distance (the building block of typo-tolerant entity resolution),
+    reverse, translate, repeat. At scale a levenshtein theta-join is
+    quadratic — here it keys on a linear pair chain; real near-match
+    joins go through the LSH operators (n02/n04b) to get candidate pairs
+    first, then levenshtein only on candidates."""
+    n = load_tables(spark, sf_dir, "nation")["nation"]
+    a = n.select(F.col("n_name").alias("name_a"), F.col("n_nationkey").alias("ka"))
+    b = n.select(F.col("n_name").alias("name_b"), F.col("n_nationkey").alias("kb"))
+    return (
+        a.join(b, F.col("kb") == F.col("ka") + 1)
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+            F.reverse("name_a").alias("rev"),
+            F.translate("name_a", "AEIOU", "aeiou").alias("tr"),
+            F.repeat(F.substring("name_a", 1, 2), 2).alias("rep"),
+        )
+    )
+
+
+@register(
+    "q44_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def q44_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q44 (extension): UNPIVOT/melt — wide-to-long reshape, the inverse of
+    q43. Catalyst plans it as Expand (each input row replicated once per
+    measure map-side): narrow, no shuffle, no join — the UNION-ALL oracle
+    shape without the three scans."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.filter(F.col("l_orderkey") % 100 == 0).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+@register(
+    "q45_extended_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_quantity), 4) AS med_qty,
+           BOOL_AND(l_quantity > 0) AS all_pos,
+           BOOL_OR(l_discount > 0.09) AS any_big_disc,
+           CAST(BIT_AND(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS band,
+           CAST(BIT_OR(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS bor,
+           CAST(BIT_XOR(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS bxor,
+           CAST(COUNT_IF(l_tax > 0.04) AS BIGINT) AS n_taxed
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q45_extended_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q45 (extension): the long tail of aggregate functions — exact median
+    (interpolating percentile), bool_and/bool_or predicates, bitwise
+    and/or/xor reductions, count_if. All partial+final mergeable except
+    median, which needs the full group (the scalable alternative is
+    percentile_approx, q18b)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
+        F.bit_and(F.col("l_linenumber").cast("long")).alias("band"),
+        F.bit_or(F.col("l_linenumber").cast("long")).alias("bor"),
+        F.bit_xor(F.col("l_linenumber").cast("long")).alias("bxor"),
+        F.count_if(F.col("l_tax") > 0.04).alias("n_taxed"),
+    )
+
+
+@register(
+    "q38b_datetime_more",
+    oracle="""
+    SELECT o_orderkey,
+           STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+           CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
+           CAST(DAYOFYEAR(o_orderdate) AS BIGINT) AS doy,
+           STRFTIME(DATE_TRUNC('quarter', o_orderdate), '%Y-%m-%d') AS qstart,
+           STRFTIME(CAST(o_orderdate AS DATE) - 90, '%Y-%m-%d') AS minus90d
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def q38b_datetime_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q38b (extension): calendar arithmetic beyond q38 — add_months (both
+    engines clamp month-end identically), quarter, day-of-year,
+    quarter-truncation, day subtraction. All emitted as formatted strings so
+    the value hash is engine- and timezone-neutral."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return o.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        F.date_format(F.add_months(F.to_date("o_orderdate"), 3), "yyyy-MM-dd").alias("plus3m"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias("qstart"),
+        F.date_format(F.date_sub(F.to_date("o_orderdate"), 90), "yyyy-MM-dd").alias("minus90d"),
+    )

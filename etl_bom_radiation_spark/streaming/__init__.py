@@ -110,3 +110,72 @@ def run_to_completion(df: DataFrame, checkpoint: str, query_name: str, timeout_s
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def transform_with_state_available() -> bool:
+    """Spark 4's transformWithStateInPandas needs the protobuf package for
+    its state-server protocol; this container lacks it (and installs are
+    out), so the operator below is gated rather than assumed."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def sessionize_stateful(events: DataFrame, gap_s: float = 1800.0) -> DataFrame:
+    """T7b: per-user sessionization on the Spark 4 ``transformWithState``
+    API — the successor to applyInPandasWithState (T7) with named state
+    variables, timers, and schema evolution. Maintains (last_ts, sessions,
+    events) per user in a ValueState; a new session starts when the gap
+    since the previous event exceeds ``gap_s``.
+
+    Requires the RocksDB state store provider (set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider``) and the protobuf package —
+    check :func:`transform_with_state_available` first. At scale RocksDB
+    keeps per-key state off-heap with incremental checkpointing, which is
+    exactly what an unbounded user population needs."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    class _SessionCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [
+                    StructField("last_ts", DoubleType()),
+                    StructField("sessions", LongType()),
+                    StructField("events", LongType()),
+                ]
+            )
+            self._state = handle.getValueState("sess", schema)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            if self._state.exists():
+                last_ts, sessions, n = self._state.get()
+            else:
+                last_ts, sessions, n = None, 0, 0
+            for pdf in rows:
+                for ts in sorted(float(x) for x in pdf["ts_sec"]):
+                    if last_ts is None or ts - last_ts > gap_s:
+                        sessions += 1
+                    last_ts = ts
+                    n += 1
+            self._state.update((last_ts, sessions, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "sessions": [sessions], "events": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    keyed = events.withColumn(
+        "ts_sec", F.unix_timestamp("ts").cast("double")
+    )
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_SessionCounter(),
+        outputStructType="user_id LONG, sessions LONG, events LONG",
+        outputMode="Update",
+        timeMode="None",
+    )

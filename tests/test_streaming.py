@@ -150,3 +150,49 @@ def test_backpressure_max_files(spark, tmp_path):
     q.awaitTermination(120)
     assert spark.sql("SELECT count(*) AS n FROM bp").collect()[0]["n"] == 3
     assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 3
+
+
+def test_sessionize_transform_with_state(spark, tmp_path):
+    """T7b: transformWithStateInPandas sessionization — runs only where the
+    protobuf dependency for the state-server protocol exists; elsewhere the
+    gate documents the degradation instead of a hard crash."""
+    import pytest
+
+    from etl_bom_radiation_spark.streaming import (
+        sessionize_stateful,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf not available in this environment")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(
+        str(src),
+        "b0.json",
+        [
+            _ev(1, "2024-01-01 10:00:00", uid=1),
+            _ev(2, "2024-01-01 10:10:00", uid=1),
+            _ev(3, "2024-01-01 12:00:00", uid=1),  # > 30 min gap: new session
+            _ev(4, "2024-01-01 09:00:00", uid=2),
+        ],
+    )
+    from etl_bom_radiation_spark.streaming import read_event_stream
+
+    out = sessionize_stateful(read_event_stream(spark, str(src)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t7b")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["user_id"]: r for r in spark.sql("SELECT * FROM t7b").collect()}
+    assert rows[1]["sessions"] == 2 and rows[1]["events"] == 3
+    assert rows[2]["sessions"] == 1
