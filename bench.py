@@ -39,6 +39,8 @@ HEADLINE = [
     "n01_exact_dedup",
     "n03_topk_cosine",
     "n05_text_stats",
+    "n14_decontamination",
+    "x02_gapfill",
 ]
 
 

@@ -229,3 +229,50 @@ def g_filename_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RadiationType",
         F.date_format("_utc_ts", "yyyy-MM-dd HH:mm").alias("utc_str"),
     )
+
+
+@register(
+    "g_coarsen",
+    oracle=_ORACLE_BASE
+    + """
+    , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
+    , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
+    , pts AS (
+        SELECT p[2] AS RadiationType,
+               xll + (j-1)*cs AS lon, yll + nrows*cs - i*cs AS lat,
+               CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS rad
+        FROM cls
+        WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
+          AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
+    )
+    SELECT RadiationType,
+           CAST(FLOOR(lon) AS BIGINT) AS lon_cell,
+           CAST(FLOOR(lat) AS BIGINT) AS lat_cell,
+           CAST(COUNT(*) AS BIGINT) AS points,
+           CAST(SUM(rad) AS BIGINT) AS total_radiation,
+           ROUND(CAST(SUM(rad) AS DOUBLE) / COUNT(*), 6) AS avg_radiation
+    FROM pts GROUP BY 1, 2, 3
+    """,
+)
+def g_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-extension: raster coarsening — downsample the decoded point cloud
+    into 1-degree cells (spatial rollup: count / total / mean radiation per
+    cell). The raster analog of the hourly rollup: partial+final aggregation
+    over the narrow decode, one shuffle on (type, cell). The mean is
+    computed as SUM/COUNT (integer sum is exact) so the oracle hash is
+    float-tie-free."""
+    pts = decode_grid_directory(spark, GRID_DIR)
+    return (
+        pts.groupBy(
+            "RadiationType",
+            F.floor("Longitude").cast("long").alias("lon_cell"),
+            F.floor("Latitude").cast("long").alias("lat_cell"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("points"),
+            F.sum("Radiation").alias("total_radiation"),
+            F.round(
+                F.sum("Radiation").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_radiation"),
+        )
+    )
