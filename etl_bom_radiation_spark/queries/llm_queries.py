@@ -963,3 +963,57 @@ def n18_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_of(F.col("redacted"), "<EMAIL>").alias("emails"),
         count_of(F.col("redacted"), "<NUM>").alias("numbers"),
     )
+
+
+@register(
+    "n19_repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents
+    ), g AS (
+        SELECT doc_id, len(ws) AS n_toks,
+               list_transform(range(1, greatest(len(ws) - 1, 1)),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS grams
+        FROM toks
+    )
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           ROUND(1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+               AS rep_ratio
+    FROM g WHERE len(grams) > 0
+    """,
+)
+def n19_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N19 (extension): within-document repetition scoring (Gopher-style
+    quality filter) — the fraction of duplicated word-3-grams inside each
+    doc; high ratios flag boilerplate/spam for removal before training.
+    Entirely per-row array ops (narrow, no shuffle, no UDF): the 100 TB
+    cost is one scan."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = _tokens(F.col("text"))
+    g = d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            ),
+        ).alias("grams"),
+    ).filter(F.col("grams").isNotNull() & (F.size("grams") > 0))
+    return g.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.size("grams").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"),
+        F.round(
+            1 - F.size(F.array_distinct("grams")).cast("double") / F.size("grams"), 6
+        ).alias("rep_ratio"),
+    )

@@ -482,3 +482,29 @@ def q38b_datetime_more(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias("qstart"),
         F.date_format(F.date_sub(F.to_date("o_orderdate"), 90), "yyyy-MM-dd").alias("minus90d"),
     )
+
+
+@register(
+    "q46_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+           COALESCE(ARRAY_TO_STRING(list_sort(regexp_extract_all(text, '[0-9]+')), ','), '')
+               AS numbers_sorted,
+           CAST(len(regexp_extract_all(text, '[a-z]{8,}')) AS BIGINT) AS n_longwords
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def q46_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q46 (extension): regexp_extract_all — pull every match, not just the
+    first (q36/F2 cover single-match extraction). Emitted as a sorted joined
+    string so the hash is order- and type-stable. Narrow map-side scan."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    nums = F.regexp_extract_all("text", F.lit("[0-9]+"), 0)
+    words = F.regexp_extract_all("text", F.lit("[a-z]{8,}"), 0)
+    return d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.size(nums).cast("long").alias("n_numbers"),
+        F.array_join(F.array_sort(nums), ",").alias("numbers_sorted"),
+        F.size(words).cast("long").alias("n_longwords"),
+    )

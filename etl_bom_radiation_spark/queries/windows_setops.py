@@ -505,3 +505,45 @@ def x02_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("filled_avg"),
         )
     )
+
+
+@register(
+    "x03_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk FROM events
+    )
+    SELECT STRFTIME(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(DATE_DIFF('day', f.cohort, a.wk) / 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def x03_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x03 (extension): cohort retention — users cohorted by the week of
+    their first event; active_users counts how many of each cohort are
+    still active k weeks later. Two shuffles on user_id (first-event agg,
+    weekly-activity distinct) then one small agg on (cohort, offset); the
+    user_id shuffles co-partition, so AQE reuses the exchange. Both sides
+    week-truncate to Monday and difference in whole days/7, so the offset
+    is calendar-convention-free."""
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
