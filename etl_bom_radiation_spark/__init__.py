@@ -15,7 +15,10 @@ Layout:
     queries/     - the declared query surface (registry of spark fn + DuckDB
                    oracle): relational, windows/set-ops, scalar functions,
                    grid, LLM-pipeline, UDFs, streaming batch forms
-    streaming/   - structured-streaming operators (windows, dedup, state)
+    streaming/   - structured-streaming operators (windows, dedup, state,
+                   incremental rollup maintenance)
+    scale        - explicit scale levers: bucketed co-located joins and
+                   salted skew joins
 """
 
 __version__ = "0.1.0"
