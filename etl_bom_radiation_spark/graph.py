@@ -1,0 +1,81 @@
+"""Distributed graph primitives needed by the dedup pipeline.
+
+The one operator large-scale dedup actually needs from graph land is
+connected components: near-duplicate *pairs* (from MinHash/SimHash/embedding
+candidates) must be grouped into duplicate *clusters* so exactly one
+canonical document per cluster survives. The reference has no analog — its
+dedup story is per-file idempotence (bom_partition.py:29-49); this is part
+of the north-star LLM-pipeline surface (SURVEY §2.H).
+
+Algorithm: iterative min-label propagation ("hash-to-min" family,
+Rastogi et al., ICDE 2013). Every vertex starts labeled with its own id;
+each round every vertex takes the min label over itself and its neighbors;
+fixpoint = every vertex labeled with the smallest id reachable from it,
+i.e. its component. Each round is two shuffles (edges ⋈ labels, then a
+groupBy-min), both on uniformly-distributed id keys; rounds needed = graph
+diameter. Near-dup graphs are unions of small dense clusters, so the
+diameter — and the round count — stays small even at 100 TB corpus scale.
+``localCheckpoint`` truncates lineage each round so the plan doesn't grow
+with the iteration count (at cluster scale use reliable ``checkpoint`` to
+survive executor loss). Convergence is detected with a 1-row aggregate
+(sum of labels — strictly decreasing until fixpoint), never a collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Label every vertex with the minimum vertex id in its component.
+
+    ``vertices`` needs column *id_col*; ``edges`` needs *src_col*/*dst_col*
+    (treated as undirected — each edge is symmetrized internally, so pairs
+    may be given once in either orientation). Returns ``(id, component)``.
+
+    Deterministic: the label is a pure function of the graph (min reachable
+    id), independent of partitioning or iteration order.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).union(
+        edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))
+    )
+
+    comp = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint()
+    prev_sum = comp.agg(F.sum("component")).first()[0]
+
+    for _ in range(max_iterations):
+        # min label among each vertex's neighbors this round
+        nbr = (
+            sym.join(comp, sym["_s"] == comp["id"])
+            .groupBy(F.col("_d").alias("id"))
+            .agg(F.min("component").alias("_nbr"))
+        )
+        comp = (
+            comp.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("_nbr", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        # labels only ever decrease, so an unchanged sum means a fixpoint
+        cur_sum = comp.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return comp
