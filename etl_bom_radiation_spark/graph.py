@@ -45,10 +45,14 @@ def connected_components(
     Deterministic: the label is a pure function of the graph (min reachable
     id), independent of partitioning or iteration order.
     """
-    sym = edges.select(
-        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    ).union(
-        edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))
+    # Checkpoint the symmetrized edge set once: it is re-joined every
+    # round, and recomputing its lineage (often an expensive candidate-pair
+    # generation, e.g. a SimHash self-join) per round would multiply that
+    # cost by the iteration count.
+    sym = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .union(edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d")))
+        .localCheckpoint()
     )
 
     comp = vertices.select(

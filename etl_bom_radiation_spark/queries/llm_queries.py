@@ -1017,3 +1017,47 @@ def n19_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.size(F.array_distinct("grams")).cast("double") / F.size("grams"), 6
         ).alias("rep_ratio"),
     )
+
+
+@register(
+    "n20_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    sim AS ({_DUCK_SIMHASH}),
+    edges AS (
+        SELECT a.doc_id AS s, b.doc_id AS d
+        FROM sim a JOIN sim b ON a.simhash16 = b.simhash16
+                             AND a.doc_id <> b.doc_id
+    ),
+    reach(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+    )
+    SELECT id AS doc_id,
+           CAST(MIN(comp) AS BIGINT) AS cluster,
+           (id = MIN(comp)) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def n20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N20 (extension): duplicate clustering — SimHash collision pairs
+    (n11b) grouped into clusters via distributed connected components
+    (graph.connected_components: iterative min-label propagation, two
+    uniform-key shuffles per round, rounds = cluster diameter which stays
+    tiny for near-dup graphs). Each doc gets its cluster id (min doc_id in
+    the component) and a canonical flag — keep ``is_canonical`` rows for
+    an exact-dedup'd corpus. The DuckDB oracle computes the same closure
+    with a recursive CTE, so the result is exactly checkable despite the
+    iterative implementation."""
+    from ..graph import connected_components
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = n11b_simhash_neardup(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(d.select("doc_id"), edges, id_col="doc_id")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

@@ -57,6 +57,62 @@ def bucketed_join(
     return left.join(right, F.col(left_key) == F.col(right_key))
 
 
+def global_sort_index(
+    df: DataFrame,
+    *sort_cols,
+    index_name: str = "pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach a global 1-based sort position without a single-partition
+    window (the ``Window.orderBy`` scale-killer: WindowExec with no
+    PARTITION BY moves the whole table to one task).
+
+    Shape: ``repartitionByRange(n, keys)`` splits the table into n
+    key-contiguous partitions; ``row_number`` windows *within* each
+    partition (parallel); the global position is the local row number plus
+    the total row count of all earlier partitions. Offsets come from a
+    P-row per-partition count frame joined to itself (P = n partitions,
+    broadcast nested loop over P² ≈ trivial), never from a global window
+    or a driver collect.
+
+    Correctness hinges on the two plan branches (ranked rows, partition
+    counts) seeing the SAME physical partitioning:
+
+    * the explicit ``num_partitions`` makes the shuffle origin
+      REPARTITION_BY_NUM, which AQE never coalesces — both branches read
+      all n range partitions as produced;
+    * both branches share one canonical exchange subplan, so Catalyst's
+      ReuseExchange rule materializes the range shuffle once (asserted in
+      tests/test_plans.py) — ``spark_partition_id`` is therefore
+      consistent between them, and range partition ids are monotone in
+      sort order by RangePartitioning's contract.
+
+    ``sort_cols`` must define a total order (supply a unique tiebreaker)
+    or positions within ties are arbitrary.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = df.repartitionByRange(n, *sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    ranked = part.withColumn("_rn", F.row_number().over(w))
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    earlier = counts.select(F.col("_pid").alias("_qid"), F.col("_cnt").alias("_qcnt"))
+    offsets = (
+        counts.join(F.broadcast(earlier), F.col("_qid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_qcnt"), F.lit(0)).alias("_off"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn(index_name, (F.col("_rn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -110,3 +110,38 @@ def test_det_shuffle_and_split_are_narrow(spark, oracle_sf_dir):
     # hash-based shuffle keys / split membership are pure map-side functions
     for name in ("n15_det_shuffle", "n18_pii_redaction"):
         assert "Exchange" not in _plan(spark, oracle_sf_dir, name)
+
+
+def test_global_sort_index_never_single_partition(spark, oracle_sf_dir):
+    """q27 (VERDICT r2's one scale-killer, now via scale.global_sort_index):
+    the plan must range-partition the sort, reuse that one exchange for the
+    offset branches, and contain no single-partition Exchange anywhere."""
+    df = QS["q27_global_sort"].fn(spark, oracle_sf_dir)
+    df.collect()  # AQE: reuse is visible in the final adaptive plan
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in p
+    assert "ReusedExchange" in p
+    assert "SinglePartition" not in p
+
+
+def _window_nodes(df):
+    """All logical Window nodes of a DataFrame as parsed JSON dicts."""
+    import json
+
+    plan = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    return [n for n in plan if n.get("class", "").endswith(".Window")]
+
+
+def test_no_declared_query_uses_unpartitioned_window(spark, oracle_sf_dir):
+    """Registry-wide lint (VERDICT r2 #6): an unpartitioned window function
+    (Window.orderBy with no partitionBy) plans as a single-task WindowExec —
+    the 'WindowExec: No Partition Defined' warning — and is a straggler at
+    scale. No declared query may contain one."""
+    offenders = []
+    for name, q in QS.items():
+        df = q.fn(spark, oracle_sf_dir)
+        for node in _window_nodes(df):
+            if not node.get("partitionSpec"):
+                offenders.append(name)
+                break
+    assert offenders == [], f"unpartitioned window in: {offenders}"
