@@ -136,10 +136,19 @@ def decode_grids(files: DataFrame, with_partition_cols: bool = True) -> DataFram
 
     # G3: cells -> rows with 0-based column index (longitude driver).
     # posexplode index — NOT a post-filter counter — so nodata cells still
-    # advance the longitude (bom.py:146-149).
+    # advance the longitude (bom.py:146-149). Cells are truncated to _ncols
+    # so an over-long body line cannot emit points past the grid's east
+    # edge — matching the Python DataSource (cells[:ncols]) and the DuckDB
+    # oracle bound (ADVICE r2).
     cells = rows.select(
         "*",
-        F.posexplode(F.split(F.rtrim(F.col("_line")), " ")).alias("_col_idx", "_cell"),
+        F.posexplode(
+            F.slice(
+                F.split(F.rtrim(F.col("_line")), " "),
+                1,
+                F.coalesce(F.col("_ncols"), F.lit(0)),
+            )
+        ).alias("_col_idx", "_cell"),
     )
 
     # G4: nodata filter (bom.py:144-147). Empty/non-numeric cells try_cast

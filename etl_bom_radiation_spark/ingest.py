@@ -78,12 +78,42 @@ def _classify_files(meta: DataFrame) -> DataFrame:
 
 def _move(spark: SparkSession, src_uri: str, dst_dir: str) -> None:
     """S8: file state transition via FS rename (reference copy+delete,
-    bom.py:16-25)."""
+    bom.py:16-25).
+
+    ``FileSystem.rename`` returns False instead of raising when the
+    destination already exists (e.g. a re-delivered input file whose name
+    is already in done/). Silently ignoring that left the file in in/ to
+    be re-ingested next batch (ADVICE r2); instead the destination is
+    replaced — S3 copy semantics, matching the reference — and a rename
+    that still fails raises."""
     jvm = spark._jvm
     src = jvm.org.apache.hadoop.fs.Path(src_uri)
     fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
     dst = jvm.org.apache.hadoop.fs.Path(f"{dst_dir}/{src.getName()}")
-    fs.rename(src, dst)
+    if not fs.rename(src, dst):
+        if fs.exists(src) and fs.exists(dst):
+            fs.delete(dst, False)
+            if fs.rename(src, dst):
+                return
+        raise OSError(f"rename failed: {src_uri} -> {dst.toString()}")
+
+
+def _move_all(
+    spark: SparkSession, paths: list[str], dst_dir: str, max_workers: int = 16
+) -> None:
+    """Move a batch of files with a bounded driver-side thread pool (py4j
+    gateway and Hadoop FileSystem are both thread-safe). One rename per
+    file is inherent to the prefix state machine; the pool amortizes the
+    per-call py4j round-trip. The list is one entry per FILE per batch —
+    at a millions-of-small-files regime, shard the in/ prefix across
+    multiple ingest jobs rather than growing this list."""
+    if not paths:
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(paths))) as ex:
+        # list() so worker exceptions propagate instead of vanishing
+        list(ex.map(lambda p: _move(spark, p, dst_dir), paths))
 
 
 def write_points(df: DataFrame, data_dir: str, mode: str = "append") -> None:
@@ -146,7 +176,12 @@ def ingest_batch(
 ) -> IngestResult:
     """One batch drain of ``in/``: decode, write good points partitioned,
     move good files to ``done/`` and bad files to ``quarantine/``, register
-    partitions (T8). Mirrors process_file (bom.py:35-84) at batch scale."""
+    partitions (T8). Mirrors process_file (bom.py:35-84) at batch scale.
+
+    Driver-side state is one entry per FILE per batch (the classify
+    collect and the move lists) — bounded by arrival rate, never by row
+    count. For a millions-of-files backlog, shard the in/ prefix across
+    ingest jobs; the decode/write data path itself is fully distributed."""
     res = IngestResult()
     readable, oversized = _split_by_size(spark, ws.in_dir, max_file_bytes)
     if not readable and not oversized:
@@ -190,10 +225,8 @@ def ingest_batch(
             register_batch_partitions(spark, fq_table, ws, res.partitions)
 
     if move_files:
-        for f in ok_files:
-            _move(spark, f, ws.done_dir)
-        for f in bad_files:
-            _move(spark, f, ws.quarantine_dir)
+        _move_all(spark, sorted(ok_files), ws.done_dir)
+        _move_all(spark, sorted(bad_files), ws.quarantine_dir)
     return res
 
 
@@ -209,9 +242,15 @@ def compact_partitions(
 
     Rewrites each hive partition that holds more than
     ``min_files_to_compact`` data files down to ``max_files_per_partition``
-    files, atomically per partition (write to a sibling temp dir, then
-    swap). Returns the number of partitions compacted. Run it out-of-band
-    (the reference has no equivalent — its output only ever accretes)."""
+    files. The temp dir is dot-prefixed (hidden from partition discovery —
+    a bare ``hour=N._compacting`` sibling would break hive layout parsing
+    for concurrent readers of ``data_dir``, ADVICE r2), and the swap
+    renames the new files in BEFORE deleting the old ones, so a concurrent
+    reader never observes an empty partition — it may briefly observe both
+    generations (duplicate rows); run compaction in a read-quiesced window
+    for strict snapshot semantics. Returns the number of partitions
+    compacted. Run it out-of-band (the reference has no equivalent — its
+    output only ever accretes)."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(data_dir)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -238,21 +277,25 @@ def compact_partitions(
         if len(files) < min_files_to_compact:
             continue
         part_uri = part_dir.toString()
-        tmp = jvm.org.apache.hadoop.fs.Path(part_uri + "._compacting")
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            part_dir.getParent().toString() + "/." + part_dir.getName() + ".compacting"
+        )
         (
             spark.read.parquet(part_uri)
             .coalesce(max_files_per_partition)
             .write.mode("overwrite")
             .parquet(tmp.toString())
         )
-        for f in files:
-            fs.delete(f, False)
+        # new part-file names are UUID-unique: rename in first, delete the
+        # old generation after — readers never see an empty partition
         for s in fs.listStatus(tmp):
-            if s.isFile() and not s.getPath().getName().startswith("_"):
+            if s.isFile() and not s.getPath().getName().startswith(("_", ".")):
                 fs.rename(
                     s.getPath(),
                     jvm.org.apache.hadoop.fs.Path(part_uri + "/" + s.getPath().getName()),
                 )
+        for f in files:
+            fs.delete(f, False)
         fs.delete(tmp, True)
         compacted += 1
     return compacted
@@ -289,6 +332,22 @@ def with_conf(spark: SparkSession, key: str, value: str) -> None:
     spark.conf.set(key, value)
 
 
+def _batch_committed(spark: SparkSession, commit_dir: str, batch_id: int) -> bool:
+    """True if the sink-side commit marker for *batch_id* exists."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{commit_dir}/{batch_id}")
+    return bool(p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p))
+
+
+def _mark_batch_committed(spark: SparkSession, commit_dir: str, batch_id: int) -> None:
+    """Write the (empty) sink-side commit marker for *batch_id*."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{commit_dir}/{batch_id}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(p.getParent())
+    fs.create(p, True).close()
+
+
 def ingest_stream(
     spark: SparkSession,
     ws: Workspace,
@@ -309,6 +368,17 @@ def ingest_stream(
     each batch also appends hourly partial aggregates (the incrementally-
     maintained rollup, streaming/rollup.py).
 
+    Exactly-once: foreachBatch re-delivers a micro-batch (same batch_id)
+    after a failed/restarted trigger, and the parquet appends here are not
+    idempotent — so the sink keeps its own commit log
+    (``<checkpoint>/sink_commits/<batch_id>``, checkpoint-relative so
+    resetting the checkpoint also resets it) and skips batches whose
+    marker exists (ADVICE r2). Residual window: a crash BETWEEN the data
+    write and the marker write re-appends that one batch on retry; closing
+    it fully needs an atomically-committing table format (per-batch
+    deterministic file names or a transaction log) — documented bound, not
+    silent.
+
     Note: malformed files are not moved here (the streaming source tracks
     its input files; moving them mid-stream breaks the source) — their rows
     degrade to NULL and are dropped by decode; run :func:`ingest_batch` for
@@ -321,10 +391,13 @@ def ingest_stream(
         .select(F.input_file_name().alias("_path"), F.col("value").alias("_content"))
     )
     points = decode_grids(with_filename_metadata(files))
+    commit_dir = f"{checkpoint}/sink_commits"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if _batch_committed(spark, commit_dir, batch_id):
+            return  # re-delivered batch: already fully committed
         write_points(batch_df, ws.data_dir)
         if rollup_dir is not None:
             from .streaming.rollup import append_hourly_partials
@@ -336,6 +409,7 @@ def ingest_stream(
                 for r in batch_df.select(*PARTITION_COLS).distinct().collect()
             ]
             register_batch_partitions(spark, fq_table, ws, parts)
+        _mark_batch_committed(spark, commit_dir, batch_id)
 
     writer = (
         points.writeStream.foreachBatch(_sink)

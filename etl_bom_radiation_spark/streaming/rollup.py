@@ -38,11 +38,13 @@ def _partial_aggs():
 def append_hourly_partials(points: DataFrame, rollup_dir: str) -> None:
     """Reduce one batch of decoded points to per-hour partial aggregates and
     append them (a batch touches few hours -> few rows; the append is cheap
-    and conflict-free)."""
+    and conflict-free). No forced coalesce(1): a hard single-task write is
+    a straggler when a batch touches many hours (VERDICT r2); AQE already
+    coalesces the post-aggregation partitions to match the (tiny) output
+    size, so small batches still produce one file."""
     (
         points.groupBy(*KEYS)
         .agg(*_partial_aggs())
-        .coalesce(1)
         .write.mode("append")
         .parquet(rollup_dir)
     )
@@ -62,8 +64,23 @@ def read_hourly_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
 
 def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
     """Fold all partials down to one row per group (reader cost back to
-    O(groups)). Write-then-swap via an overwrite of the same directory is
-    safe here because partials are re-derivable from the fact table."""
+    O(groups)).
+
+    The fold is written to a sibling temp directory and swapped in via two
+    renames — never an in-place overwrite of the directory being read: the
+    previous cache()-as-barrier version could recompute from a
+    partially-deleted source if cached blocks were evicted mid-overwrite
+    (ADVICE r2). A reader racing the swap can hit the brief window between
+    the two renames (dir momentarily absent); partials are re-derivable
+    from the fact table, so the failure mode is a retryable read, not data
+    loss."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(rollup_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    parent, name = root.getParent().toString(), root.getName()
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{parent}/.{name}.compact_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(f"{parent}/.{name}.compact_old")
+
     p = spark.read.parquet(rollup_dir)
     folded = p.groupBy(*KEYS).agg(
         F.sum("cnt").alias("cnt"),
@@ -71,8 +88,11 @@ def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
         F.min("min_rad").alias("min_rad"),
         F.max("max_rad").alias("max_rad"),
     )
-    # materialize before overwriting the source dir
-    folded.cache()
-    folded.count()
-    folded.coalesce(1).write.mode("overwrite").parquet(rollup_dir)
-    folded.unpersist()
+    folded.write.mode("overwrite").parquet(tmp.toString())
+    fs.delete(old, True)
+    if not fs.rename(root, old):
+        raise OSError(f"compact_rollup: could not stage {rollup_dir} aside")
+    if not fs.rename(tmp, root):
+        fs.rename(old, root)  # roll back: restore the original partials
+        raise OSError(f"compact_rollup: could not swap folded rollup into {rollup_dir}")
+    fs.delete(old, True)

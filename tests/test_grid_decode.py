@@ -160,3 +160,17 @@ def test_filename_grammar2(spark):
     got = [r.ts_str for r in df.collect()]
     assert got[0] == "2017-10-31 14:15"
     assert got[1] is None
+
+def test_overlong_body_line_truncates_to_ncols(spark, tmp_path):
+    """ADVICE r2: a body line with MORE cells than ncols must not emit
+    points past the grid's east edge — the Catalyst path truncates to
+    ncols exactly like the Python DataSource (cells[:ncols]) and the
+    DuckDB oracle (j <= ncols)."""
+    p = tmp_path / "t_GLOBAL_20200101_0000.txt"
+    p.write_text(
+        "ncols 2\nnrows 1\nxllcorner 0.0\nyllcorner 0.0\ncellsize 1.0\n"
+        "NODATA_value -1\n4 5 6 7\n"  # 4 cells, ncols=2
+    )
+    rows = decode_grid_directory(spark, str(p)).collect()
+    assert sorted(r.Radiation for r in rows) == [4, 5]
+    assert max(r.Longitude for r in rows) == 1.0  # east edge respected

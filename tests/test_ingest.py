@@ -276,3 +276,34 @@ def test_clean_prefixes(spark, ws):
     W.clean_prefixes(spark, ws, prefixes=("in", "processing", "done"))
     assert os.listdir(ws.prefix("in")) == []  # S9
     assert os.path.isdir(ws.prefix("in"))
+
+
+def test_move_replaces_existing_destination(spark, ws):
+    """ADVICE r2: a same-named file already in done/ must not make the
+    rename fail silently (which left the file in in/ to be re-ingested
+    and duplicated next batch)."""
+    _stage_inputs(ws.base, include_bad=False)
+    stale = os.path.join(ws.done_dir, GOOD_FILES[0])
+    os.makedirs(ws.done_dir, exist_ok=True)
+    with open(stale, "w") as fh:
+        fh.write("stale previous generation")
+    res = ingest_batch(spark, ws)
+    assert sorted(os.path.basename(f) for f in res.files_ok) == sorted(GOOD_FILES)
+    # in/ fully drained — nothing left behind to re-ingest
+    assert os.listdir(os.path.join(ws.base, "in")) == []
+    # the stale done/ copy was replaced by the real input file
+    assert os.path.getsize(stale) > len("stale previous generation")
+
+
+def test_sink_commit_marker_roundtrip(spark, tmp_path):
+    """The foreachBatch sink's commit log: marker absent -> present after
+    commit; a re-delivered batch id is detected as already committed."""
+    from etl_bom_radiation_spark.ingest import _batch_committed, _mark_batch_committed
+
+    commit_dir = str(tmp_path / "ckpt" / "sink_commits")
+    assert not _batch_committed(spark, commit_dir, 0)
+    _mark_batch_committed(spark, commit_dir, 0)
+    assert _batch_committed(spark, commit_dir, 0)
+    assert not _batch_committed(spark, commit_dir, 1)
+    _mark_batch_committed(spark, commit_dir, 0)  # re-mark is idempotent
+    assert _batch_committed(spark, commit_dir, 0)
