@@ -119,6 +119,52 @@ def main() -> int:
     finally:
         shutil.rmtree(grids, ignore_errors=True)
 
+    # bucketed fact-fact join: the scale lever for recurring joins
+    # (scale.write_bucketed / bucketed_join). Setup (bucketed table write)
+    # is untimed — it is paid once per table lifetime, not per query; the
+    # timed part is q05's join shape reading co-located buckets with ZERO
+    # Exchange (plan asserted in tests/test_scale.py::
+    # test_bucketed_q05_shape_no_exchange). Compare with q05_inner_join
+    # above to see what the shuffle costs.
+    from pyspark.sql import functions as F
+
+    from etl_bom_radiation_spark.scale import write_bucketed
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # fact-fact regime: at bench SF the planner would broadcast orders
+        # (skipping the bucketed scans); at 100 TB neither fact broadcasts
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(li, "bench_lineitem_b", "l_orderkey", num_buckets=32)
+        write_bucketed(o, "bench_orders_b", "o_orderkey", num_buckets=32)
+
+        def _bucketed_q05():
+            return (
+                spark.table("bench_lineitem_b")
+                .join(
+                    spark.table("bench_orders_b"),
+                    F.col("l_orderkey") == F.col("o_orderkey"),
+                )
+                .filter(F.col("o_orderstatus") == "F")
+                .select(
+                    "l_orderkey",
+                    "l_linenumber",
+                    "o_orderstatus",
+                    F.round("l_extendedprice", 2).alias("price"),
+                )
+            )
+
+        _bucketed_q05().write.format("noop").mode("overwrite").save()  # warmup
+        t0 = time.time()
+        _bucketed_q05().write.format("noop").mode("overwrite").save()
+        timings["q05_bucketed_join"] = round(time.time() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bench_lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS bench_orders_b")
+
     total = round(sum(timings.values()), 3)
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))

@@ -1055,9 +1055,24 @@ def n20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     pairs = n11b_simhash_neardup(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    comp = connected_components(d.select("doc_id"), edges, id_col="doc_id")
-    return comp.select(
-        F.col("id").alias("doc_id"),
-        F.col("component").cast("bigint").alias("cluster"),
-        (F.col("id") == F.col("component")).alias("is_canonical"),
+    # Propagate labels only over edge-touched vertices: near-dup graphs are
+    # overwhelmingly singletons, and iterating the FULL corpus each round
+    # would shuffle ~100 TB of self-labeled rows per round for nothing.
+    # Singletons rejoin afterwards as their own (canonical) cluster via one
+    # anti-join.
+    touched = (
+        edges.select(F.col("src").alias("doc_id"))
+        .union(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    comp = connected_components(touched, edges, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    singles = d.select("doc_id").join(comp, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster")
+    )
+    return comp.unionByName(singles).select(
+        "doc_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        (F.col("doc_id") == F.col("cluster")).alias("is_canonical"),
     )

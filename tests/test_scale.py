@@ -64,3 +64,42 @@ def test_salted_join_spreads_hot_key(spark):
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8))
     )
     assert big_salted.select("_salt").distinct().count() == 8
+
+
+def test_bucketed_q05_shape_no_exchange(spark, sf_dir):
+    """The bench's q05_bucketed_join entry (filter + project on top of the
+    co-located join) must stay Exchange-free: predicates/projections are
+    narrow and cannot reintroduce a shuffle above the bucketed scans."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    scale.write_bucketed(li, "b_li_q05", "l_orderkey", num_buckets=8)
+    scale.write_bucketed(o, "b_o_q05", "o_orderkey", num_buckets=8)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # model the fact-fact regime: at test SF the planner would rather
+        # broadcast tiny orders (and skip the bucketed scan entirely);
+        # at 100 TB neither side broadcasts — force that shape
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("b_li_q05")
+            .join(spark.table("b_o_q05"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("o_orderstatus") == "F")
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                "o_orderstatus",
+                F.round("l_extendedprice", 2).alias("price"),
+            )
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # zero shuffle, broadcast included
+        assert "SortMergeJoin" in plan
+        # parity with the declared (shuffling) q05 on the same inputs
+        from etl_bom_radiation_spark.queries import load_all
+
+        q05 = load_all()["q05_inner_join"]
+        assert joined.count() == q05.fn(spark, sf_dir).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_li_q05")
+        spark.sql("DROP TABLE IF EXISTS b_o_q05")
