@@ -68,14 +68,14 @@ def global_sort_index(
     PARTITION BY moves the whole table to one task).
 
     Shape: ``repartitionByRange(n, keys)`` splits the table into n
-    key-contiguous partitions; ``row_number`` windows *within* each
-    partition (parallel); the global position is the local row number plus
-    the total row count of all earlier partitions. Offsets come from a
-    P-row per-partition count frame joined to itself (P = n partitions,
+    key-contiguous partitions and each partition sorts locally (parallel);
+    the global position is the in-partition sequence number plus the total
+    row count of all earlier partitions. Offsets come from a P-row
+    per-partition count frame joined to itself (P = n partitions,
     broadcast nested loop over P² ≈ trivial), never from a global window
     or a driver collect.
 
-    Correctness hinges on the two plan branches (ranked rows, partition
+    Correctness hinges on the two plan branches (sequenced rows, partition
     counts) seeing the SAME physical partitioning:
 
     * the explicit ``num_partitions`` makes the shuffle origin
@@ -83,23 +83,37 @@ def global_sort_index(
       all n range partitions as produced;
     * both branches share one canonical exchange subplan, so Catalyst's
       ReuseExchange rule materializes the range shuffle once (asserted in
-      tests/test_plans.py) — ``spark_partition_id`` is therefore
-      consistent between them, and range partition ids are monotone in
-      sort order by RangePartitioning's contract.
+      tests/test_plans.py) — partition ids are therefore consistent
+      between them, and range partition ids are monotone in sort order by
+      RangePartitioning's contract;
+    * in-partition positions are ``monotonically_increasing_id`` over the
+      partition-sorted rows (deterministic given partition content + total
+      sort order), so no second Exchange+Sort for a per-pid window.
 
     ``sort_cols`` must define a total order (supply a unique tiebreaker)
     or positions within ties are arbitrary.
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    part = df.repartitionByRange(n, *sort_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # ONE full-table shuffle (the range partition). In-partition positions
+    # come from monotonically_increasing_id over the partition-sorted rows
+    # (upper bits = partition index, lower 33 bits = in-partition sequence
+    # in sort order) — no second Exchange + Sort for a Window.partitionBy,
+    # and no 2^33-rows-per-partition is remotely reachable.
+    base = df.repartitionByRange(n, *sort_cols)
+    part = (
+        base.sortWithinPartitions(*sort_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", 33))
+        .withColumn("_rn", (F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))) + 1)
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("_pid").orderBy(*sort_cols)
-    ranked = part.withColumn("_rn", F.row_number().over(w))
-    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # counts read the (reused) exchange output directly — same physical
+    # partition index as _mid's upper bits, without paying the sort twice
+    counts = (
+        base.select(F.spark_partition_id().alias("_pid"))
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
     earlier = counts.select(F.col("_pid").alias("_qid"), F.col("_cnt").alias("_qcnt"))
     offsets = (
         counts.join(F.broadcast(earlier), F.col("_qid") < F.col("_pid"), "left")
@@ -107,9 +121,9 @@ def global_sort_index(
         .agg(F.coalesce(F.sum("_qcnt"), F.lit(0)).alias("_off"))
     )
     return (
-        ranked.join(F.broadcast(offsets), "_pid")
+        part.join(F.broadcast(offsets), "_pid")
         .withColumn(index_name, (F.col("_rn") + F.col("_off")).cast("bigint"))
-        .drop("_pid", "_rn", "_off")
+        .drop("_mid", "_pid", "_rn", "_off")
     )
 
 
