@@ -182,3 +182,127 @@ def t07_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_so_far"
         ),
     )
+
+
+# ---------------------------------------------------------------- true
+# streaming declared surface (rows-only: streaming state is not
+# SQL-expressible, so these run REAL Structured Streaming queries and
+# return their deterministic results; the driver records a rows-only
+# check and pytest covers the semantics in tests/test_streaming.py).
+
+def _fixture_grid_dir() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "fixtures",
+        "grids",
+    )
+
+
+@register("t01_stream_ingest")
+def t01_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/S6/S8: REAL exactly-once streaming file ingest — drains the golden
+    fixture grids through ingest_stream (file source + checkpoint +
+    Trigger.AvailableNow), then runs a SECOND drain against the same
+    checkpoint (no new files) and returns per-partition point counts: the
+    counts prove the replay added nothing. The temp workspace lives under
+    /tmp for the life of the returned (lazy) DataFrame."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..ingest import ingest_stream
+    from ..workspace import init_workspace
+
+    base = tempfile.mkdtemp(prefix="t01_ws_")
+    ws = init_workspace(spark, base)
+    for f in sorted(glob.glob(os.path.join(_fixture_grid_dir(), "*.txt"))):
+        shutil.copy(f, os.path.join(base, "in"))
+    ckpt = os.path.join(base, "ckpt")
+    for _ in range(2):  # second run = restart/replay; must be a no-op
+        q = ingest_stream(spark, ws, ckpt)
+        q.awaitTermination()
+    return (
+        spark.read.parquet(ws.data_dir)
+        .groupBy("RadiationType", "year", "month", "day", "hour")
+        .agg(F.count(F.lit(1)).alias("points"))
+    )
+
+
+@register("t05_watermark_late_drop")
+def t05_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: REAL watermark semantics — three sequential micro-batches through
+    a continuous windowed-count query (append mode): batch 1 fills the
+    10:00 window, batch 2 advances the watermark past it (the window
+    finalizes and emits), batch 3 delivers a LATE event for the finalized
+    window, which must be dropped. The returned single row (win 10:00,
+    n=2 not 3) is the proof."""
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    from .. import streaming as S
+
+    src = tempfile.mkdtemp(prefix="t05_src_")
+    ckpt = tempfile.mkdtemp(prefix="t05_ckpt_")
+    name = f"t05_sink_{uuid.uuid4().hex[:8]}"
+
+    def _drop(fname: str, events: list[dict]) -> None:
+        tmp = os.path.join(src, f".{fname}.tmp")
+        with open(tmp, "w") as fh:
+            for e in events:
+                fh.write(json.dumps(e) + "\n")
+        os.rename(tmp, os.path.join(src, fname))
+
+    def _ev(eid: int, ts: str) -> dict:
+        return {"event_id": eid, "ts": ts, "user_id": 1, "event_type": "click", "value": 1.0}
+
+    stream = S.windowed_counts(S.read_event_stream(spark, src), "15 minutes", "30 minutes")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        _drop("b1.json", [_ev(1, "2024-01-01 10:01:00"), _ev(2, "2024-01-01 10:07:00")])
+        q.processAllAvailable()
+        _drop("b2.json", [_ev(3, "2024-01-01 12:00:00")])  # watermark -> 11:30
+        q.processAllAvailable()
+        _drop("b3.json", [_ev(4, "2024-01-01 10:09:00")])  # LATE: behind watermark
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("win_start")
+
+
+@register("t08_partition_hook")
+def t08_partition_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8/D2-D4: the post-commit metadata hook end-to-end — streaming ingest
+    with fq_table wired runs MSCK-once / ADD PARTITION synchronously inside
+    foreachBatch (the reference fired Athena DDL asynchronously and accepted
+    a visibility race, bom_partition.py:80,129). Returns SHOW PARTITIONS of
+    the freshly registered table: one row per Sydney-local hour partition of
+    the fixture grids."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..ingest import ingest_stream
+    from ..workspace import create_database, init_workspace, register_table
+
+    base = tempfile.mkdtemp(prefix="t08_ws_")
+    ws = init_workspace(spark, base)
+    for f in sorted(glob.glob(os.path.join(_fixture_grid_dir(), "*.txt"))):
+        shutil.copy(f, os.path.join(base, "in"))
+    db = create_database(spark, "t08-hook")
+    fq = register_table(spark, db, f"radiation_{uuid.uuid4().hex[:8]}", ws)
+    q = ingest_stream(spark, ws, os.path.join(base, "ckpt"), fq_table=fq)
+    q.awaitTermination()
+    return spark.sql(f"SHOW PARTITIONS {fq}").orderBy("partition")

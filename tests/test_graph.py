@@ -1,0 +1,65 @@
+"""connected_components unit tests: distributed min-label propagation vs a
+pure-Python union-find ground truth on randomized graphs (the n20 dedup
+clustering query adds an end-to-end recursive-CTE oracle on top of this)."""
+
+from __future__ import annotations
+
+import random
+
+from etl_bom_radiation_spark.graph import connected_components
+
+
+def _union_find_components(n_vertices: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_vertices))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min vertex id in the component
+    labels: dict[int, int] = {}
+    for v in range(n_vertices):
+        r = find(v)
+        labels[v] = labels.get(r, min(v, r)) if r in labels else r
+    # second pass: root label is the min id seen for that root
+    mins: dict[int, int] = {}
+    for v in range(n_vertices):
+        r = find(v)
+        mins[r] = min(mins.get(r, v), v)
+    return {v: mins[find(v)] for v in range(n_vertices)}
+
+
+def test_connected_components_random_graph(spark):
+    rng = random.Random(13)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _union_find_components(n, edges)
+
+    vertices = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(vertices, edf).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A long chain (worst-case diameter) plus isolated vertices: every
+    chain member labels to the chain head; singletons label themselves."""
+    chain = [(i, i + 1) for i in range(10)]
+    vertices = spark.createDataFrame([(i,) for i in range(15)], ["id"])
+    edf = spark.createDataFrame(chain, ["src", "dst"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(vertices, edf).collect()
+    }
+    assert all(got[i] == 0 for i in range(11))
+    assert all(got[i] == i for i in range(11, 15))

@@ -103,3 +103,23 @@ def test_bucketed_q05_shape_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS b_li_q05")
         spark.sql("DROP TABLE IF EXISTS b_o_q05")
+
+
+def test_global_sort_index_is_exact_permutation(spark):
+    """Property test for the mono-id global position trick: positions are
+    exactly 1..N and agree with the total sort order, including duplicate
+    primary keys split only by the tiebreaker and empty range partitions."""
+    import random
+
+    rng = random.Random(41)
+    rows = [(i, rng.randrange(20) * 1.0) for i in range(5000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["uid", "v"])
+    out = scale.global_sort_index(
+        df, F.col("v").desc(), F.col("uid").asc(), index_name="pos", num_partitions=16
+    ).collect()
+    assert sorted(r["pos"] for r in out) == list(range(1, 5001))
+    by_pos = sorted(out, key=lambda r: r["pos"])
+    assert [(r["v"], r["uid"]) for r in by_pos] == sorted(
+        [(r["v"], r["uid"]) for r in out], key=lambda t: (-t[0], t[1])
+    )
