@@ -109,15 +109,18 @@ def n02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    shingled = d.select(
+    # materialize the token array once: referencing _tokens(text) three
+    # times inside the lambda re-runs the regex tokenization per reference
+    # (higher-order funcs sit outside whole-stage-codegen subexpression
+    # elimination)
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("ws"))
+    shingled = toks.select(
         "doc_id",
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(_tokens(F.col("text"))) - 1, F.lit(1))),
+                F.sequence(F.lit(1), F.greatest(F.size("ws") - 1, F.lit(1))),
                 lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(_tokens(F.col("text")), i),
-                    F.element_at(_tokens(F.col("text")), i + 1),
+                    " ", F.element_at("ws", i), F.element_at("ws", i + 1)
                 ),
             )
         ).alias("shingles"),
@@ -421,14 +424,15 @@ def n08_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, stopword-ratio cap. A predicate stack over derived features; all
     pushable, all narrow."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = _tokens(F.col("text"))
     stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "is", "in")])
-    scored = d.select(
+    # tokenize once (a repeated _tokens reference re-runs the regex per use)
+    base = d.select("doc_id", "lang", "n_chars", _tokens(F.col("text")).alias("ws"))
+    scored = base.select(
         "doc_id",
         "lang",
         F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.size(toks).cast("int").alias("n_tokens"),
-        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).alias("stop_hits"),
+        F.size("ws").cast("int").alias("n_tokens"),
+        F.size(F.filter("ws", lambda t: F.array_contains(stop, t))).alias("stop_hits"),
     )
     return (
         scored.filter(
@@ -472,14 +476,14 @@ def n09_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     label, so the interesting output is the hit-rate machinery, verified
     exactly; a real model would swap in per-language stopword tables.)"""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = _tokens(F.col("text"))
     stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to")])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
-    return d.select(
+    base = d.select("doc_id", "lang", _tokens(F.col("text")).alias("ws"))
+    hits = F.size(F.filter("ws", lambda t: F.array_contains(stop, t)))
+    return base.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         hits.cast("int").alias("en_hits"),
-        F.when(hits.cast("double") / F.size(toks) >= 0.05, "en")
+        F.when(hits.cast("double") / F.size("ws") >= 0.05, "en")
         .otherwise("unk")
         .alias("guessed_lang"),
     )
@@ -509,17 +513,17 @@ def n10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram shingles (a 1-permutation MinHash). Engine-neutral polynomial
     hash, so the oracle recomputes it exactly."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = _tokens(F.col("text"))
+    base = d.select("doc_id", _tokens(F.col("text")).alias("ws"))
     shingles = F.when(
-        F.size(toks) >= 3,
+        F.size("ws") >= 3,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
+            F.sequence(F.lit(1), F.size("ws") - 2),
             lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                " ", F.element_at("ws", i), F.element_at("ws", i + 1), F.element_at("ws", i + 2)
             ),
         ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
-    return d.select(
+    ).otherwise(F.array(F.array_join("ws", " ")))
+    return base.select(
         "doc_id",
         F.array_min(F.transform(shingles, _polyhash)).cast("bigint").alias("fingerprint"),
     )
@@ -625,14 +629,14 @@ def n12_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc pairs (linear pair generation — the full-pair version at scale goes
     through LSH bucketing, n02). set ops via array_intersect/array_union."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = _tokens(F.col("text"))
-    sh = d.select(
+    base = d.select("doc_id", _tokens(F.col("text")).alias("ws"))
+    sh = base.select(
         "doc_id",
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+                F.sequence(F.lit(1), F.greatest(F.size("ws") - 1, F.lit(1))),
                 lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    " ", F.element_at("ws", i), F.element_at("ws", i + 1)
                 ),
             )
         ).alias("s"),
@@ -991,19 +995,19 @@ def n19_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Entirely per-row array ops (narrow, no shuffle, no UDF): the 100 TB
     cost is one scan."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = _tokens(F.col("text"))
-    g = d.select(
+    base = d.select("doc_id", _tokens(F.col("text")).alias("ws"))
+    g = base.select(
         "doc_id",
-        F.size(toks).alias("n_toks"),
+        F.size("ws").alias("n_toks"),
         F.when(
-            F.size(toks) >= 3,
+            F.size("ws") >= 3,
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
+                F.sequence(F.lit(1), F.size("ws") - 2),
                 lambda i: F.concat_ws(
                     " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
+                    F.element_at("ws", i),
+                    F.element_at("ws", i + 1),
+                    F.element_at("ws", i + 2),
                 ),
             ),
         ).alias("grams"),
