@@ -1080,3 +1080,131 @@ def n20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("bigint").alias("cluster"),
         (F.col("doc_id") == F.col("cluster")).alias("is_canonical"),
     )
+
+
+@register(
+    "n21_vocab_topk",
+    oracle=f"""
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 100
+    """,
+)
+def n21_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N21 (extension): corpus vocabulary — top-100 tokens by frequency
+    (the vocabulary-building pass of a tokenizer pipeline). One explode +
+    one two-phase count (map-side combine collapses the token stream to
+    |vocab| partials per task) + TakeOrderedAndProject heaps — the corpus
+    itself never sorts. Ties broken by token for determinism."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    base = d.select(_tokens(F.col("text")).alias("ws"))
+    return (
+        base.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "n22_tfidf_topterms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           ROUND(tf * (CAST(n_docs AS DOUBLE) / df), 6) AS score,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT doc_id, term, tf,
+               n_docs, df,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tf * (CAST(n_docs AS DOUBLE) / df) DESC,
+                                           term ASC) AS rn
+        FROM tf CROSS JOIN n JOIN dfreq USING (term)
+    )
+    WHERE rn <= 3
+    """,
+)
+def n22_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N22 (extension): per-document top-3 terms by tf-idf with a rational
+    idf (tf * N/df — integer-valued doubles, so both engines compute
+    bit-identical scores; ln-based idf would risk last-ulp divergence).
+    Shape: explode → (doc,term) count → term doc-frequency (both two-phase
+    with map-side combine) → broadcast of the scalar N → WindowGroupLimit
+    keeps only 3 rows per doc inside the window sort."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    base = d.select("doc_id", _tokens(F.col("text")).alias("ws"))
+    pairs = base.select("doc_id", F.explode("ws").alias("term"))
+    tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * (F.col("n_docs").cast("double") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round("score", 6).alias("score"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "n23_label_centroids",
+    oracle="""
+    WITH pos AS (
+        SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings
+    ),
+    c AS (
+        SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+        FROM pos GROUP BY label, i
+    ),
+    sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings GROUP BY label)
+    SELECT c.label, s.n_vectors,
+           string_agg(printf('%.6f', m), ',' ORDER BY i) AS centroid
+    FROM c JOIN sizes s ON s.label = c.label
+    GROUP BY c.label, s.n_vectors
+    """,
+)
+def n23_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N23 (extension): per-label embedding centroids — the building block
+    of IVF training (n03c computes the same thing driver-side over a
+    sample; this is the fully distributed form) and of class-prototype
+    dedup/outlier scoring. posexplode → avg per (label, dim) — one shuffle
+    on small keys — then the centroid array reassembles via
+    sort-by-dimension collect_list, emitted as a fixed-format string
+    (printf '%.6f' on both engines: double-to-string rendering is
+    otherwise engine-specific). Dim count is bounded (embedding width),
+    so collect_list stays tiny per group."""
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    ex = e.select("label", F.posexplode("embedding").alias("i", "val"))
+    c = ex.groupBy("label", "i").agg(F.avg(F.col("val").cast("double")).alias("m"))
+    sizes = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    cent = c.groupBy("label").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: F.format_string("%.6f", s["m"]),
+            ),
+            ",",
+        ).alias("centroid")
+    )
+    return cent.join(F.broadcast(sizes), "label").select(
+        "label", "n_vectors", "centroid"
+    )
