@@ -40,6 +40,7 @@ HEADLINE = [
     "n03_topk_cosine",
     "n05_text_stats",
     "n14_decontamination",
+    "n22_tfidf_topterms",
     "x02_gapfill",
 ]
 

@@ -276,3 +276,47 @@ def g_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_radiation"),
         )
     )
+
+
+@register(
+    "g_datasource_decode",
+    oracle=_ORACLE_BASE
+    + """
+    , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
+    , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
+    SELECT strftime(syd, '%Y-%m-%d %H:%M') AS date_str,
+           p[2] AS RadiationType,
+           ROUND(xll + (j-1)*cs, 6) AS Longitude,
+           ROUND(yll + nrows*cs - i*cs, 6) AS Latitude,
+           CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS Radiation,
+           CAST(year(syd) AS INT) AS year, CAST(month(syd) AS INT) AS month,
+           CAST(day(syd) AS INT) AS day, CAST(hour(syd) AS INT) AS hour
+    FROM cls
+    WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
+      AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
+    """,
+)
+def g_datasource_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-analog of the flagship decode: the same grid semantics through the
+    Spark 4 Python DataSource mount (spark.read.format('esri_grid') —
+    grid/datasource.py, one InputPartition per file) instead of the
+    Catalyst expression pipeline. Same oracle as g_flagship_decode: the
+    driver verifies the two decode paths are row-identical. The Catalyst
+    path remains primary (JVM, no Python in the loop); this one exists for
+    spark.read composability and as the escape-hatch pattern for formats
+    DataFrame ops cannot express."""
+    from ..grid.datasource import EsriGridDataSource
+
+    spark.dataSource.register(EsriGridDataSource)
+    pts = spark.read.format("esri_grid").load(GRID_DIR)
+    return pts.select(
+        F.date_format("Date", "yyyy-MM-dd HH:mm").alias("date_str"),
+        "RadiationType",
+        F.round("Longitude", 6).alias("Longitude"),
+        F.round("Latitude", 6).alias("Latitude"),
+        "Radiation",
+        "year",
+        "month",
+        "day",
+        "hour",
+    )
