@@ -123,3 +123,21 @@ def test_global_sort_index_is_exact_permutation(spark):
     assert [(r["v"], r["uid"]) for r in by_pos] == sorted(
         [(r["v"], r["uid"]) for r in out], key=lambda t: (-t[0], t[1])
     )
+
+
+def test_global_sort_index_edge_cases(spark):
+    """Empty input, a single range partition, and more partitions than rows
+    (some partitions empty) must all produce exact 1..N positions."""
+    empty = spark.createDataFrame([], "k long, v double")
+    assert scale.global_sort_index(empty, F.col("v").asc(), F.col("k").asc()).count() == 0
+
+    tiny = spark.createDataFrame([(1, 5.0), (2, 3.0), (3, 9.0)], ["k", "v"])
+    one_part = scale.global_sort_index(
+        tiny, F.col("v").asc(), F.col("k").asc(), num_partitions=1
+    ).collect()
+    assert {(r["k"], r["pos"]) for r in one_part} == {(2, 1), (1, 2), (3, 3)}
+
+    sparse = scale.global_sort_index(
+        tiny, F.col("v").desc(), F.col("k").asc(), num_partitions=8
+    ).collect()
+    assert {(r["k"], r["pos"]) for r in sparse} == {(3, 1), (1, 2), (2, 3)}
