@@ -45,15 +45,22 @@ HEADLINE = [
 ]
 
 
-def _gen_grids(n_files: int = 1000, ncols: int = 50, nrows: int = 40) -> str:
+def _gen_grids(
+    n_files: int = 1000, ncols: int = 50, nrows: int = 40, spread_time: bool = True
+) -> str:
     """Deterministic synthetic grid corpus for the flagship-decode bench
-    (~n_files * ncols * nrows cells; value = positional hash, ~10% nodata)."""
+    (~n_files * ncols * nrows cells; value = positional hash, ~10% nodata).
+    ``spread_time=False`` stamps every file with one timestamp so the whole
+    corpus lands in a single hive partition (maintenance-op benches)."""
     import tempfile
 
     d = tempfile.mkdtemp(prefix="bench_grids_")
     for f in range(n_files):
-        hh, mm = f % 24, (f * 7) % 60
-        day = 1 + (f % 28)
+        if spread_time:
+            hh, mm = f % 24, (f * 7) % 60
+            day = 1 + (f % 28)
+        else:
+            hh, mm, day = 4, 0, 15
         lines = [
             f"ncols {ncols}",
             f"nrows {nrows}",
@@ -68,7 +75,8 @@ def _gen_grids(n_files: int = 1000, ncols: int = 50, nrows: int = 40) -> str:
                 for c in range(ncols)
             ]
             lines.append(" ".join(row))
-        name = f"B{f:04d}_GLOBAL_2018{(f % 12) + 1:02d}{day:02d}_{hh:02d}{mm:02d}.txt"
+        month = (f % 12) + 1 if spread_time else 3
+        name = f"B{f:04d}_GLOBAL_2018{month:02d}{day:02d}_{hh:02d}{mm:02d}.txt"
         with open(os.path.join(d, name), "w") as fh:
             fh.write("\n".join(lines) + "\n")
     return d
@@ -119,6 +127,46 @@ def main() -> int:
         timings["grid_decode_1000_files"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(grids, ignore_errors=True)
+
+    # maintenance ops (VERDICT r2 #8): partitioned write, small-file
+    # compaction, partition reprocess — timed over a 1000-file / ~1.8M-point
+    # corpus stamped into ONE hive partition (per-partition compaction is
+    # then one real job; the spread-time corpus above benches the decode).
+    import tempfile
+
+    from etl_bom_radiation_spark.ingest import (
+        compact_partitions,
+        reprocess_partition,
+        write_points,
+    )
+    from etl_bom_radiation_spark.workspace import init_workspace
+
+    one_part = _gen_grids(spread_time=False)
+    ws_base = tempfile.mkdtemp(prefix="bench_ws_")
+    try:
+        ws = init_workspace(spark, ws_base)
+        for f in os.listdir(one_part):  # archived originals, reprocess source
+            os.rename(os.path.join(one_part, f), os.path.join(ws.done_dir, f))
+        pts = decode_grid_directory(spark, ws.done_dir)
+        t0 = time.time()
+        write_points(pts, ws.data_dir)
+        timings["maint_partitioned_write"] = round(time.time() - t0, 3)
+        write_points(pts, ws.data_dir)  # second batch -> 2 files in the partition
+        t0 = time.time()
+        n_comp = compact_partitions(spark, ws.data_dir)
+        timings["maint_compact_partition"] = round(time.time() - t0, 3)
+        assert n_comp == 1, f"expected 1 compacted partition, got {n_comp}"
+        part = (
+            spark.read.parquet(ws.data_dir)
+            .select("year", "month", "day", "hour")
+            .first()
+        )
+        t0 = time.time()
+        reprocess_partition(spark, ws, part["year"], part["month"], part["day"], part["hour"])
+        timings["maint_reprocess_partition"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(ws_base, ignore_errors=True)
+        shutil.rmtree(one_part, ignore_errors=True)
 
     # bucketed fact-fact join: the scale lever for recurring joins
     # (scale.write_bucketed / bucketed_join). Setup (bucketed table write)
