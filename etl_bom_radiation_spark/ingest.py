@@ -309,6 +309,8 @@ def reprocess_partition(
     dynamic partition overwrite — only the targeted partition is rewritten,
     every other partition is untouched (the reference could only ever
     append, bom.py:76; corrections meant manual S3 surgery)."""
+    from pyspark.sql import Observation
+
     meta = with_filename_metadata(read_grid_files(spark, ws.done_dir))
     points = decode_grids(meta).filter(
         (F.col("year") == year)
@@ -316,7 +318,10 @@ def reprocess_partition(
         & (F.col("day") == day)
         & (F.col("hour") == hour)
     )
-    n = points.count()
+    # count via Observation DURING the write — a separate count() action
+    # would decode every archived source file twice
+    obs = Observation("reprocess")
+    points = points.observe(obs, F.count(F.lit(1)).alias("rows"))
     with_conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         points.repartition(*PARTITION_COLS)
@@ -324,7 +329,7 @@ def reprocess_partition(
         .partitionBy(*PARTITION_COLS)
         .parquet(ws.data_dir)
     )
-    return n
+    return obs.get["rows"]
 
 
 def with_conf(spark: SparkSession, key: str, value: str) -> None:
