@@ -45,6 +45,25 @@ HEADLINE = [
 ]
 
 
+def bucketed_q05_shape(spark, left_table: str, right_table: str):
+    """q05's join/filter/project over two pre-bucketed tables — shared by
+    the bench timing and tests/test_scale.py's zero-Exchange plan assert
+    so the timed and the asserted shapes cannot diverge."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.table(left_table)
+        .join(spark.table(right_table), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_orderstatus",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
 def _gen_grids(
     n_files: int = 1000, ncols: int = 50, nrows: int = 40, spread_time: bool = True
 ) -> str:
@@ -190,20 +209,7 @@ def main() -> int:
         write_bucketed(o, "bench_orders_b", "o_orderkey", num_buckets=32)
 
         def _bucketed_q05():
-            return (
-                spark.table("bench_lineitem_b")
-                .join(
-                    spark.table("bench_orders_b"),
-                    F.col("l_orderkey") == F.col("o_orderkey"),
-                )
-                .filter(F.col("o_orderstatus") == "F")
-                .select(
-                    "l_orderkey",
-                    "l_linenumber",
-                    "o_orderstatus",
-                    F.round("l_extendedprice", 2).alias("price"),
-                )
-            )
+            return bucketed_q05_shape(spark, "bench_lineitem_b", "bench_orders_b")
 
         _bucketed_q05().write.format("noop").mode("overwrite").save()  # warmup
         t0 = time.time()

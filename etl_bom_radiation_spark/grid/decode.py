@@ -126,7 +126,12 @@ def decode_grids(files: DataFrame, with_partition_cols: bool = True) -> DataFram
         _header_field(lines, 4).try_cast("double").alias("_yll"),
         _header_field(lines, 5).try_cast("double").alias("_cellsize"),
         _header_field(lines, 6).try_cast("int").alias("_nodata"),
-        F.slice(lines, 7, F.coalesce(nrows_col, F.lit(0))).alias("_body"),
+        # greatest(…, 0): F.slice THROWS on a negative length, so a header
+        # declaring "nrows -2" must clamp to zero rows for that file, not
+        # kill the whole batch (ANSI-safe contract; code-review r3)
+        F.slice(lines, 7, F.greatest(F.coalesce(nrows_col, F.lit(0)), F.lit(0))).alias(
+            "_body"
+        ),
     )
 
     # G2: body lines -> rows with 0-based row index (latitude driver).
@@ -146,7 +151,8 @@ def decode_grids(files: DataFrame, with_partition_cols: bool = True) -> DataFram
             F.slice(
                 F.split(F.rtrim(F.col("_line")), " "),
                 1,
-                F.coalesce(F.col("_ncols"), F.lit(0)),
+                # greatest(…, 0): negative ncols would make F.slice throw
+                F.greatest(F.coalesce(F.col("_ncols"), F.lit(0)), F.lit(0)),
             )
         ).alias("_col_idx", "_cell"),
     )

@@ -230,6 +230,50 @@ def ingest_batch(
     return res
 
 
+#: name of the old-generation manifest inside a compaction temp dir;
+#: underscore-prefixed so Spark ignores it even if the dir is ever scanned
+_COMPACT_MANIFEST = "_OLDFILES"
+
+
+def _compact_tmp(jvm, part_dir):
+    """Hidden sibling temp dir for a partition compaction (dot prefix keeps
+    it out of hive partition discovery)."""
+    return jvm.org.apache.hadoop.fs.Path(
+        part_dir.getParent().toString() + "/." + part_dir.getName() + ".compacting"
+    )
+
+
+def _finish_compaction(fs, jvm, part_dir, tmp) -> bool:
+    """Resume a crashed swap (code-review r3): a temp dir WITH a manifest
+    means the folded output was fully written — delete the manifest's old
+    generation and move any not-yet-renamed new files in (idempotent); a
+    temp dir WITHOUT a manifest means the folded write itself died —
+    discard it and let compaction redo the partition. Returns True if a
+    completed swap was recovered."""
+    manifest = jvm.org.apache.hadoop.fs.Path(f"{tmp.toString()}/{_COMPACT_MANIFEST}")
+    if not fs.exists(manifest):
+        fs.delete(tmp, True)
+        return False
+    stream = fs.open(manifest)
+    try:
+        names = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8").splitlines()
+    finally:
+        stream.close()
+    part_uri = part_dir.toString()
+    for name in names:
+        if not name:
+            continue
+        old = jvm.org.apache.hadoop.fs.Path(f"{part_uri}/{name}")
+        if fs.exists(old):
+            fs.delete(old, False)
+    for s in fs.listStatus(tmp):
+        n = s.getPath().getName()
+        if s.isFile() and not n.startswith(("_", ".")):
+            fs.rename(s.getPath(), jvm.org.apache.hadoop.fs.Path(f"{part_uri}/{n}"))
+    fs.delete(tmp, True)
+    return True
+
+
 def compact_partitions(
     spark: SparkSession,
     data_dir: str,
@@ -248,7 +292,12 @@ def compact_partitions(
     renames the new files in BEFORE deleting the old ones, so a concurrent
     reader never observes an empty partition — it may briefly observe both
     generations (duplicate rows); run compaction in a read-quiesced window
-    for strict snapshot semantics. Returns the number of partitions
+    for strict snapshot semantics. A crash mid-swap is repaired on the
+    next run: the temp dir carries an old-generation manifest written
+    before any rename, and ``_finish_compaction`` replays the
+    delete-old/move-in steps idempotently (without it, a crash between
+    the rename and delete loops would leave both generations double-
+    counted forever — code-review r3). Returns the number of partitions
     compacted. Run it out-of-band (the reference has no equivalent — its
     output only ever accretes)."""
     jvm = spark._jvm
@@ -257,9 +306,14 @@ def compact_partitions(
     if not fs.exists(root):
         return 0
 
-    # collect leaf partition dirs (year=/month=/day=/hour=)
+    # collect leaf partition dirs (year=/month=/day=/hour=); dot/underscore
+    # dirs (compaction temps, markers) are not partitions
     def leaves(p):
-        subs = [s.getPath() for s in fs.listStatus(p) if s.isDirectory()]
+        subs = [
+            s.getPath()
+            for s in fs.listStatus(p)
+            if s.isDirectory() and not s.getPath().getName().startswith((".", "_"))
+        ]
         if not subs:
             return [p]
         out = []
@@ -269,6 +323,10 @@ def compact_partitions(
 
     compacted = 0
     for part_dir in leaves(root):
+        tmp = _compact_tmp(jvm, part_dir)
+        if fs.exists(tmp) and _finish_compaction(fs, jvm, part_dir, tmp):
+            compacted += 1
+            continue  # recovered swap IS the compacted generation
         files = [
             s.getPath()
             for s in fs.listStatus(part_dir)
@@ -277,15 +335,21 @@ def compact_partitions(
         if len(files) < min_files_to_compact:
             continue
         part_uri = part_dir.toString()
-        tmp = jvm.org.apache.hadoop.fs.Path(
-            part_dir.getParent().toString() + "/." + part_dir.getName() + ".compacting"
-        )
         (
             spark.read.parquet(part_uri)
             .coalesce(max_files_per_partition)
             .write.mode("overwrite")
             .parquet(tmp.toString())
         )
+        # manifest of the old generation goes into the temp dir AFTER the
+        # folded write and BEFORE any rename: its presence marks the swap
+        # as committed, making a crash anywhere in the rename/delete
+        # window repairable by _finish_compaction on the next run
+        out = fs.create(
+            jvm.org.apache.hadoop.fs.Path(f"{tmp.toString()}/{_COMPACT_MANIFEST}"), True
+        )
+        out.write(bytearray("\n".join(f.getName() for f in files), "utf-8"))
+        out.close()
         # new part-file names are UUID-unique: rename in first, delete the
         # old generation after — readers never see an empty partition
         for s in fs.listStatus(tmp):

@@ -191,13 +191,17 @@ def t07_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 # check and pytest covers the semantics in tests/test_streaming.py).
 
 def _fixture_grid_dir() -> str:
-    import os
+    from .grid_queries import GRID_DIR
 
-    return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "fixtures",
-        "grids",
-    )
+    return GRID_DIR
+
+
+def _localized(df: DataFrame) -> DataFrame:
+    """Collect a (small) streaming result into a local-relation DataFrame so
+    the caller can drop every temp dir/checkpoint immediately: the returned
+    frame must stay collectable after cleanup, and plan consumers (the
+    registry-wide window lint, gen_plans) should not re-trigger I/O."""
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
 
 
 @register("t01_stream_ingest")
@@ -206,8 +210,8 @@ def t01_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture grids through ingest_stream (file source + checkpoint +
     Trigger.AvailableNow), then runs a SECOND drain against the same
     checkpoint (no new files) and returns per-partition point counts: the
-    counts prove the replay added nothing. The temp workspace lives under
-    /tmp for the life of the returned (lazy) DataFrame."""
+    counts prove the replay added nothing. The result is collected into a
+    local relation so the temp workspace is deleted before returning."""
     import glob
     import os
     import shutil
@@ -221,14 +225,17 @@ def t01_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in sorted(glob.glob(os.path.join(_fixture_grid_dir(), "*.txt"))):
         shutil.copy(f, os.path.join(base, "in"))
     ckpt = os.path.join(base, "ckpt")
-    for _ in range(2):  # second run = restart/replay; must be a no-op
-        q = ingest_stream(spark, ws, ckpt)
-        q.awaitTermination()
-    return (
-        spark.read.parquet(ws.data_dir)
-        .groupBy("RadiationType", "year", "month", "day", "hour")
-        .agg(F.count(F.lit(1)).alias("points"))
-    )
+    try:
+        for _ in range(2):  # second run = restart/replay; must be a no-op
+            q = ingest_stream(spark, ws, ckpt)
+            q.awaitTermination()
+        return _localized(
+            spark.read.parquet(ws.data_dir)
+            .groupBy("RadiationType", "year", "month", "day", "hour")
+            .agg(F.count(F.lit(1)).alias("points"))
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @register("t05_watermark_late_drop")
@@ -241,6 +248,7 @@ def t05_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     n=2 not 3) is the proof."""
     import json
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -277,7 +285,12 @@ def t05_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name).orderBy("win_start")
+    try:
+        return _localized(spark.table(name).orderBy("win_start"))
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @register("t08_partition_hook")
@@ -303,6 +316,10 @@ def t08_partition_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(f, os.path.join(base, "in"))
     db = create_database(spark, "t08-hook")
     fq = register_table(spark, db, f"radiation_{uuid.uuid4().hex[:8]}", ws)
-    q = ingest_stream(spark, ws, os.path.join(base, "ckpt"), fq_table=fq)
-    q.awaitTermination()
-    return spark.sql(f"SHOW PARTITIONS {fq}").orderBy("partition")
+    try:
+        q = ingest_stream(spark, ws, os.path.join(base, "ckpt"), fq_table=fq)
+        q.awaitTermination()
+        return _localized(spark.sql(f"SHOW PARTITIONS {fq}").orderBy("partition"))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {fq}")
+        shutil.rmtree(base, ignore_errors=True)

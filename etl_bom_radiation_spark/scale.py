@@ -69,51 +69,42 @@ def global_sort_index(
 
     Shape: ``repartitionByRange(n, keys)`` splits the table into n
     key-contiguous partitions and each partition sorts locally (parallel);
-    the global position is the in-partition sequence number plus the total
-    row count of all earlier partitions. Offsets come from a P-row
-    per-partition count frame joined to itself (P = n partitions,
-    broadcast nested loop over P² ≈ trivial), never from a global window
-    or a driver collect.
+    in-partition positions come from ``monotonically_increasing_id`` over
+    the partition-sorted rows (upper bits = partition index, lower 33 =
+    in-partition sequence — 2^33 rows per partition is unreachable); the
+    global position is that sequence plus the total row count of all
+    earlier partitions. Offsets come from a P-row per-partition count
+    frame joined to itself (P = n partitions, broadcast nested loop over
+    P² ≈ trivial), never from a global window or a driver collect.
 
-    Correctness hinges on the two plan branches (sequenced rows, partition
-    counts) seeing the SAME physical partitioning:
-
-    * the explicit ``num_partitions`` makes the shuffle origin
-      REPARTITION_BY_NUM, which AQE never coalesces — both branches read
-      all n range partitions as produced;
-    * both branches share one canonical exchange subplan, so Catalyst's
-      ReuseExchange rule materializes the range shuffle once (asserted in
-      tests/test_plans.py) — partition ids are therefore consistent
-      between them, and range partition ids are monotone in sort order by
-      RangePartitioning's contract;
-    * in-partition positions are ``monotonically_increasing_id`` over the
-      partition-sorted rows (deterministic given partition content + total
-      sort order), so no second Exchange+Sort for a per-pid window.
+    The sequenced frame is ``localCheckpoint``-ed (lazily) before it forks
+    into the rows branch and the counts branch: correctness requires both
+    branches to see the SAME physical partitioning, and relying on
+    Catalyst's ReuseExchange for that is NOT stable — column pruning can
+    narrow the counts branch's exchange child differently from the rows
+    branch (e.g. when the input carries payload columns), the two
+    subplans then stop canonicalizing equal, and two independently
+    sampled range partitionings silently mis-align positions
+    (code-review r3, verified). The checkpoint pins one materialized
+    partitioning by RDD identity — the same job-then-reuse structure
+    ``RDD.zipWithIndex`` uses — at the cost of materializing the sorted
+    table once (at cluster scale with executor loss in play, swap in
+    ``checkpoint(reliable=True)``).
 
     ``sort_cols`` must define a total order (supply a unique tiebreaker)
     or positions within ties are arbitrary.
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    # ONE full-table shuffle (the range partition). In-partition positions
-    # come from monotonically_increasing_id over the partition-sorted rows
-    # (upper bits = partition index, lower 33 bits = in-partition sequence
-    # in sort order) — no second Exchange + Sort for a Window.partitionBy,
-    # and no 2^33-rows-per-partition is remotely reachable.
-    base = df.repartitionByRange(n, *sort_cols)
     part = (
-        base.sortWithinPartitions(*sort_cols)
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
         .withColumn("_pid", F.shiftright("_mid", 33))
         .withColumn("_rn", (F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))) + 1)
     )
-    # counts read the (reused) exchange output directly — same physical
-    # partition index as _mid's upper bits, without paying the sort twice
-    counts = (
-        base.select(F.spark_partition_id().alias("_pid"))
-        .groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-    )
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     earlier = counts.select(F.col("_pid").alias("_qid"), F.col("_cnt").alias("_qcnt"))
     offsets = (
         counts.join(F.broadcast(earlier), F.col("_qid") < F.col("_pid"), "left")

@@ -35,6 +35,31 @@ def _partial_aggs():
     ]
 
 
+def _swap_paths(spark: SparkSession, rollup_dir: str):
+    """(fs, root, tmp, old) for the compaction swap of *rollup_dir*."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(rollup_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    parent, name = root.getParent().toString(), root.getName()
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{parent}/.{name}.compact_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(f"{parent}/.{name}.compact_old")
+    return fs, root, tmp, old
+
+
+def _recover_rollup(spark: SparkSession, rollup_dir: str) -> None:
+    """Heal a crashed compact_rollup swap (code-review r3): if the rollup
+    dir is missing but the staged-aside previous generation exists, rename
+    it back — otherwise the next partial append would silently recreate
+    the dir with ONE batch of history and readers would undercount."""
+    fs, root, tmp, old = _swap_paths(spark, rollup_dir)
+    if not fs.exists(root) and fs.exists(old):
+        fs.rename(old, root)
+        # the folded output in tmp is now stale (superseded by the restored
+        # partials) and re-derivable — discard it. tmp is left alone in any
+        # other state: it may belong to an in-flight compaction.
+        fs.delete(tmp, True)
+
+
 def append_hourly_partials(points: DataFrame, rollup_dir: str) -> None:
     """Reduce one batch of decoded points to per-hour partial aggregates and
     append them (a batch touches few hours -> few rows; the append is cheap
@@ -42,6 +67,7 @@ def append_hourly_partials(points: DataFrame, rollup_dir: str) -> None:
     a straggler when a batch touches many hours (VERDICT r2); AQE already
     coalesces the post-aggregation partitions to match the (tiny) output
     size, so small batches still produce one file."""
+    _recover_rollup(points.sparkSession, rollup_dir)
     (
         points.groupBy(*KEYS)
         .agg(*_partial_aggs())
@@ -53,6 +79,7 @@ def append_hourly_partials(points: DataFrame, rollup_dir: str) -> None:
 def read_hourly_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     """Merge partials into final per-hour aggregates. Algebraic merge:
     exact regardless of how many batches contributed to an hour."""
+    _recover_rollup(spark, rollup_dir)
     p = spark.read.parquet(rollup_dir)
     return p.groupBy(*KEYS).agg(
         F.sum("cnt").alias("points"),
@@ -71,15 +98,13 @@ def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
     previous cache()-as-barrier version could recompute from a
     partially-deleted source if cached blocks were evicted mid-overwrite
     (ADVICE r2). A reader racing the swap can hit the brief window between
-    the two renames (dir momentarily absent); partials are re-derivable
-    from the fact table, so the failure mode is a retryable read, not data
-    loss."""
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(rollup_dir)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    parent, name = root.getParent().toString(), root.getName()
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{parent}/.{name}.compact_tmp")
-    old = jvm.org.apache.hadoop.fs.Path(f"{parent}/.{name}.compact_old")
+    the two renames (dir momentarily absent — retryable); a CRASH in that
+    window is healed by ``_recover_rollup``, which every rollup entry
+    point runs before touching the dir (code-review r3: without it the
+    next partial append would recreate the dir with one batch of history
+    and readers would silently undercount)."""
+    _recover_rollup(spark, rollup_dir)
+    fs, root, tmp, old = _swap_paths(spark, rollup_dir)
 
     p = spark.read.parquet(rollup_dir)
     folded = p.groupBy(*KEYS).agg(

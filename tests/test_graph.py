@@ -22,12 +22,7 @@ def _union_find_components(n_vertices: int, edges: list[tuple[int, int]]) -> dic
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    # canonical label = min vertex id in the component
-    labels: dict[int, int] = {}
-    for v in range(n_vertices):
-        r = find(v)
-        labels[v] = labels.get(r, min(v, r)) if r in labels else r
-    # second pass: root label is the min id seen for that root
+    # canonical label = min vertex id observed in each component
     mins: dict[int, int] = {}
     for v in range(n_vertices):
         r = find(v)

@@ -174,3 +174,25 @@ def test_overlong_body_line_truncates_to_ncols(spark, tmp_path):
     rows = decode_grid_directory(spark, str(p)).collect()
     assert sorted(r.Radiation for r in rows) == [4, 5]
     assert max(r.Longitude for r in rows) == 1.0  # east edge respected
+
+def test_negative_header_values_degrade_not_crash(spark, tmp_path):
+    """code-review r3: a header declaring negative ncols/nrows must clamp
+    that file to zero rows (F.slice throws on negative lengths) — the good
+    file in the same batch still decodes."""
+    good = tmp_path / "a_GLOBAL_20200101_0000.txt"
+    good.write_text(
+        "ncols 2\nnrows 1\nxllcorner 0.0\nyllcorner 0.0\ncellsize 1.0\n"
+        "NODATA_value -1\n7 9\n"
+    )
+    neg_rows = tmp_path / "b_GLOBAL_20200101_0100.txt"
+    neg_rows.write_text(
+        "ncols 2\nnrows -2\nxllcorner 0.0\nyllcorner 0.0\ncellsize 1.0\n"
+        "NODATA_value -1\n1 2\n"
+    )
+    neg_cols = tmp_path / "c_GLOBAL_20200101_0200.txt"
+    neg_cols.write_text(
+        "ncols -3\nnrows 1\nxllcorner 0.0\nyllcorner 0.0\ncellsize 1.0\n"
+        "NODATA_value -1\n1 2 3\n"
+    )
+    rows = decode_grid_directory(spark, str(tmp_path)).collect()
+    assert sorted(r.Radiation for r in rows) == [7, 9]

@@ -307,3 +307,46 @@ def test_sink_commit_marker_roundtrip(spark, tmp_path):
     assert not _batch_committed(spark, commit_dir, 1)
     _mark_batch_committed(spark, commit_dir, 0)  # re-mark is idempotent
     assert _batch_committed(spark, commit_dir, 0)
+
+
+def test_compact_partitions_crash_recovery(spark, tmp_path):
+    """code-review r3: a crash between renaming the new generation in and
+    deleting the old one must be repaired by the next compact run (via the
+    temp-dir manifest), not leave duplicate rows forever."""
+    import glob
+
+    from etl_bom_radiation_spark.grid.decode import decode_grid_directory
+    from etl_bom_radiation_spark.ingest import compact_partitions, write_points
+
+    data_dir = str(tmp_path / "athena")
+    pts = decode_grid_directory(spark, os.path.join(FIXTURES, GOOD_FILES[0]))
+    write_points(pts, data_dir)
+    write_points(pts, data_dir)  # second generation -> 2 files per partition
+    total = spark.read.parquet(data_dir).count()
+
+    part_dir = None
+    for root_dir, dirs, files in os.walk(data_dir):
+        if any(f.endswith(".parquet") for f in files):
+            part_dir = root_dir
+            break
+    assert part_dir is not None
+    old_files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+    assert len(old_files) == 2
+
+    # construct the committed-but-crashed swap state by hand: folded output
+    # + manifest in the hidden tmp dir, then "crash" after renaming ONE new
+    # file in (both generations partially visible, deletes never ran)
+    parent, name = os.path.dirname(part_dir), os.path.basename(part_dir)
+    tmp = os.path.join(parent, f".{name}.compacting")
+    spark.read.parquet(part_dir).coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_OLDFILES"), "w") as fh:
+        fh.write("\n".join(os.path.basename(f) for f in old_files))
+    new_files = sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+    os.rename(new_files[0], os.path.join(part_dir, os.path.basename(new_files[0])))
+
+    # partition now double-counts; the next compaction run repairs it
+    assert spark.read.parquet(data_dir).count() == 2 * total
+    n = compact_partitions(spark, data_dir)
+    assert n >= 1
+    assert not os.path.exists(tmp)
+    assert spark.read.parquet(data_dir).count() == total

@@ -56,3 +56,36 @@ def test_rollup_matches_full_recompute(spark, tmp_path):
     R.compact_rollup(spark, rdir)
     assert spark.read.parquet(rdir).count() < n_partials_before
     assert _as_dict(R.read_hourly_rollup(spark, rdir)) == before
+
+
+def test_rollup_crash_window_recovery(spark, tmp_path):
+    """code-review r3: a crash between compact_rollup's two renames leaves
+    rollup_dir absent and the previous generation staged aside; every
+    entry point must restore it instead of silently recreating an empty
+    dir."""
+    import os
+    import shutil
+
+    rdir = str(tmp_path / "rollup")
+    pts = decode_grid_directory(spark, str(sorted(FIXTURES.glob("*.txt"))[0]))
+    R.append_hourly_partials(pts, rdir)
+    before = _as_dict(R.read_hourly_rollup(spark, rdir))
+
+    # simulate the crash window: rollup_dir renamed aside, swap-in never ran
+    staged = str(tmp_path / ".rollup.compact_old")
+    os.rename(rdir, staged)
+    assert not os.path.exists(rdir)
+
+    # a new batch append must first heal, then append — not recreate empty
+    R.append_hourly_partials(pts, rdir)
+    merged = _as_dict(R.read_hourly_rollup(spark, rdir))
+    assert set(merged) == set(before)
+    # the healed dir holds BOTH generations of partials (counts doubled)
+    for k in before:
+        assert merged[k][0] == 2 * before[k][0]
+
+    # and a reader alone heals too
+    shutil.rmtree(str(tmp_path / "rollup"))
+    R.append_hourly_partials(pts, rdir)
+    os.rename(rdir, staged)
+    assert _as_dict(R.read_hourly_rollup(spark, rdir)) == before

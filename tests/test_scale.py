@@ -80,17 +80,9 @@ def test_bucketed_q05_shape_no_exchange(spark, sf_dir):
         # broadcast tiny orders (and skip the bucketed scan entirely);
         # at 100 TB neither side broadcasts — force that shape
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = (
-            spark.table("b_li_q05")
-            .join(spark.table("b_o_q05"), F.col("l_orderkey") == F.col("o_orderkey"))
-            .filter(F.col("o_orderstatus") == "F")
-            .select(
-                "l_orderkey",
-                "l_linenumber",
-                "o_orderstatus",
-                F.round("l_extendedprice", 2).alias("price"),
-            )
-        )
+        from bench import bucketed_q05_shape
+
+        joined = bucketed_q05_shape(spark, "b_li_q05", "b_o_q05")
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # zero shuffle, broadcast included
         assert "SortMergeJoin" in plan
@@ -108,13 +100,17 @@ def test_bucketed_q05_shape_no_exchange(spark, sf_dir):
 def test_global_sort_index_is_exact_permutation(spark):
     """Property test for the mono-id global position trick: positions are
     exactly 1..N and agree with the total sort order, including duplicate
-    primary keys split only by the tiebreaker and empty range partitions."""
+    primary keys split only by the tiebreaker, empty range partitions,
+    and — crucially — PAYLOAD columns beyond the sort keys (code-review
+    r3: divergent column pruning across the forked branches used to
+    mis-align positions silently; the localCheckpoint pins one
+    partitioning)."""
     import random
 
     rng = random.Random(41)
-    rows = [(i, rng.randrange(20) * 1.0) for i in range(5000)]
+    rows = [(i, rng.randrange(20) * 1.0, f"payload-{i%7}") for i in range(5000)]
     rng.shuffle(rows)
-    df = spark.createDataFrame(rows, ["uid", "v"])
+    df = spark.createDataFrame(rows, ["uid", "v", "extra"])
     out = scale.global_sort_index(
         df, F.col("v").desc(), F.col("uid").asc(), index_name="pos", num_partitions=16
     ).collect()
@@ -123,6 +119,8 @@ def test_global_sort_index_is_exact_permutation(spark):
     assert [(r["v"], r["uid"]) for r in by_pos] == sorted(
         [(r["v"], r["uid"]) for r in out], key=lambda t: (-t[0], t[1])
     )
+    # payload survives untouched
+    assert all(r["extra"] == f"payload-{r['uid']%7}" for r in out)
 
 
 def test_global_sort_index_edge_cases(spark):
