@@ -320,3 +320,46 @@ def g_datasource_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "hour",
     )
+
+
+@register(
+    "g_cell_anomaly",
+    oracle=_ORACLE_BASE
+    + """
+    , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
+    , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
+    , pts AS (
+        SELECT strftime(syd, '%Y-%m-%d %H:%M') AS date_str,
+               ROUND(xll + (j-1)*cs, 6) AS Longitude,
+               ROUND(yll + nrows*cs - i*cs, 6) AS Latitude,
+               CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS Radiation
+        FROM cls
+        WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
+          AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
+    )
+    SELECT date_str, Longitude, Latitude, Radiation,
+           ROUND(Radiation - AVG(Radiation) OVER (PARTITION BY Longitude, Latitude), 4)
+               AS anomaly
+    FROM pts
+    """,
+)
+def g_cell_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster analytics over the decoded point table: each observation's
+    anomaly vs its grid cell's all-time mean (the day-over-day 'is this
+    reading unusual' query the partitioned layout exists to serve). The
+    window partitions on the rounded cell coordinates — high-cardinality
+    keys, one shuffle; at 100 TB the cell-mean side would be maintained
+    incrementally like streaming/rollup.py and broadcast-joined instead."""
+    pts = decode_grid_directory(spark, GRID_DIR)
+    from pyspark.sql.window import Window
+
+    sel = pts.select(
+        F.date_format("Date", "yyyy-MM-dd HH:mm").alias("date_str"),
+        F.round("Longitude", 6).alias("Longitude"),
+        F.round("Latitude", 6).alias("Latitude"),
+        "Radiation",
+    )
+    w = Window.partitionBy("Longitude", "Latitude")
+    return sel.withColumn(
+        "anomaly", F.round(F.col("Radiation") - F.avg("Radiation").over(w), 4)
+    )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from . import load_tables, register, register_views
+from . import load_events, load_tables, register, register_views
 
 # ---------------------------------------------------------------- projection
 
@@ -317,6 +317,47 @@ def q10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
+    )
+
+
+@register(
+    "q10b_range_join_bucketed",
+    oracle="""
+    WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events)
+    SELECT a.event_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_within_5min
+    FROM e a JOIN e b
+      ON b.event_id <> a.event_id AND abs(b.us - a.us) <= 300000000
+    GROUP BY a.event_id
+    """,
+)
+def q10b_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10b: fact-fact RANGE join at scale — count, per event, the other
+    events within ±5 minutes. q10's BroadcastNestedLoopJoin is only sane
+    when one side is tiny; when BOTH sides are facts the scale pattern is
+    range bucketing: quantize time into 5-minute buckets, explode the left
+    side to its bucket ±1 (bounded 3x inflation), equi-join on the bucket
+    (one shuffle, never a nested loop), then apply the exact range
+    predicate as a post-filter. DuckDB's IEJoin computes the same result
+    from the raw inequality."""
+    ev = load_events(spark, sf_dir).select("event_id", F.unix_micros("ts").alias("us"))
+    span = 300_000_000  # 5 minutes in microseconds
+    b = F.floor(F.col("us") / F.lit(span))
+    left = ev.select(
+        F.col("event_id").alias("a_id"),
+        F.col("us").alias("a_us"),
+        F.explode(F.array(b - 1, b, b + 1)).alias("bucket"),
+    )
+    right = ev.select(
+        F.col("event_id").alias("b_id"), F.col("us").alias("b_us"), b.alias("bucket")
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(
+            (F.col("a_id") != F.col("b_id"))
+            & (F.abs(F.col("a_us") - F.col("b_us")) <= span)
+        )
+        .groupBy(F.col("a_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_within_5min"))
     )
 
 

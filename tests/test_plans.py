@@ -145,3 +145,13 @@ def test_no_declared_query_uses_unpartitioned_window(spark, oracle_sf_dir):
                 offenders.append(name)
                 break
     assert offenders == [], f"unpartitioned window in: {offenders}"
+
+
+def test_bucketed_range_join_avoids_nested_loop(spark, oracle_sf_dir):
+    """q10b: a fact-fact range join must go through bucket equi-join +
+    post-filter — never a BroadcastNestedLoopJoin/CartesianProduct of two
+    fact tables."""
+    p = _plan(spark, oracle_sf_dir, "q10b_range_join_bucketed")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
