@@ -1208,3 +1208,39 @@ def n23_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent.join(F.broadcast(sizes), "label").select(
         "label", "n_vectors", "centroid"
     )
+
+
+@register(
+    "n24_length_percentile",
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(PERCENT_RANK() OVER (ORDER BY n_chars ASC, doc_id ASC), 6) AS pct
+    FROM documents
+    """,
+)
+def n24_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N24 (extension): exact percentile rank of every document by length —
+    the quality-filter calibration query ('what cutoff drops the bottom
+    5%?'). PERCENT_RANK over a global order is an unpartitioned window
+    (single-task at scale, forbidden by the registry lint); instead the
+    rank comes from scale.global_sort_index (range partition + broadcast
+    offsets) and pct = (pos-1)/(N-1) with N broadcast — fully parallel,
+    bit-identical to the window form because the order is total."""
+    from ..scale import global_sort_index
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    idx = global_sort_index(
+        d.select("doc_id", "n_chars"),
+        F.col("n_chars").asc(),
+        F.col("doc_id").asc(),
+        index_name="pos",
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        idx.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round((F.col("pos") - 1) / (F.col("n_docs") - 1), 6).alias("pct"),
+        )
+    )

@@ -558,3 +558,41 @@ def x03_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "x05_price_histogram",
+    oracle="""
+    WITH s AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+    SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)), 19) AS BIGINT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo_price,
+           ROUND(MAX(o_totalprice), 2) AS hi_price
+    FROM orders, s GROUP BY 1
+    """,
+)
+def x05_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x05 (extension): 20-bucket equi-width histogram of order prices —
+    one tiny min/max aggregate broadcast back over the fact (two narrow
+    passes, one shuffle of 20 partial rows). The classic distribution-
+    profile query; both engines compute the identical IEEE bucket
+    expression, so the histogram is exactly oracle-checkable."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    s = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    w = (F.col("hi") - F.col("lo")) / 20
+    return (
+        o.crossJoin(F.broadcast(s))
+        .withColumn(
+            "bucket",
+            F.least(F.floor((F.col("o_totalprice") - F.col("lo")) / w), F.lit(19)).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo_price"),
+            F.round(F.max("o_totalprice"), 2).alias("hi_price"),
+        )
+    )
