@@ -155,3 +155,22 @@ def test_bucketed_range_join_avoids_nested_loop(spark, oracle_sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_vocab_topk_uses_heaps(spark, oracle_sf_dir):
+    # corpus explodes and counts (map-side combine) but never globally sorts
+    p = _plan(spark, oracle_sf_dir, "n21_vocab_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tfidf_bounds_per_doc_sort(spark, oracle_sf_dir):
+    p = _plan(spark, oracle_sf_dir, "n22_tfidf_topterms")
+    assert "WindowGroupLimit" in p  # top-3 pushed into the window sort
+
+
+def test_histogram_is_single_fact_aggregation(spark, oracle_sf_dir):
+    # min/max broadcast back over the fact; the only hash exchange moves
+    # 20 partial rows
+    p = _plan(spark, oracle_sf_dir, "x05_price_histogram")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
