@@ -508,3 +508,32 @@ def q46_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(nums), ",").alias("numbers_sorted"),
         F.size(words).cast("long").alias("n_longwords"),
     )
+
+
+@register(
+    "q47_try_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_quantity - l_quantity, 0) AS div_by_zero,
+           TRY_CAST(l_returnflag AS INTEGER) AS bad_cast,
+           COALESCE(TRY_CAST(l_linestatus AS DOUBLE), -1.0) AS bad_double
+    FROM lineitem
+    """,
+)
+def q47_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q47: the ANSI-error-safe scalar family — try_divide / try_cast yield
+    NULL instead of raising under ANSI mode (the same contract the grid
+    decode relies on for malformed cells). DuckDB equivalents: NULLIF'd
+    division and TRY_CAST."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
+        ).alias("div_by_zero"),
+        F.col("l_returnflag").try_cast("int").alias("bad_cast"),
+        F.coalesce(F.col("l_linestatus").try_cast("double"), F.lit(-1.0)).alias(
+            "bad_double"
+        ),
+    )

@@ -596,3 +596,31 @@ def x05_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi_price"),
         )
     )
+
+
+@register(
+    "q34b_correlated_select_subquery",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE((SELECT ROUND(MAX(l.l_extendedprice), 2)
+                     FROM lineitem l WHERE l.l_orderkey = o.o_orderkey), -1)
+               AS max_item
+    FROM orders o
+    """,
+)
+def q34b_correlated_select_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q34b: correlated scalar subquery in the SELECT list (q34 covers the
+    WHERE position) — Catalyst decorrelates it into ONE aggregate of
+    lineitem plus a left outer join on orderkey, not a per-row probe; at
+    100 TB that is the only viable shape and the optimizer gets there
+    from the declarative form."""
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               COALESCE((SELECT ROUND(MAX(l.l_extendedprice), 2)
+                         FROM lineitem l WHERE l.l_orderkey = o.o_orderkey), -1)
+                   AS max_item
+        FROM orders o
+        """
+    )
