@@ -196,3 +196,24 @@ def test_negative_header_values_degrade_not_crash(spark, tmp_path):
     )
     rows = decode_grid_directory(spark, str(tmp_path)).collect()
     assert sorted(r.Radiation for r in rows) == [7, 9]
+
+def test_crlf_and_trailing_whitespace(spark, tmp_path):
+    """Windows-origin grid files: CRLF line endings and trailing spaces on
+    body lines must decode identically to the Unix form (the reference's
+    splitlines() handled both; our split is \\r?\\n + rtrim)."""
+    unix = tmp_path / "a_GLOBAL_20200101_0000.txt"
+    unix.write_text(
+        "ncols 2\nnrows 2\nxllcorner 10.0\nyllcorner 20.0\ncellsize 1.0\n"
+        "NODATA_value -1\n1 2\n3 -1\n"
+    )
+    crlf = tmp_path / "b_GLOBAL_20200101_0000.txt"
+    crlf.write_bytes(
+        b"ncols 2\r\nnrows 2\r\nxllcorner 10.0\r\nyllcorner 20.0\r\ncellsize 1.0\r\n"
+        b"NODATA_value -1\r\n1 2 \r\n3 -1\r\n"
+    )
+    rows = decode_grid_directory(spark, str(tmp_path)).collect()
+    # both files decode to the same 3 surviving points
+    # (y0 = 20 + 2*1 = 22: row 0 -> lat 21, row 1 -> lat 20)
+    assert len(rows) == 6
+    pts = sorted({(r.Longitude, r.Latitude, r.Radiation) for r in rows})
+    assert pts == [(10.0, 20.0, 3), (10.0, 21.0, 1), (11.0, 21.0, 2)]
