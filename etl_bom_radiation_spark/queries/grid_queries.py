@@ -330,6 +330,7 @@ def g_datasource_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
     , pts AS (
         SELECT strftime(syd, '%Y-%m-%d %H:%M') AS date_str,
+               p[2] AS RadiationType,
                ROUND(xll + (j-1)*cs, 6) AS Longitude,
                ROUND(yll + nrows*cs - i*cs, 6) AS Latitude,
                CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS Radiation
@@ -337,8 +338,9 @@ def g_datasource_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
           AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
     )
-    SELECT date_str, Longitude, Latitude, Radiation,
-           ROUND(Radiation - AVG(Radiation) OVER (PARTITION BY Longitude, Latitude), 4)
+    SELECT date_str, RadiationType, Longitude, Latitude, Radiation,
+           ROUND(Radiation - AVG(Radiation) OVER (
+                     PARTITION BY RadiationType, Longitude, Latitude), 4)
                AS anomaly
     FROM pts
     """,
@@ -355,11 +357,12 @@ def g_cell_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sel = pts.select(
         F.date_format("Date", "yyyy-MM-dd HH:mm").alias("date_str"),
+        "RadiationType",
         F.round("Longitude", 6).alias("Longitude"),
         F.round("Latitude", 6).alias("Latitude"),
         "Radiation",
     )
-    w = Window.partitionBy("Longitude", "Latitude")
+    w = Window.partitionBy("RadiationType", "Longitude", "Latitude")
     return sel.withColumn(
         "anomaly", F.round(F.col("Radiation") - F.avg("Radiation").over(w), 4)
     )

@@ -1216,6 +1216,8 @@ def n23_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
            ROUND(PERCENT_RANK() OVER (ORDER BY n_chars ASC, doc_id ASC), 6) AS pct
     FROM documents
+    -- PERCENT_RANK of a single row is 0.0; the Spark side guards its
+    -- (pos-1)/(N-1) with try_divide to match
     """,
 )
 def n24_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1241,6 +1243,13 @@ def n24_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("n_chars").cast("bigint").alias("n_chars"),
-            F.round((F.col("pos") - 1) / (F.col("n_docs") - 1), 6).alias("pct"),
+            # try_divide + coalesce: one single document -> 0/0 must yield
+            # PERCENT_RANK's 0.0, not an ANSI DIVIDE_BY_ZERO abort
+            F.round(
+                F.coalesce(
+                    F.try_divide(F.col("pos") - 1, F.col("n_docs") - 1), F.lit(0.0)
+                ),
+                6,
+            ).alias("pct"),
         )
     )

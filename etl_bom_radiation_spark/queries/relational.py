@@ -341,7 +341,10 @@ def q10b_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the raw inequality."""
     ev = load_events(spark, sf_dir).select("event_id", F.unix_micros("ts").alias("us"))
     span = 300_000_000  # 5 minutes in microseconds
-    b = F.floor(F.col("us") / F.lit(span))
+    # integer `div`, NOT float `/` + floor: the codebase convention for
+    # epoch arithmetic (see load_events) — float division of large epoch
+    # integers silently loses low bits past 2^53
+    b = F.expr(f"us div {span}")
     left = ev.select(
         F.col("event_id").alias("a_id"),
         F.col("us").alias("a_us"),

@@ -564,8 +564,9 @@ def x03_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x05_price_histogram",
     oracle="""
     WITH s AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
-    SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)), 19) AS BIGINT)
-               AS bucket,
+    SELECT CAST(CASE WHEN hi = lo THEN 0
+                ELSE LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)), 19) END
+                AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(MIN(o_totalprice), 2) AS lo_price,
            ROUND(MAX(o_totalprice), 2) AS hi_price
@@ -585,9 +586,15 @@ def x05_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.crossJoin(F.broadcast(s))
         .withColumn(
             "bucket",
-            F.least(F.floor((F.col("o_totalprice") - F.col("lo")) / w), F.lit(19)).cast(
-                "bigint"
-            ),
+            # hi == lo (all prices equal) -> one bucket, not a zero-width
+            # division aborting under ANSI mode
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("o_totalprice") - F.col("lo")) / w), F.lit(19)
+                )
+            )
+            .cast("bigint"),
         )
         .groupBy("bucket")
         .agg(
