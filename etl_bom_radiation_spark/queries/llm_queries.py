@@ -49,6 +49,20 @@ _DUCK_TOKENS = (
 )
 
 
+def _shingles(ws, n: int):
+    """Word n-gram shingles over a MATERIALIZED token-array column name/Column
+    (always project the token array first — see n02's tokenize-once note).
+    Sequence is clamped so arrays shorter than n yield a single degenerate
+    shingle of the remaining tokens instead of an invalid range."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + k) for k in range(n)]
+        ),
+    )
+
+
 def _polyhash(col) -> Column:
     """Deterministic 31-base polynomial rolling hash of a string, mod 2^31-1.
     Engine-neutral (defined over code points) so oracles can recompute it."""
@@ -116,14 +130,7 @@ def n02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", _tokens(F.col("text")).alias("ws"))
     shingled = toks.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("ws") - 1, F.lit(1))),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("ws", i), F.element_at("ws", i + 1)
-                ),
-            )
-        ).alias("shingles"),
+        F.array_distinct(_shingles("ws", 2)).alias("shingles"),
     ).filter(F.size("shingles") > 0)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
     feat = tf.transform(shingled)
@@ -514,15 +521,9 @@ def n10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, so the oracle recomputes it exactly."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
     base = d.select("doc_id", _tokens(F.col("text")).alias("ws"))
-    shingles = F.when(
-        F.size("ws") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("ws") - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at("ws", i), F.element_at("ws", i + 1), F.element_at("ws", i + 2)
-            ),
-        ),
-    ).otherwise(F.array(F.array_join("ws", " ")))
+    shingles = F.when(F.size("ws") >= 3, _shingles("ws", 3)).otherwise(
+        F.array(F.array_join("ws", " "))
+    )
     return base.select(
         "doc_id",
         F.array_min(F.transform(shingles, _polyhash)).cast("bigint").alias("fingerprint"),
@@ -632,14 +633,7 @@ def n12_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", _tokens(F.col("text")).alias("ws"))
     sh = base.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("ws") - 1, F.lit(1))),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("ws", i), F.element_at("ws", i + 1)
-                ),
-            )
-        ).alias("s"),
+        F.array_distinct(_shingles("ws", 2)).alias("s"),
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
@@ -810,12 +804,7 @@ def n14_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ws") >= 4)
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - 3),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, 4)),
-                )
-            ).alias("shingle"),
+            F.explode(_shingles("ws", 4)).alias("shingle"),
         )
     )
     bench = sh.filter(F.col("doc_id") < 20).select("shingle").distinct()
@@ -999,18 +988,7 @@ def n19_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = base.select(
         "doc_id",
         F.size("ws").alias("n_toks"),
-        F.when(
-            F.size("ws") >= 3,
-            F.transform(
-                F.sequence(F.lit(1), F.size("ws") - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("ws", i),
-                    F.element_at("ws", i + 1),
-                    F.element_at("ws", i + 2),
-                ),
-            ),
-        ).alias("grams"),
+        F.when(F.size("ws") >= 3, _shingles("ws", 3)).alias("grams"),
     ).filter(F.col("grams").isNotNull() & (F.size("grams") > 0))
     return g.select(
         "doc_id",
