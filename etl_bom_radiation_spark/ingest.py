@@ -129,12 +129,15 @@ def write_points(df: DataFrame, data_dir: str, mode: str = "append") -> None:
 
 
 def write_points_csv(df: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
-    """S3: the reference's own sink shape — headed CSV (bom.py:111,153-156),
-    kept for export parity; parquet (write_points) is the primary format."""
+    """S3: the reference's own sink shape — headed CSV (bom.py:111,153-156)
+    with the reference's minute-precision Date rendering
+    ('%Y-%m-%d %H:%M', bom.py:68,105-106), kept for byte-level export
+    parity; parquet (write_points) is the primary format."""
     (
         df.repartition(*PARTITION_COLS)
         .write.mode(mode)
         .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm")
         .partitionBy(*PARTITION_COLS)
         .csv(out_dir)
     )

@@ -206,6 +206,12 @@ def test_csv_sink_parity(spark, ws, tmp_path):
     assert set(["Date", "RadiationType", "Longitude", "Latitude", "Radiation"]).issubset(
         set(back.columns) | {"year", "month", "day", "hour"}
     )
+    # reference Date rendering: '%Y-%m-%d %H:%M' (bom.py:68,105-106) —
+    # minute precision, no seconds, no ISO 'T'
+    import re as _re
+
+    a_date = back.select("Date").first()["Date"]
+    assert _re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}", a_date), a_date
 
 
 def test_oversized_file_quarantined_without_read(spark, ws):
