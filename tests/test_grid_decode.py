@@ -217,3 +217,24 @@ def test_crlf_and_trailing_whitespace(spark, tmp_path):
     assert len(rows) == 6
     pts = sorted({(r.Longitude, r.Latitude, r.Radiation) for r in rows})
     assert pts == [(10.0, 20.0, 3), (10.0, 21.0, 1), (11.0, 21.0, 2)]
+
+def test_gzipped_grid_decodes_transparently(spark, tmp_path):
+    """Compressed archives are the norm for bulk raster feeds: the
+    wholetext reader decompresses .gz via the Hadoop codec chain, so a
+    gzipped grid decodes identically to its plain-text twin with no code
+    path change (files stay per-file tasks — gzip is unsplittable, which
+    matches the grid format's own unsplittability)."""
+    import gzip
+
+    plain = tmp_path / "a_GLOBAL_20200101_0000.txt"
+    body = (
+        "ncols 2\nnrows 1\nxllcorner 0.0\nyllcorner 0.0\ncellsize 1.0\n"
+        "NODATA_value -1\n7 9\n"
+    )
+    plain.write_text(body)
+    with gzip.open(tmp_path / "b_GLOBAL_20200101_0100.txt.gz", "wt") as fh:
+        fh.write(body)
+    rows = decode_grid_directory(spark, str(tmp_path)).collect()
+    assert sorted(r.Radiation for r in rows) == [7, 7, 9, 9]
+    hours = {r.Date.hour for r in rows}
+    assert len(hours) == 2  # both files parsed their own filename metadata
