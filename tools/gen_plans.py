@@ -18,7 +18,7 @@ NOTES = {
     "q13_multiway_join": "star join: dims broadcast, facts joined, single agg shuffle; no nested-loop anywhere",
     "q14_groupby_agg": "partial HashAggregate below the Exchange (map-side combine), final above",
     "q23_ranking": "one Exchange on the window partition key, one sort per partition",
-    "q27_global_sort": "global sort position with NO single-partition window: one range Exchange (reused by the offset branches), in-partition sequence from monotonically_increasing_id, offsets broadcast back",
+    "q27_global_sort": "global sort position with NO single-partition window: the range partition + local sort live in a checkpointed lineage (Scan ExistingRDD — one materialization pins the partitioning for both the rows and the counts branches), in-partition sequence from monotonically_increasing_id, offsets broadcast back",
     "q28_topk": "TakeOrderedAndProject: per-partition heaps, k rows to the driver, no global sort",
     "q29_topk_per_group": "WindowGroupLimit pushes rn<=3 into the window sort",
     "n01_exact_dedup": "single shuffle on the md5 digest; uniform keys so no skew possible",
