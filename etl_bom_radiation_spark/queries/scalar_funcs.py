@@ -537,3 +537,54 @@ def q47_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bad_double"
         ),
     )
+
+
+@register(
+    "q48_struct_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           struct_pack(key := o_orderkey, prio := o_orderpriority).key AS k,
+           struct_pack(key := o_orderkey, prio := o_orderpriority).prio AS p,
+           to_json(struct_pack(key := o_orderkey, prio := o_orderpriority)) AS js
+    FROM orders
+    """,
+)
+def q48_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q48: STRUCT construction, field navigation, and JSON rendering —
+    the nested-record surface (named_struct / dot access / to_json).
+    Integer+string fields only: both engines render those identically in
+    compact JSON, while doubles would diverge (1.0 vs 1)."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    s = F.struct(
+        F.col("o_orderkey").alias("key"), F.col("o_orderpriority").alias("prio")
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("key").alias("k"),
+        s.getField("prio").alias("p"),
+        F.to_json(s).alias("js"),
+    )
+
+
+@register(
+    "q49_binary_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           to_base64(encode(substring(text, 1, 24))) AS b64_prefix,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def q49_binary_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q49: BINARY type surface — utf-8 encode, byte length, base64, and
+    digest over bytes. Base64 is computed over a short prefix: both
+    engines emit unwrapped RFC 4648 for short inputs (Spark's JVM codec
+    line-wraps at 76 chars on long ones)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+        F.base64(F.encode(F.substring("text", 1, 24), "UTF-8")).alias("b64_prefix"),
+        F.md5(F.encode("text", "UTF-8")).alias("digest"),
+    )
