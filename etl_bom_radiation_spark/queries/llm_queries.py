@@ -53,12 +53,16 @@ def _shingles(ws, n: int):
     """Word n-gram shingles over a MATERIALIZED token-array column name/Column
     (always project the token array first — see n02's tokenize-once note).
     Sequence is clamped so arrays shorter than n yield a single degenerate
-    shingle of the remaining tokens instead of an invalid range."""
+    shingle of the remaining tokens instead of an invalid range;
+    try_element_at (NOT element_at, which RAISES on out-of-bounds under
+    ANSI mode) + NULL-skipping concat_ws make that degenerate shingle the
+    available tokens instead of a crash (code-review r3c: a single-token
+    document aborted the whole 2-gram query)."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1)))
     return F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + k) for k in range(n)]
+            " ", *[F.try_element_at(ws, i + k) for k in range(n)]
         ),
     )
 
@@ -616,7 +620,7 @@ def n11b_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len({_DUCK_TOKENS})),
-                   i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1])) AS s
+                   i -> concat_ws(' ', {_DUCK_TOKENS}[i], {_DUCK_TOKENS}[i+1]))) AS s
         FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -133,3 +133,22 @@ def test_nondeterministic_ids(spark, oracle_sf_dir):
     h1 = c.select(F.xxhash64("c_name").alias("h")).collect()
     h2 = c.select(F.xxhash64("c_name").alias("h")).collect()
     assert [r["h"] for r in h1] == [r["h"] for r in h2]
+
+
+def test_shingle_queries_survive_single_token_docs(spark, tmp_path):
+    """code-review r3c: element_at RAISES on out-of-bounds under ANSI mode,
+    so a single-token document used to abort every 2-gram query. The
+    shared _shingles helper now uses try_element_at — degenerate docs
+    yield a degenerate shingle, never a crash."""
+    import etl_bom_radiation_spark.queries.llm_queries as L
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "single", "en", "web", 6), (2, "two words", "en", "web", 9),
+         (3, "", "en", "web", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.parquet(f"{d}/documents.parquet")
+    assert len(L.n12_ngram_jaccard(spark, d).collect()) == 2
+    assert len(L.n10_fingerprint(spark, d).collect()) == 3
+    assert L.n19_repetition_stats(spark, d).count() == 0  # all docs < 3 grams
+    assert L.n02_minhash_lsh(spark, d).count() == 0  # no near-dups, no crash
