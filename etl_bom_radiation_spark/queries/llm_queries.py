@@ -86,11 +86,13 @@ def _duck_polyhash(expr: str) -> str:
 
 def _cosine(a, b) -> Column:
     """Cosine similarity of two double arrays via zip_with + aggregate —
-    pure JVM, codegen'd; no UDF."""
+    pure JVM, codegen'd; no UDF. try_divide: a zero-norm vector yields
+    NULL similarity (dropping out of top-k/thresholds) instead of an ANSI
+    DIVIDE_BY_ZERO abort (code-review r3c probe)."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    return dot / (na * nb)
+    return F.try_divide(dot, na * nb)
 
 
 # ------------------------------------------------------------------- dedup
@@ -286,7 +288,7 @@ def n04_similarity_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", dot / (F.col("na") * F.col("nb")))
+        .withColumn("sim", F.try_divide(dot, F.col("na") * F.col("nb")))
         .filter(F.col("sim") >= 0.35)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )

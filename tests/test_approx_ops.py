@@ -152,3 +152,20 @@ def test_shingle_queries_survive_single_token_docs(spark, tmp_path):
     assert len(L.n10_fingerprint(spark, d).collect()) == 3
     assert L.n19_repetition_stats(spark, d).count() == 0  # all docs < 3 grams
     assert L.n02_minhash_lsh(spark, d).count() == 0  # no near-dups, no crash
+
+
+def test_cosine_queries_survive_zero_norm_vectors(spark, tmp_path):
+    """code-review r3c probe: a zero-norm embedding made cosine similarity
+    divide by zero (ANSI abort). try_divide yields NULL similarity — the
+    vector drops out of thresholds and sorts last in top-k."""
+    import etl_bom_radiation_spark.queries.llm_queries as L
+
+    d = str(tmp_path)
+    rows = [(0, [1.0, 2.0, 3.0], "a"), (1, [0.0, 0.0, 0.0], "a"), (2, [3.0, 2.0, 1.0], "b")]
+    spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).write.parquet(
+        f"{d}/embeddings.parquet"
+    )
+    top = L.n03_topk_cosine(spark, d).collect()
+    assert [r["vec_id"] for r in top][:2] == [0, 2]  # zero vector sorts last
+    pairs = L.n04_similarity_selfjoin(spark, d).collect()
+    assert all(1 not in (r["id_a"], r["id_b"]) for r in pairs)
