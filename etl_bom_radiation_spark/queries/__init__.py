@@ -94,9 +94,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     it truncates identically)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's 53-bit
-    # mantissa, so float division would corrupt the low microseconds.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        # integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's
+        # 53-bit mantissa, so float division would corrupt the low
+        # microseconds.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # an events table with a plain TIMESTAMP ts (micros) passes through
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
