@@ -1,0 +1,148 @@
+"""Degenerate-corpus regression net (code-review r3c method): every probed
+family must tolerate empty tables, NULL key columns, and boundary rows
+without raising — Spark 4's ANSI mode turns silent arithmetic/indexing
+edge cases into aborts (element_at, /0), so "no crash on weird data" is an
+explicit contract here, locked by tests.
+
+The specific bugs this method caught (single-token shingle abort,
+zero-norm cosine abort, nanos-only load_events) each have their own
+targeted regression tests; this suite keeps the broad net in place.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from etl_bom_radiation_spark.queries import load_all
+
+QS = load_all()
+
+DOC_QUERIES = [
+    "n01_exact_dedup",
+    "n05_text_stats",
+    "n06_normalization",
+    "n08_quality_filter",
+    "n09_lang_id",
+    "n10_fingerprint",
+    "n12_ngram_jaccard",
+    "n13_token_count",
+    "n14_decontamination",
+    "n19_repetition_stats",
+    "n21_vocab_topk",
+    "n22_tfidf_topterms",
+    "n24_length_percentile",
+]
+
+EVENT_ORDER_QUERIES = [
+    "q23_ranking",
+    "q24_lag_lead",
+    "q25_frames",
+    "q26_range_frame",
+    "x01_funnel_conversion",
+    "x02_gapfill",
+    "x03_cohort_retention",
+    "t02_tumbling_window",
+    "t04_session_window",
+    "t06_dedup",
+    "t07_stateful_running",
+    "q10b_range_join_bucketed",
+    "q27_global_sort",
+    "q28_topk",
+    "x05_price_histogram",
+    "q48_struct_funcs",
+]
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+EV_SCHEMA = (
+    "event_id long, user_id long, event_type string, ts timestamp, "
+    "value double, props string"
+)
+ORD_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+    "o_orderdate timestamp, o_orderpriority string"
+)
+
+
+@pytest.fixture(scope="module")
+def weird_dir(spark, tmp_path_factory):
+    """One corpus: NULL-riddled + boundary rows for every table."""
+    d = str(tmp_path_factory.mktemp("weird"))
+    ts = datetime.datetime(2024, 1, 1, 10, 0)
+    spark.createDataFrame(
+        [
+            (1, None, "en", "web", None),  # NULL text
+            (2, "single", None, "web", 6),  # one token, NULL lang
+            (3, "more words in this one", "en", None, 22),
+        ],
+        DOC_SCHEMA,
+    ).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [
+            (1, 7, "view", ts, 1.0, "{}"),
+            (2, None, "click", None, None, None),  # NULL user/ts/value/props
+            (3, 7, None, ts + datetime.timedelta(minutes=3), 2.0, '{"k":1}'),
+        ],
+        EV_SCHEMA,
+    ).write.parquet(f"{d}/events.parquet")
+    spark.createDataFrame(
+        [(1, 1, "F", None, ts, "1-URGENT"), (2, 1, "O", 100.0, None, None)],
+        ORD_SCHEMA,
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(0, [1.0, 2.0], "a"), (1, [0.0, 0.0], "a")],
+        "vec_id long, embedding array<double>, label string",
+    ).write.parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty"))
+    spark.createDataFrame([], DOC_SCHEMA).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame([], EV_SCHEMA).write.parquet(f"{d}/events.parquet")
+    spark.createDataFrame([], ORD_SCHEMA).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label string"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    spark.createDataFrame(
+        [],
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp, "
+        "l_partkey long, l_suppkey long",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    return d
+
+
+def _run_all(spark, sf_dir, names):
+    failures = []
+    for name in names:
+        try:
+            QS[name].fn(spark, sf_dir).collect()
+        except Exception as ex:  # noqa: BLE001 - the assertion reports them all
+            failures.append(f"{name}: {type(ex).__name__}")
+    assert failures == [], failures
+
+
+def test_doc_queries_tolerate_weird_corpus(spark, weird_dir):
+    _run_all(spark, weird_dir, DOC_QUERIES)
+
+
+def test_event_order_queries_tolerate_weird_corpus(spark, weird_dir):
+    _run_all(spark, weird_dir, EVENT_ORDER_QUERIES)
+
+
+def test_embedding_queries_tolerate_zero_vectors(spark, weird_dir):
+    _run_all(spark, weird_dir, ["n03_topk_cosine", "n04_similarity_selfjoin", "n23_label_centroids"])
+
+
+def test_everything_tolerates_empty_tables(spark, empty_dir):
+    _run_all(
+        spark,
+        empty_dir,
+        DOC_QUERIES
+        + EVENT_ORDER_QUERIES
+        + ["n03_topk_cosine", "n23_label_centroids", "u02_pandas_udf", "u04_grouped_udaf"],
+    )
