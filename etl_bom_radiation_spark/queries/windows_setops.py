@@ -12,8 +12,8 @@ construction; timestamps are emitted as epoch micros or formatted strings.
 Scale notes (100 TB): window functions shuffle once on partitionBy keys —
 fine when key cardinality is high (user_id, orderkey). There is NO
 unpartitioned window in this module: global sort position (q27) goes
-through scale.global_sort_index (range partition + per-partition
-row_number + broadcast offsets), and top-k (q28) is
+through scale.global_sort_index (checkpointed range partition +
+in-partition mono-id sequence + broadcast offsets), and top-k (q28) is
 TakeOrderedAndProject — per-partition heaps, only k rows to the driver.
 """
 

@@ -1,8 +1,8 @@
 """Scale levers: bucketed co-located joins and salted skew joins.
 
-These are the two shuffle-elimination techniques the declared query surface
-relies on implicitly (AQE skew handling is on in session.py; dimension
-joins broadcast) made explicit and testable:
+Shuffle-elimination and global-ordering levers the declared query surface
+relies on (AQE skew handling is on in session.py; dimension joins
+broadcast), made explicit and testable:
 
 * **Bucketing** — persist both sides of a recurring fact-fact join
   bucketed (and sorted) on the join key: the join then reads co-located
@@ -17,8 +17,12 @@ joins broadcast) made explicit and testable:
   moderate skew automatically; explicit salting is for the pathological
   key that AQE cannot split because it is a single shuffle key.
 
-tests/test_scale.py asserts the zero-Exchange plan for the bucketed join
-and result-equality (vs the plain join) for the salted join.
+* **Global sort index** — exact 1..N positions for a total order without
+  a single-partition window: see :func:`global_sort_index`.
+
+tests/test_scale.py asserts the zero-Exchange plan for the bucketed join,
+result-equality (vs the plain join) for the salted join, and the exact
+permutation property (with payload columns) for the sort index.
 """
 
 from __future__ import annotations
