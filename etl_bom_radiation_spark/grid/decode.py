@@ -40,12 +40,14 @@ SYDNEY_TZ = "Australia/Sydney"
 FACT_COLUMNS = ["Date", "RadiationType", "Longitude", "Latitude", "Radiation"]
 
 
-def read_grid_files(spark: SparkSession, path: str) -> DataFrame:
+def read_grid_files(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """S1: whole-file text scan — one row per grid file.
 
     Mirrors get_object + Body.read().decode(...).splitlines()
     (bom.py:57-59) but distributed: Spark lists the input once on the
-    driver and fans file reads out to executors.
+    driver and fans file reads out to executors. Accepts a directory/glob
+    or an explicit file list (the ingest/maintenance paths pre-filter the
+    listing so only the files they need are ever opened).
     """
     return spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("_path"),

@@ -1,16 +1,52 @@
-"""Filename grammar 2: 11-digit run ``YYYYMMDDNNN`` (SURVEY §2.D F2/F3/F9).
+"""Filename grammars (SURVEY §2.D F2/F3/F6-F9).
 
-Mirrors ``parse_filename`` in the reference partition lambda
-(reference bom-partition/bom_partition.py:14-26): any filename containing an
-11-digit run encodes ``YYYY MM DD NNN`` where ``NNN`` is a 5-minute slot
-index added to a 04:00 base time. Worked example (bom_partition.py:16-17):
+Grammar 1 (``<base>_<TYPE>_<YYYYMMDD>_<HHMM...>.<ext>``, reference
+bom/bom.py:94-107) is implemented as Column expressions in
+``grid.decode.with_filename_metadata``; this module adds its *driver-side*
+counterpart (:func:`sydney_partition_for_filename`) for pruning FS listings
+without opening files.
+
+Grammar 2 (:func:`parse_run_timestamp`) mirrors ``parse_filename`` in the
+reference partition lambda (reference bom-partition/bom_partition.py:14-26):
+any filename containing an 11-digit run ``YYYYMMDDNNN`` encodes
+``YYYY MM DD NNN`` where ``NNN`` is a 5-minute slot index added to a 04:00
+base time. Worked example (bom_partition.py:16-17):
 ``NEMPriceSetter_20171031123.csv`` -> 2017-10-31 04:00 + 123*5 min.
 """
 
 from __future__ import annotations
 
+import re
+from datetime import datetime, timezone
+from zoneinfo import ZoneInfo
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+_SYDNEY = ZoneInfo("Australia/Sydney")
+
+
+def sydney_partition_for_filename(filename: str) -> tuple[int, int, int, int] | None:
+    """Grammar 1, driver-side: filename -> Sydney-local ``(year, month, day,
+    hour)`` partition tuple, or None when the grammar misses.
+
+    Must stay in lockstep with ``with_filename_metadata`` + the S4 partition
+    keys (bom.py:94-107, bom.py:28-32): stem off the extension, split on
+    ``_``, take ``pieces[2]`` as YYYYMMDD and ``pieces[3][:2]`` as the hour,
+    parse as UTC, convert to Australia/Sydney (DST-aware). Because a grid
+    file's timestamp is constant per file, this tuple IS the file's output
+    partition — which makes listing-level pruning exact, not approximate.
+    """
+    stem = re.sub(r"\.[^.]*$", "", filename)
+    pieces = stem.split("_")
+    if len(pieces) < 4:
+        return None
+    try:
+        utc = datetime.strptime(f"{pieces[2]} {pieces[3][:2]}", "%Y%m%d %H")
+    except ValueError:
+        return None
+    local = utc.replace(tzinfo=timezone.utc).astimezone(_SYDNEY)
+    return (local.year, local.month, local.day, local.hour)
 
 
 def parse_run_timestamp(filename: Column | str) -> Column:

@@ -619,11 +619,17 @@ def n11b_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "n12_ngram_jaccard",
     oracle=f"""
-    WITH sh AS (
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ), sh AS (
+        -- range end mirrors _shingles' clamp (ADVICE r3): a 0/1-token doc
+        -- yields ONE degenerate shingle (remaining tokens, or ''), exactly
+        -- like the Spark side — concat_ws skips out-of-bounds NULLs on
+        -- both engines
         SELECT doc_id,
-               list_distinct(list_transform(range(1, len({_DUCK_TOKENS})),
-                   i -> concat_ws(' ', {_DUCK_TOKENS}[i], {_DUCK_TOKENS}[i+1]))) AS s
-        FROM documents
+               list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                   i -> concat_ws(' ', toks[i], toks[i+1]))) AS s
+        FROM t
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /

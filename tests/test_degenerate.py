@@ -138,6 +138,33 @@ def test_embedding_queries_tolerate_zero_vectors(spark, weird_dir):
     _run_all(spark, weird_dir, ["n03_topk_cosine", "n04_similarity_selfjoin", "n23_label_centroids"])
 
 
+def test_n12_oracle_agrees_on_degenerate_docs(spark, weird_dir):
+    """ADVICE r3: the n12 DuckDB oracle must mirror _shingles' degenerate-doc
+    clamp — a 0/1-token (or NULL-text) doc yields ONE degenerate shingle on
+    BOTH engines, so the driver hash check cannot diverge on a corpus that
+    contains such docs (sf fixtures never do; this corpus does)."""
+    import math
+
+    import duckdb
+
+    q = QS["n12_ngram_jaccard"]
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in q.fn(spark, weird_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{weird_dir}/documents.parquet/*.parquet')"
+    )
+    want = {(a, b): j for a, b, j in con.execute(q.oracle).fetchall()}
+    assert set(got) == set(want)
+    for k in want:
+        if want[k] is None or (isinstance(want[k], float) and math.isnan(want[k])):
+            assert got[k] is None or math.isnan(got[k]), (k, got[k], want[k])
+        else:
+            assert got[k] == pytest.approx(want[k]), (k, got[k], want[k])
+
+
 def test_everything_tolerates_empty_tables(spark, empty_dir):
     _run_all(
         spark,

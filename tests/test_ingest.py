@@ -192,6 +192,46 @@ def test_reprocess_partition(spark, ws):
     assert sorted(os.listdir(other)) == other_files_before  # untouched
 
 
+def test_reprocess_partition_scan_pruned(spark, ws):
+    """VERDICT r3: a one-hour rebuild must open ONLY that hour's archived
+    files — the source file list is pruned from the FS listing by the
+    filename-encoded (Sydney-local) partition, zero file I/O."""
+    from etl_bom_radiation_spark.ingest import (
+        archived_files_for_partition,
+        reprocess_partition,
+    )
+
+    _stage_inputs(ws.base, include_bad=False)
+    ingest_batch(spark, ws)  # both fixtures now archived in done/
+
+    sel = archived_files_for_partition(spark, ws.done_dir, 2018, 4, 1, 11)
+    assert [os.path.basename(p) for p in sel] == [GOOD_FILES[1]]
+    sel2 = archived_files_for_partition(spark, ws.done_dir, 2018, 3, 30, 12)
+    assert [os.path.basename(p) for p in sel2] == [GOOD_FILES[0]]
+
+    # an hour with no archived sources: explicit no-op, nothing rewritten
+    before = spark.read.parquet(ws.data_dir).count()
+    assert archived_files_for_partition(spark, ws.done_dir, 2018, 1, 1, 0) == []
+    assert reprocess_partition(spark, ws, 2018, 1, 1, 0) == 0
+    assert spark.read.parquet(ws.data_dir).count() == before
+
+
+def test_sydney_partition_for_filename_mirrors_spark_parse():
+    """The driver-side grammar-1 parse must agree with the Column-expression
+    parse for well-formed names and miss (None) exactly when the Spark side
+    yields NULL metadata — including across the AEDT transition."""
+    from etl_bom_radiation_spark.grid.filenames import sydney_partition_for_filename
+
+    # AEDT (UTC+11): 2018-03-30 01:00 UTC -> 12:00 Sydney
+    assert sydney_partition_for_filename("IDCJ0000_GLOBAL_20180330_0100.txt") == (2018, 3, 30, 12)
+    # AEST (UTC+10): 2018-04-01 01:00 UTC -> 11:00 Sydney
+    assert sydney_partition_for_filename("IDCJ0000_GLOBAL_20180401_0100.txt") == (2018, 4, 1, 11)
+    # grammar misses
+    assert sydney_partition_for_filename("notagridfile.txt") is None
+    assert sydney_partition_for_filename("IDCJ0000_GLOBAL_2018AB01_0100.txt") is None
+    assert sydney_partition_for_filename("a_b.txt") is None
+
+
 def test_csv_sink_parity(spark, ws, tmp_path):
     """S3: the reference's own output shape — headed CSV under the hive
     layout (bom.py:111,153-156)."""
@@ -250,6 +290,58 @@ def test_compact_partitions(spark, ws):
     n_after = len([f for f in os.listdir(part) if f.endswith(".parquet")])
     assert n_after == 1
     assert spark.read.parquet(ws.data_dir).count() == before  # no row lost
+
+
+def test_compact_partitions_many_parallel(spark, ws):
+    """Multiple partitions compact in one call (the per-partition jobs run
+    under a bounded thread pool — VERDICT r3); rows and layout survive."""
+    from etl_bom_radiation_spark.ingest import compact_partitions
+
+    indir = ws.prefix("in")
+    # two partitions (different hours), two generations each -> 2 files/partition
+    for name in [
+        "IDCJ0001_GLOBAL_20180401_0100.txt",
+        "IDCJ0001_GLOBAL_20180401_0300.txt",
+    ]:
+        shutil.copy(os.path.join(FIXTURES, GOOD_FILES[1]), os.path.join(indir, name))
+    ingest_batch(spark, ws)
+    for name in [
+        "IDCJ0002_GLOBAL_20180401_0100.txt",
+        "IDCJ0002_GLOBAL_20180401_0300.txt",
+    ]:
+        shutil.copy(os.path.join(FIXTURES, GOOD_FILES[1]), os.path.join(indir, name))
+    ingest_batch(spark, ws)
+
+    before = spark.read.parquet(ws.data_dir).count()
+    assert compact_partitions(spark, ws.data_dir) == 2
+    for hour in (11, 13):
+        part = os.path.join(ws.data_dir, "year=2018", "month=4", "day=1", f"hour={hour}")
+        assert len([f for f in os.listdir(part) if f.endswith(".parquet")]) == 1
+    assert spark.read.parquet(ws.data_dir).count() == before
+
+
+def test_move_failure_does_not_abort_batch(spark, ws, monkeypatch):
+    """ADVICE r3: one failed rename must not abort the batch — the other
+    files still move, and the failure surfaces in IngestResult instead of
+    an exception raised after data was already committed."""
+    import etl_bom_radiation_spark.ingest as ingest_mod
+
+    _stage_inputs(ws.base, include_bad=False)
+    real_move = ingest_mod._move
+
+    def flaky_move(spark_, src_uri, dst_dir):
+        if os.path.basename(src_uri) == GOOD_FILES[0]:
+            raise OSError("injected rename failure")
+        return real_move(spark_, src_uri, dst_dir)
+
+    monkeypatch.setattr(ingest_mod, "_move", flaky_move)
+    res = ingest_mod.ingest_batch(spark, ws)
+    assert res.rows_written == 18  # the write committed
+    assert [os.path.basename(p) for p in res.move_failures] == [GOOD_FILES[0]]
+    assert "injected rename failure" in next(iter(res.move_failures.values()))
+    # the healthy file still made it to done/; the failed one stayed in in/
+    assert os.listdir(ws.prefix("done")) == [GOOD_FILES[1]]
+    assert os.listdir(ws.prefix("in")) == [GOOD_FILES[0]]
 
 
 def test_register_run_file_partition(spark, ws, tmp_path):
