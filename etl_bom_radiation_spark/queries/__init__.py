@@ -33,6 +33,11 @@ class Query:
     fn: SparkQuery
     oracle: str | None
     doc: str
+    #: True for entries whose fn() side-effects a REAL streaming pipeline
+    #: over a temp workspace (t01/t05/t08): seconds of wall-clock + catalog
+    #: mutation per call. Registry-wide sweeps that only inspect plans
+    #: (window lint, gen_plans) should skip these (ADVICE r3).
+    streaming: bool = False
 
 
 REGISTRY: dict[str, Query] = {}
@@ -51,7 +56,7 @@ TABLES = (
 )
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, streaming: bool = False):
     """Decorator: add a query to the registry.
 
     The registered callable pins ``spark.sql.session.timeZone=UTC`` before
@@ -71,7 +76,13 @@ def register(name: str, oracle: str | None = None):
 
         pinned.__name__ = fn.__name__
         pinned.__doc__ = fn.__doc__
-        REGISTRY[name] = Query(name=name, fn=pinned, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[name] = Query(
+            name=name,
+            fn=pinned,
+            oracle=oracle,
+            doc=fn.__doc__ or "",
+            streaming=streaming,
+        )
         return fn
 
     return deco

@@ -204,7 +204,7 @@ def _localized(df: DataFrame) -> DataFrame:
     return df.sparkSession.createDataFrame(df.collect(), df.schema)
 
 
-@register("t01_stream_ingest")
+@register("t01_stream_ingest", streaming=True)
 def t01_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/S6/S8: REAL exactly-once streaming file ingest — drains the golden
     fixture grids through ingest_stream (file source + checkpoint +
@@ -238,7 +238,7 @@ def t01_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
-@register("t05_watermark_late_drop")
+@register("t05_watermark_late_drop", streaming=True)
 def t05_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5: REAL watermark semantics — three sequential micro-batches through
     a continuous windowed-count query (append mode): batch 1 fills the
@@ -293,7 +293,7 @@ def t05_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-@register("t08_partition_hook")
+@register("t08_partition_hook", streaming=True)
 def t08_partition_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8/D2-D4: the post-commit metadata hook end-to-end — streaming ingest
     with fq_table wired runs MSCK-once / ADD PARTITION synchronously inside
@@ -314,12 +314,14 @@ def t08_partition_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = init_workspace(spark, base)
     for f in sorted(glob.glob(os.path.join(_fixture_grid_dir(), "*.txt"))):
         shutil.copy(f, os.path.join(base, "in"))
-    db = create_database(spark, "t08-hook")
-    fq = register_table(spark, db, f"radiation_{uuid.uuid4().hex[:8]}", ws)
+    # unique DB per run, dropped on the way out (ADVICE r3: the fixed
+    # 't08_hook' DB accreted in the session catalog and was never cleaned)
+    db = create_database(spark, f"t08-hook-{uuid.uuid4().hex[:8]}")
+    fq = register_table(spark, db, "radiation", ws)
     try:
         q = ingest_stream(spark, ws, os.path.join(base, "ckpt"), fq_table=fq)
         q.awaitTermination()
         return _localized(spark.sql(f"SHOW PARTITIONS {fq}").orderBy("partition"))
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {fq}")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         shutil.rmtree(base, ignore_errors=True)

@@ -35,23 +35,56 @@ def _partial_aggs():
     ]
 
 
+#: how long the swap marker is honored before being treated as a crashed
+#: compactor's leftovers. The marked window spans only the two renames
+#: (milliseconds — the expensive fold write happens BEFORE the marker), so
+#: 60 s is generous; it also bounds how long rollup entry points can block
+#: after a compactor crash. Assumes the hosts' clocks agree to well within
+#: the lease (true for a driver-side ops job; tighten if compaction ever
+#: moves off-host).
+_SWAP_LEASE_MS = 60_000
+
+
 def _swap_paths(spark: SparkSession, rollup_dir: str):
-    """(fs, root, tmp, old) for the compaction swap of *rollup_dir*."""
+    """(fs, root, tmp, old, marker) for the compaction swap of *rollup_dir*."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(rollup_dir)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     parent, name = root.getParent().toString(), root.getName()
     tmp = jvm.org.apache.hadoop.fs.Path(f"{parent}/.{name}.compact_tmp")
     old = jvm.org.apache.hadoop.fs.Path(f"{parent}/.{name}.compact_old")
-    return fs, root, tmp, old
+    marker = jvm.org.apache.hadoop.fs.Path(f"{parent}/.{name}.compact_inprogress")
+    return fs, root, tmp, old, marker
 
 
 def _recover_rollup(spark: SparkSession, rollup_dir: str) -> None:
     """Heal a crashed compact_rollup swap (code-review r3): if the rollup
     dir is missing but the staged-aside previous generation exists, rename
     it back — otherwise the next partial append would silently recreate
-    the dir with ONE batch of history and readers would undercount."""
-    fs, root, tmp, old = _swap_paths(spark, rollup_dir)
+    the dir with ONE batch of history and readers would undercount.
+
+    A LIVE swap is not a crashed one (ADVICE r3): while the in-progress
+    marker is fresh, the compactor owns the directory and this waits the
+    swap out (the marked window is two renames — milliseconds) instead of
+    renaming the staged-aside generation back mid-swap, which aborted the
+    compaction (or, losing the second race, nested a stale dir inside the
+    rollup). A marker older than the lease means the compactor died between
+    marker and swap completion — remove it and heal as before."""
+    import time
+
+    fs, root, tmp, old, marker = _swap_paths(spark, rollup_dir)
+    deadline = time.time() + 2 * (_SWAP_LEASE_MS / 1000)  # hard bound on waiting
+    while fs.exists(marker) and time.time() < deadline:
+        try:
+            age_ms = int(time.time() * 1000) - fs.getFileStatus(
+                marker
+            ).getModificationTime()
+        except Exception:
+            break  # marker vanished between exists and stat: swap finished
+        if age_ms > _SWAP_LEASE_MS:
+            fs.delete(marker, False)  # crashed compactor: heal below
+            break
+        time.sleep(0.05)
     if not fs.exists(root) and fs.exists(old):
         fs.rename(old, root)
         # the folded output in tmp is now stale (superseded by the restored
@@ -102,9 +135,15 @@ def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
     window is healed by ``_recover_rollup``, which every rollup entry
     point runs before touching the dir (code-review r3: without it the
     next partial append would recreate the dir with one batch of history
-    and readers would silently undercount)."""
+    and readers would silently undercount).
+
+    The rename window is fenced by an in-progress marker (ADVICE r3):
+    concurrent rollup entry points — e.g. a streaming batch's partial
+    append landing mid-swap — wait for the marker instead of mistaking
+    the staged-aside directory for a crashed swap and 'recovering' it out
+    from under the two renames."""
     _recover_rollup(spark, rollup_dir)
-    fs, root, tmp, old = _swap_paths(spark, rollup_dir)
+    fs, root, tmp, old, marker = _swap_paths(spark, rollup_dir)
 
     p = spark.read.parquet(rollup_dir)
     folded = p.groupBy(*KEYS).agg(
@@ -114,10 +153,16 @@ def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
         F.max("max_rad").alias("max_rad"),
     )
     folded.write.mode("overwrite").parquet(tmp.toString())
-    fs.delete(old, True)
-    if not fs.rename(root, old):
-        raise OSError(f"compact_rollup: could not stage {rollup_dir} aside")
-    if not fs.rename(tmp, root):
-        fs.rename(old, root)  # roll back: restore the original partials
-        raise OSError(f"compact_rollup: could not swap folded rollup into {rollup_dir}")
-    fs.delete(old, True)
+    fs.create(marker, True).close()  # fence the rename window
+    try:
+        fs.delete(old, True)
+        if not fs.rename(root, old):
+            raise OSError(f"compact_rollup: could not stage {rollup_dir} aside")
+        if not fs.rename(tmp, root):
+            fs.rename(old, root)  # roll back: restore the original partials
+            raise OSError(
+                f"compact_rollup: could not swap folded rollup into {rollup_dir}"
+            )
+        fs.delete(old, True)
+    finally:
+        fs.delete(marker, False)

@@ -139,6 +139,11 @@ def test_no_declared_query_uses_unpartitioned_window(spark, oracle_sf_dir):
     scale. No declared query may contain one."""
     offenders = []
     for name, q in QS.items():
+        if q.streaming:
+            # t01/t05/t08 run REAL streaming pipelines per fn() call and
+            # return localized relations (no window nodes to lint) — the
+            # sweep skips them instead of paying ~16 s + catalog mutation
+            continue
         df = q.fn(spark, oracle_sf_dir)
         for node in _window_nodes(df):
             if not node.get("partitionSpec"):

@@ -89,3 +89,65 @@ def test_rollup_crash_window_recovery(spark, tmp_path):
     R.append_hourly_partials(pts, rdir)
     os.rename(rdir, staged)
     assert _as_dict(R.read_hourly_rollup(spark, rdir)) == before
+
+
+def test_rollup_live_swap_not_mistaken_for_crash(spark, tmp_path):
+    """ADVICE r3: while the in-progress marker is FRESH, a concurrent entry
+    point must wait the swap out — not rename the staged-aside generation
+    back mid-swap. Simulated: marker + staged state exist; a 'compactor'
+    thread completes the swap shortly after; the reader arrives mid-window
+    and must see the post-swap generation with no spurious recovery."""
+    import os
+    import threading
+    import time
+
+    rdir = str(tmp_path / "rollup")
+    pts = decode_grid_directory(spark, str(sorted(FIXTURES.glob("*.txt"))[0]))
+    R.append_hourly_partials(pts, rdir)
+    before = _as_dict(R.read_hourly_rollup(spark, rdir))
+
+    staged = str(tmp_path / ".rollup.compact_old")
+    marker = str(tmp_path / ".rollup.compact_inprogress")
+    os.rename(rdir, staged)  # mid-swap: root absent, old present
+    with open(marker, "w"):
+        pass  # fresh marker: swap is live
+
+    def finish_swap():
+        time.sleep(0.5)
+        os.rename(staged, rdir)  # compactor completes the swap-in
+        os.remove(marker)
+
+    t = threading.Thread(target=finish_swap)
+    t.start()
+    try:
+        t0 = time.time()
+        after = _as_dict(R.read_hourly_rollup(spark, rdir))
+        waited = time.time() - t0
+    finally:
+        t.join()
+    assert after == before
+    assert waited >= 0.4  # it actually waited for the live swap
+    assert not os.path.exists(staged) and not os.path.exists(marker)
+
+
+def test_rollup_stale_marker_healed(spark, tmp_path):
+    """A marker older than the lease is a crashed compactor's leftover:
+    recovery removes it and heals the staged-aside generation."""
+    import os
+    import time
+
+    rdir = str(tmp_path / "rollup")
+    pts = decode_grid_directory(spark, str(sorted(FIXTURES.glob("*.txt"))[0]))
+    R.append_hourly_partials(pts, rdir)
+    before = _as_dict(R.read_hourly_rollup(spark, rdir))
+
+    staged = str(tmp_path / ".rollup.compact_old")
+    marker = str(tmp_path / ".rollup.compact_inprogress")
+    os.rename(rdir, staged)
+    with open(marker, "w"):
+        pass
+    old_t = time.time() - 2 * (R._SWAP_LEASE_MS / 1000)
+    os.utime(marker, (old_t, old_t))  # age the marker past the lease
+
+    assert _as_dict(R.read_hourly_rollup(spark, rdir)) == before
+    assert not os.path.exists(marker)
