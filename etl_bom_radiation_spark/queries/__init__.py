@@ -132,6 +132,10 @@ _MODULES = [
     "scalar_funcs",
     "relational",
     "windows_setops",
+    # LAST on purpose: entries new in round 4 must sort behind the 16
+    # never-driver-verified queries above (stable sort keeps module order
+    # within the unverified group — VERDICT r3 #1)
+    "lifecycle",
 ]
 
 

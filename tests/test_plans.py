@@ -173,6 +173,53 @@ def test_tfidf_bounds_per_doc_sort(spark, oracle_sf_dir):
     assert "WindowGroupLimit" in p  # top-3 pushed into the window sort
 
 
+def test_q03b_own_sink_prunes_partitions(spark, oracle_sf_dir, tmp_path):
+    """q03b's core claim: a predicate on the engine-written partition
+    columns reaches the file source as PartitionFilters (never a post-scan
+    filter over all partitions)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{oracle_sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_quantity",
+        F.year("l_shipdate").alias("year"),
+        F.month("l_shipdate").alias("month"),
+    )
+    out = str(tmp_path / "q03b_sink")
+    li.repartition("year", "month").write.partitionBy("year", "month").parquet(out)
+    q = spark.read.parquet(out).filter((F.col("year") == 1996) & (F.col("month") <= 3))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "year" in plan
+    assert q.select("year").distinct().count() == 1
+
+
+def test_d01_lifecycle_deterministic_contract(spark, oracle_sf_dir):
+    """The d01 rows-only entry returns the exact 12-step summary: any
+    regression in provisioning, partitioned sink, MSCK/ADD PARTITION
+    routing, archival, pruning, CSV export, or cleanup shifts a value."""
+    from etl_bom_radiation_spark.queries import REGISTRY
+
+    rows = {
+        r["step"]: r["value"]
+        for r in QS["d01_catalog_lifecycle"].fn(spark, oracle_sf_dir).collect()
+    }
+    assert rows == {
+        "01_batch1_rows": 9,
+        "02_batch1_partitions": 1,
+        "03_msck_marker_after_batch1": 1,
+        "04_batch2_rows": 9,
+        "05_batch2_partitions": 1,
+        "06_catalog_partitions": 2,
+        "07_archived_files": 2,
+        "08_pruned_count": 9,
+        "09_partition_pruned": 1,
+        "10_csv_export_rows": 18,
+        "11_prefixes_cleaned": 3,
+        "12_in_dir_after_clean": 0,
+    }
+    assert REGISTRY["d01_catalog_lifecycle"].oracle is None  # rows-only contract
+
+
 def test_histogram_is_single_fact_aggregation(spark, oracle_sf_dir):
     # min/max broadcast back over the fact; the only hash exchange moves
     # 20 partial rows
