@@ -220,6 +220,90 @@ def main() -> int:
         spark.sql("DROP TABLE IF EXISTS bench_lineitem_b")
         spark.sql("DROP TABLE IF EXISTS bench_orders_b")
 
+    # skew lever (VERDICT r3 #5): a celebrity key holding ~8M of ~8.2M fact
+    # rows vs a 2.5k-row dim, in the SHUFFLE regime (broadcast disabled: at
+    # 100 TB a "small" side can exceed the broadcast threshold; when it
+    # fits, broadcast remains the first choice and skew is moot). The
+    # skewed fact is persisted to scratch parquet as 64 files and read with
+    # a small maxPartitionBytes so the join shuffle has ~64 MAP tasks —
+    # the many-mapper shape a real cluster has, and a hard requirement for
+    # AQE's skew split, which divides a skewed reduce partition by map-
+    # output ranges: with one mapper (sf0.1's single parquet file) the hot
+    # partition is one indivisible range and AQE silently does nothing.
+    # Three plans over identical inputs: plain sort-merge (one straggler
+    # reducer owns the hot key), explicit salting (scale.salted_join,
+    # salt=16), and AQE skew-split (thresholds scaled so the sf0.1 hot
+    # partition trips them, mirroring the ratios a 100 TB hot key hits
+    # with defaults).
+    from etl_bom_radiation_spark.scale import salted_join
+
+    skew_dir = tempfile.mkdtemp(prefix="bench_skew_")
+    (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select(
+            F.when(F.col("l_orderkey") % 3 != 0, F.lit(1))
+            .otherwise(F.col("l_orderkey"))
+            .cast("long")
+            .alias("k"),
+            "l_quantity",
+        )
+        .withColumn(
+            "_rep",
+            F.explode(
+                F.sequence(F.lit(1), F.when(F.col("k") == 1, 20).otherwise(1))
+            ),
+        )
+        .drop("_rep")
+        .repartition(64)
+        .write.parquet(f"{skew_dir}/fact")
+    )
+    dim = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        (F.col("o_orderkey") % 60 == 0) | (F.col("o_orderkey") == 1)
+    ).select(F.col("o_orderkey").alias("dk"), "o_orderpriority")
+
+    def _timed_noop(build) -> float:
+        build().write.format("noop").mode("overwrite").save()  # warmup/codegen
+        t0 = time.time()
+        build().write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    _SKEW_KEYS = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.openCostInBytes",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )
+    prev_conf = {k: spark.conf.get(k) for k in _SKEW_KEYS}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        li_skew = spark.read.parquet(f"{skew_dir}/fact")
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        timings["skew_plain_join"] = _timed_noop(
+            lambda: li_skew.join(dim, F.col("k") == F.col("dk"))
+        )
+        timings["skew_salted_join"] = _timed_noop(
+            lambda: salted_join(li_skew, dim, "k", "dk", salt=16)
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        timings["skew_aqe_join"] = _timed_noop(
+            lambda: li_skew.join(dim, F.col("k") == F.col("dk"))
+        )
+    finally:
+        for k, v in prev_conf.items():
+            spark.conf.set(k, v)
+        shutil.rmtree(skew_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))

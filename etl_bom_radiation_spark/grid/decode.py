@@ -40,16 +40,25 @@ SYDNEY_TZ = "Australia/Sydney"
 FACT_COLUMNS = ["Date", "RadiationType", "Longitude", "Latitude", "Radiation"]
 
 
-def read_grid_files(spark: SparkSession, path: str | list[str]) -> DataFrame:
+def read_grid_files(
+    spark: SparkSession,
+    path: str | list[str],
+    path_glob_filter: str | None = None,
+) -> DataFrame:
     """S1: whole-file text scan — one row per grid file.
 
     Mirrors get_object + Body.read().decode(...).splitlines()
     (bom.py:57-59) but distributed: Spark lists the input once on the
-    driver and fans file reads out to executors. Accepts a directory/glob
-    or an explicit file list (the ingest/maintenance paths pre-filter the
-    listing so only the files they need are ever opened).
-    """
-    return spark.read.text(path, wholetext=True).select(
+    driver and fans file reads out to executors. Accepts a directory or an
+    explicit file list. ``path_glob_filter`` filters file NAMES during that
+    single listing (Hadoop glob, ``{a,b}`` alternation supported) — the
+    cheap way to scan a subset of a large directory: resolving a path-level
+    glob instead turns every matched file into its own listing root
+    (measured ~6x slower at 1000 matches)."""
+    reader = spark.read
+    if path_glob_filter is not None:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
+    return reader.text(path, wholetext=True).select(
         F.input_file_name().alias("_path"),
         F.col("value").alias("_content"),
     )

@@ -17,7 +17,7 @@ base time. Worked example (bom_partition.py:16-17):
 from __future__ import annotations
 
 import re
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from zoneinfo import ZoneInfo
 
 from pyspark.sql import Column
@@ -47,6 +47,30 @@ def sydney_partition_for_filename(filename: str) -> tuple[int, int, int, int] | 
         return None
     local = utc.replace(tzinfo=timezone.utc).astimezone(_SYDNEY)
     return (local.year, local.month, local.day, local.hour)
+
+
+def utc_hours_for_sydney_partition(
+    year: int, month: int, day: int, hour: int
+) -> list[datetime]:
+    """Grammar 1 inverted: the UTC wall-clock hours whose Sydney-local
+    conversion lands in the target ``(year, month, day, hour)`` partition.
+
+    Filenames carry UTC stamps (bom.py:101-104 converts UTC -> Sydney), so
+    selecting an hour partition's source files means inverting that
+    conversion. Sydney is UTC+10 (AEST) or UTC+11 (AEDT); probing both
+    offsets and round-tripping yields the 1 candidate for normal hours, 2
+    for the repeated hour at the AEDT->AEST fall-back, 0 for the skipped
+    hour at spring-forward — exactly the files that could exist."""
+    out = []
+    for off in (10, 11):
+        try:
+            utc = datetime(year, month, day, hour) - timedelta(hours=off)
+        except ValueError:
+            continue
+        local = utc.replace(tzinfo=timezone.utc).astimezone(_SYDNEY)
+        if (local.year, local.month, local.day, local.hour) == (year, month, day, hour):
+            out.append(utc)
+    return out
 
 
 def parse_run_timestamp(filename: Column | str) -> Column:

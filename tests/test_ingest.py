@@ -194,26 +194,53 @@ def test_reprocess_partition(spark, ws):
 
 def test_reprocess_partition_scan_pruned(spark, ws):
     """VERDICT r3: a one-hour rebuild must open ONLY that hour's archived
-    files — the source file list is pruned from the FS listing by the
-    filename-encoded (Sydney-local) partition, zero file I/O."""
+    files — selected by a name glob on the filename-encoded UTC stamp,
+    applied during the directory's single listing (store-side matching,
+    zero file I/O, O(1) driver round-trips)."""
+    from etl_bom_radiation_spark.grid.decode import read_grid_files
     from etl_bom_radiation_spark.ingest import (
-        archived_files_for_partition,
+        archived_glob_for_partition,
         reprocess_partition,
     )
 
     _stage_inputs(ws.base, include_bad=False)
     ingest_batch(spark, ws)  # both fixtures now archived in done/
 
-    sel = archived_files_for_partition(spark, ws.done_dir, 2018, 4, 1, 11)
-    assert [os.path.basename(p) for p in sel] == [GOOD_FILES[1]]
-    sel2 = archived_files_for_partition(spark, ws.done_dir, 2018, 3, 30, 12)
-    assert [os.path.basename(p) for p in sel2] == [GOOD_FILES[0]]
+    # AEST hour (UTC+10): 2018-04-01 11 Sydney <- 01:00 UTC on the same day
+    pat = archived_glob_for_partition(spark, ws.done_dir, 2018, 4, 1, 11)
+    opened = read_grid_files(spark, ws.done_dir, path_glob_filter=pat).inputFiles()
+    assert [os.path.basename(p) for p in opened] == [GOOD_FILES[1]]
+    # AEDT hour (UTC+11): 2018-03-30 12 Sydney <- 01:00 UTC same day
+    pat2 = archived_glob_for_partition(spark, ws.done_dir, 2018, 3, 30, 12)
+    opened2 = read_grid_files(spark, ws.done_dir, path_glob_filter=pat2).inputFiles()
+    assert [os.path.basename(p) for p in opened2] == [GOOD_FILES[0]]
 
     # an hour with no archived sources: explicit no-op, nothing rewritten
     before = spark.read.parquet(ws.data_dir).count()
-    assert archived_files_for_partition(spark, ws.done_dir, 2018, 1, 1, 0) == []
+    assert archived_glob_for_partition(spark, ws.done_dir, 2018, 1, 1, 0) is None
     assert reprocess_partition(spark, ws, 2018, 1, 1, 0) == 0
     assert spark.read.parquet(ws.data_dir).count() == before
+
+
+def test_utc_hours_for_sydney_partition_dst():
+    """The glob selector's UTC inversion across DST: normal hours have one
+    candidate, the AEDT->AEST fall-back hour (2018-04-01 02:00 Sydney,
+    repeated) has two, the spring-forward skipped hour (2018-10-07 02:00)
+    has none."""
+    from etl_bom_radiation_spark.grid.filenames import (
+        utc_hours_for_sydney_partition,
+    )
+
+    assert [f"{u:%Y%m%d %H}" for u in utc_hours_for_sydney_partition(2018, 4, 1, 11)] == [
+        "20180401 01"
+    ]
+    assert [f"{u:%Y%m%d %H}" for u in utc_hours_for_sydney_partition(2018, 3, 30, 12)] == [
+        "20180330 01"
+    ]
+    # fall-back: 02:xx Sydney happens at UTC 15:xx (AEDT) and 16:xx (AEST)
+    assert len(utc_hours_for_sydney_partition(2018, 4, 1, 2)) == 2
+    # spring-forward: 02:xx Sydney does not exist on 2018-10-07
+    assert utc_hours_for_sydney_partition(2018, 10, 7, 2) == []
 
 
 def test_sydney_partition_for_filename_mirrors_spark_parse():
