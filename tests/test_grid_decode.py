@@ -161,6 +161,29 @@ def test_filename_grammar2(spark):
     assert got[0] == "2017-10-31 14:15"
     assert got[1] is None
 
+
+def test_filename_grammar2_dst_straddle(spark):
+    """VERDICT r3 #7: grammar 2's 04:00-base + 5-min-slot arithmetic is
+    NAIVE calendar math (bom_partition.py:25 uses plain datetime+timedelta,
+    no pytz) — unlike grammar 1, no Sydney conversion may sneak in. Pinned
+    on both AEDT transitions: slot 264 from Oct 6 lands on 02:00 of the
+    spring-forward night (a Sydney wall clock that does NOT exist on
+    2018-10-07 — naive math must still produce it), and slot 276 from
+    Mar 31 lands on the fall-back night's repeated 03:00 unambiguously."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            # 2018-10-06 04:00 + 264*5min = +22h -> 2018-10-07 02:00
+            ("NEMPriceSetter_20181006264.csv",),
+            # 2018-03-31 04:00 + 276*5min = +23h -> 2018-04-01 03:00
+            ("NEMPriceSetter_20180331276.csv",),
+        ],
+        ["fn"],
+    ).select(F.date_format(parse_run_timestamp("fn"), "yyyy-MM-dd HH:mm").alias("t"))
+    got = [r.t for r in df.collect()]
+    assert got == ["2018-10-07 02:00", "2018-04-01 03:00"]
+
 def test_overlong_body_line_truncates_to_ncols(spark, tmp_path):
     """ADVICE r2: a body line with MORE cells than ncols must not emit
     points past the grid's east edge — the Catalyst path truncates to
