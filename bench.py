@@ -117,17 +117,22 @@ def main() -> int:
         "overwrite"
     ).save()
 
-    # one warmup iteration per query (JMH-style), then the timed run: the
-    # first execution of a plan also pays whole-stage-codegen compilation
-    # (Janino), ~1s of one-time JIT that a long-running cluster job pays
-    # once per plan, not per batch — steady-state is the honest number.
+    # one warmup iteration per query (JMH-style), then best-of-3 timed runs:
+    # the first execution of a plan also pays whole-stage-codegen
+    # compilation (Janino), ~1s of one-time JIT that a long-running cluster
+    # job pays once per plan, not per batch — and single timed runs on a
+    # shared box carry ±50% scheduler noise (observed run-to-run on
+    # identical plans), so the minimum of three is the steady-state number.
     timings: dict[str, float] = {}
     for name in names:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        df = qs[name](spark, SF_DIR)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            df = qs[name](spark, SF_DIR)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # flagship at scale: decode 1000 grids (~2M points) end-to-end.
     # Generation is outside the timed section; decode+noop is the metric.
@@ -140,10 +145,13 @@ def main() -> int:
         decode_grid_directory(spark, grids).write.format("noop").mode(
             "overwrite"
         ).save()  # warmup: compile the decode codegen once
-        decoded = decode_grid_directory(spark, grids)
-        t0 = time.time()
-        decoded.write.format("noop").mode("overwrite").save()
-        timings["grid_decode_1000_files"] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            decoded = decode_grid_directory(spark, grids)
+            t0 = time.time()
+            decoded.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings["grid_decode_1000_files"] = round(best, 3)
     finally:
         shutil.rmtree(grids, ignore_errors=True)
 
@@ -212,9 +220,12 @@ def main() -> int:
             return bucketed_q05_shape(spark, "bench_lineitem_b", "bench_orders_b")
 
         _bucketed_q05().write.format("noop").mode("overwrite").save()  # warmup
-        t0 = time.time()
-        _bucketed_q05().write.format("noop").mode("overwrite").save()
-        timings["q05_bucketed_join"] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            _bucketed_q05().write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings["q05_bucketed_join"] = round(best, 3)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS bench_lineitem_b")
@@ -263,9 +274,12 @@ def main() -> int:
 
     def _timed_noop(build) -> float:
         build().write.format("noop").mode("overwrite").save()  # warmup/codegen
-        t0 = time.time()
-        build().write.format("noop").mode("overwrite").save()
-        return round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
 
     _SKEW_KEYS = (
         "spark.sql.autoBroadcastJoinThreshold",
