@@ -26,6 +26,7 @@ NOTES = {
     "n14_decontamination": "benchmark shingle set broadcast; corpus never shuffles for the join",
     "n17_stratified_sample": "WindowGroupLimit: per-stratum quota applied inside the sort, full strata never materialized",
     "x02_gapfill": "fact table aggregated before any join; calendar grid joins post-agg rows only; LOCF window shuffles the grid, not the facts",
+    "q03b_partition_prune_own_sink": "partition predicate on the engine-written sink reaches the scan as PartitionFilters; only 3 of ~84 hive partitions are listed/read",
 }
 
 
