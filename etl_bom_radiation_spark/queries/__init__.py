@@ -136,6 +136,7 @@ _MODULES = [
     # never-driver-verified queries above (stable sort keeps module order
     # within the unverified group — VERDICT r3 #1)
     "lifecycle",
+    "chunking",
 ]
 
 

@@ -33,6 +33,8 @@ DOC_QUERIES = [
     "n21_vocab_topk",
     "n22_tfidf_topterms",
     "n24_length_percentile",
+    "n25_context_chunking",
+    "n26_chunk_dedup",
 ]
 
 EVENT_ORDER_QUERIES = [

@@ -173,6 +173,14 @@ def test_tfidf_bounds_per_doc_sort(spark, oracle_sf_dir):
     assert "WindowGroupLimit" in p  # top-3 pushed into the window sort
 
 
+def test_chunking_is_narrow_and_dedup_shuffles_once(spark, oracle_sf_dir):
+    """n25 (context chunking) is pure per-row explosion — no Exchange;
+    n26 (chunk dedup) adds exactly one shuffle, on the uniform digest."""
+    assert "Exchange" not in _plan(spark, oracle_sf_dir, "n25_context_chunking")
+    p = _plan(spark, oracle_sf_dir, "n26_chunk_dedup")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
 def test_q03b_own_sink_prunes_partitions(spark, oracle_sf_dir, tmp_path):
     """q03b's core claim: a predicate on the engine-written partition
     columns reaches the file source as PartitionFilters (never a post-scan
