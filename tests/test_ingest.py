@@ -434,6 +434,73 @@ def test_sink_commit_marker_roundtrip(spark, tmp_path):
     assert _batch_committed(spark, commit_dir, 0)
 
 
+def test_publish_staged_batch_replay_idempotent(spark, ws, tmp_path):
+    """The stage->manifest->publish protocol that closes the r3 'residual
+    window': a publish interrupted after SOME renames completes on replay,
+    and a full replay (crash after all renames but before the commit
+    marker) renames nothing twice — row count stays exact either way."""
+    from etl_bom_radiation_spark.grid.decode import decode_grid_directory
+    from etl_bom_radiation_spark.ingest import (
+        _STAGE_MANIFEST,
+        PARTITION_COLS,
+        publish_staged_batch,
+    )
+
+    _stage_inputs(ws.base, include_bad=False)
+    pts = decode_grid_directory(spark, ws.prefix("in"))
+    staging = str(tmp_path / "staging" / "0")
+    (
+        pts.repartition(*PARTITION_COLS)
+        .write.mode("overwrite")
+        .partitionBy(*PARTITION_COLS)
+        .parquet(staging)
+    )
+    rels = []
+    for root_dir, _, files in os.walk(staging):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                rels.append(os.path.relpath(os.path.join(root_dir, f), staging))
+    rels = sorted(rels)
+    with open(os.path.join(staging, _STAGE_MANIFEST), "w") as fh:
+        fh.write("\n".join(rels))
+
+    # crashed first attempt: exactly one file made it into the sink
+    dst = os.path.join(ws.data_dir, rels[0])
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.rename(os.path.join(staging, rels[0]), dst)
+
+    assert sorted(publish_staged_batch(spark, staging, ws.data_dir)) == rels
+    assert spark.read.parquet(ws.data_dir).count() == 18  # completed, no dupes
+
+    # full replay with every source already renamed out: still exact
+    assert sorted(publish_staged_batch(spark, staging, ws.data_dir)) == rels
+    assert spark.read.parquet(ws.data_dir).count() == 18
+
+
+def test_staged_manifest_lists_partition_relative_paths(spark, ws, tmp_path):
+    """_staged_data_files must slice against the FS-qualified root (the
+    listing returns file:/ URIs even for scheme-less inputs) — a wrong
+    offset here would corrupt every rename the publish step does."""
+    from etl_bom_radiation_spark.grid.decode import decode_grid_directory
+    from etl_bom_radiation_spark.ingest import PARTITION_COLS, _staged_data_files
+
+    _stage_inputs(ws.base, include_bad=False)
+    pts = decode_grid_directory(spark, ws.prefix("in"))
+    staging_uri = str(tmp_path / "staging" / "7")  # scheme-less, like ingest_stream's
+    (
+        pts.repartition(*PARTITION_COLS)
+        .write.mode("overwrite")
+        .partitionBy(*PARTITION_COLS)
+        .parquet(staging_uri)
+    )
+    jvm = spark._jvm
+    staging = jvm.org.apache.hadoop.fs.Path(staging_uri)
+    fs = staging.getFileSystem(spark._jsc.hadoopConfiguration())
+    rels = _staged_data_files(fs, staging)
+    assert rels and all(r.startswith("year=") and r.count("/") == 4 for r in rels)
+    assert all(os.path.exists(os.path.join(staging_uri, r)) for r in rels)
+
+
 def test_compact_partitions_crash_recovery(spark, tmp_path):
     """code-review r3: a crash between renaming the new generation in and
     deleting the old one must be repaired by the next compact run (via the

@@ -58,6 +58,23 @@ def test_rollup_matches_full_recompute(spark, tmp_path):
     assert _as_dict(R.read_hourly_rollup(spark, rdir)) == before
 
 
+def test_rollup_batch_generation_overwrite_idempotent(spark, tmp_path):
+    """A re-delivered streaming batch rewrites its own gen=batch<id>
+    generation instead of double-appending its partials (the ingest_stream
+    crash window between rollup append and commit marker); a genuinely new
+    batch id still adds."""
+    rdir = str(tmp_path / "rollup")
+    pts = decode_grid_directory(spark, str(sorted(FIXTURES.glob("*.txt"))[0]))
+    R.append_hourly_partials(pts, rdir, batch_id=0)
+    before = _as_dict(R.read_hourly_rollup(spark, rdir))
+    R.append_hourly_partials(pts, rdir, batch_id=0)  # replay: overwrite
+    assert _as_dict(R.read_hourly_rollup(spark, rdir)) == before
+    R.append_hourly_partials(pts, rdir, batch_id=1)  # new batch: adds
+    after = _as_dict(R.read_hourly_rollup(spark, rdir))
+    for k in before:
+        assert after[k][0] == 2 * before[k][0]
+
+
 def test_rollup_crash_window_recovery(spark, tmp_path):
     """code-review r3: a crash between compact_rollup's two renames leaves
     rollup_dir absent and the previous generation staged aside; every
