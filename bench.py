@@ -178,6 +178,14 @@ def main() -> int:
         t0 = time.time()
         write_points(pts, ws.data_dir)
         timings["maint_partitioned_write"] = round(time.time() - t0, 3)
+        # hot-partition fan-out lever: the same corpus lands in ONE hive
+        # partition, so the default one-task-per-partition write is a
+        # single-writer straggler; files_per_partition=8 salts it across
+        # 8 writer tasks (8 files, folded back by compaction later)
+        fan_dir = os.path.join(ws_base, "athena_fanout")
+        t0 = time.time()
+        write_points(pts, fan_dir, files_per_partition=8)
+        timings["maint_partitioned_write_fanout"] = round(time.time() - t0, 3)
         write_points(pts, ws.data_dir)  # second batch -> 2 files in the partition
         t0 = time.time()
         n_comp = compact_partitions(spark, ws.data_dir)

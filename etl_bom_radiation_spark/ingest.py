@@ -133,13 +133,38 @@ def _move_all(
         return dict(r for r in ex.map(_try, paths) if r is not None)
 
 
-def write_points(df: DataFrame, data_dir: str, mode: str = "append") -> None:
+def write_points(
+    df: DataFrame,
+    data_dir: str,
+    mode: str = "append",
+    files_per_partition: int = 1,
+) -> None:
     """S4: Hive-layout partitioned parquet sink (bom.py:28-32 layout,
     parquet instead of headed CSV — SURVEY §1.6). Repartition on the
-    partition keys first: one writer task per output partition."""
+    partition keys first: one writer task per output partition — the
+    anti-small-file default (|partitions| files, not |tasks|x|partitions|).
+
+    ``files_per_partition`` > 1 is the HOT-PARTITION lever: a skewed hour
+    (one partition holding a large share of the batch) makes the one-task-
+    per-partition shape a single-writer straggler, so fan the partition out
+    across k writer tasks via a deterministic content salt (pmod of a
+    coordinate hash — uniform, reproducible). Trade-off: up to k files per
+    partition per batch; compact_partitions folds them back when the
+    partition cools."""
+    cols = [F.col(c) for c in PARTITION_COLS]
+    repartitioned = df.repartition(*cols)
+    if files_per_partition > 1:
+        cols.append(
+            F.pmod(
+                F.xxhash64("Longitude", "Latitude"), F.lit(files_per_partition)
+            ).alias("_salt")
+        )
+        # explicit partition count: AQE would otherwise coalesce the salted
+        # shuffle back into one task and undo the fan-out
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        repartitioned = df.repartition(n, *cols)
     (
-        df.repartition(*PARTITION_COLS)
-        .write.mode(mode)
+        repartitioned.write.mode(mode)
         .partitionBy(*PARTITION_COLS)
         .parquet(data_dir)
     )

@@ -434,6 +434,35 @@ def test_sink_commit_marker_roundtrip(spark, tmp_path):
     assert _batch_committed(spark, commit_dir, 0)
 
 
+def test_write_points_hot_partition_fanout(spark, ws, tmp_path):
+    """files_per_partition > 1 salts a hot partition across k writer tasks:
+    more than one file lands in the partition dir (bounded by k), rows are
+    identical to the default write, and compaction folds the files back."""
+    from etl_bom_radiation_spark.grid.decode import decode_grid_directory
+    from etl_bom_radiation_spark.ingest import compact_partitions, write_points
+
+    _stage_inputs(ws.base, include_bad=False)
+    pts = decode_grid_directory(spark, ws.prefix("in"))
+    fan_dir = str(tmp_path / "fanout")
+    write_points(pts, fan_dir, files_per_partition=4)
+
+    part = os.path.join(fan_dir, "year=2018", "month=4", "day=1", "hour=11")
+    n_files = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert 1 < n_files <= 4
+    df = spark.read.parquet(fan_dir)
+    assert df.count() == 18
+    assert "_salt" not in df.columns  # the salt never reaches the schema
+
+    # same rows as the default single-writer shape
+    write_points(pts, str(tmp_path / "plain"))
+    plain = spark.read.parquet(str(tmp_path / "plain"))
+    assert df.exceptAll(plain).count() == 0 and plain.exceptAll(df).count() == 0
+
+    compact_partitions(spark, fan_dir)
+    assert len([f for f in os.listdir(part) if f.endswith(".parquet")]) == 1
+    assert spark.read.parquet(fan_dir).count() == 18
+
+
 def test_publish_staged_batch_replay_idempotent(spark, ws, tmp_path):
     """The stage->manifest->publish protocol that closes the r3 'residual
     window': a publish interrupted after SOME renames completes on replay,

@@ -27,6 +27,8 @@ NOTES = {
     "n17_stratified_sample": "WindowGroupLimit: per-stratum quota applied inside the sort, full strata never materialized",
     "x02_gapfill": "fact table aggregated before any join; calendar grid joins post-agg rows only; LOCF window shuffles the grid, not the facts",
     "q03b_partition_prune_own_sink": "partition predicate on the engine-written sink reaches the scan as PartitionFilters; only 3 of ~84 hive partitions are listed/read",
+    "n25_context_chunking": "narrow-only: scan -> project -> generate (posexplode of the window starts) -> project; zero Exchange, linear in corpus size",
+    "n26_chunk_dedup": "chunks explode narrowly, then ONE shuffle on the (uniform) chunk digest for the group-by; min-doc survivor keeps the result deterministic",
 }
 
 
