@@ -137,6 +137,8 @@ _MODULES = [
     # within the unverified group — VERDICT r3 #1)
     "lifecycle",
     "chunking",
+    "stream_joins",
+    "mixture",
 ]
 
 

@@ -130,6 +130,58 @@ def test_stateful_per_key(spark, tmp_path):
         q.stop()
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """T9: true stream-stream inner join — the SAME view_click_pairs plan
+    the declared t09 query runs in batch, executed as a watermarked
+    self-join of a live stream (bounded state: rows older than watermark +
+    attribution window are evicted). The streamed pairs must equal the
+    batch join over the same events."""
+    from etl_bom_radiation_spark.queries.stream_joins import view_click_pairs
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    events = [
+        _ev(1, "2024-01-01 10:00:00", uid=1, etype="view"),
+        _ev(2, "2024-01-01 10:05:00", uid=1, etype="click"),  # pair (5 min)
+        _ev(3, "2024-01-01 10:20:00", uid=1, etype="click"),  # outside window
+        _ev(4, "2024-01-01 10:00:00", uid=2, etype="view"),   # no click
+        _ev(5, "2024-01-01 10:02:00", uid=3, etype="click"),  # no view
+        _ev(6, "2024-01-01 10:06:00", uid=1, etype="click"),  # second pair
+    ]
+    stream = S.read_event_stream(spark, src).withWatermark("ts", "30 minutes")
+    q = _start(view_click_pairs(stream), ckpt, "ssj")
+    try:
+        _write_batch(src, "b1.json", events[:3])
+        q.processAllAvailable()
+        _write_batch(src, "b2.json", events[3:])
+        q.processAllAvailable()
+        # late rows can still be in state (append emits on watermark for
+        # aggregations, but inner-join rows emit as soon as both sides
+        # match) — push the watermark to flush nothing extra, then compare
+        _write_batch(src, "b3.json", [_ev(7, "2024-01-01 12:00:00", uid=9, etype="view")])
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], str(r["view_ts"]), str(r["click_ts"]))
+            for r in spark.sql("SELECT * FROM ssj").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(
+        [(e["event_id"], e["ts"], e["user_id"], e["event_type"]) for e in events],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    expected = {
+        (r["user_id"], str(r["view_ts"]), str(r["click_ts"]))
+        for r in view_click_pairs(batch).collect()
+    }
+    assert got == expected
+    assert {(u, v, c) for u, v, c in got} == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:05:00"),
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:06:00"),
+    }
+
+
 def test_backpressure_max_files(spark, tmp_path):
     """maxFilesPerTrigger: a 3-file backlog drains in 3 micro-batches of 1
     file — the ingest backpressure knob for 100 TB backfills (SURVEY §7 M5)."""
