@@ -139,6 +139,7 @@ _MODULES = [
     "chunking",
     "stream_joins",
     "mixture",
+    "quantize",
 ]
 
 

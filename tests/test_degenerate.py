@@ -35,6 +35,7 @@ DOC_QUERIES = [
     "n24_length_percentile",
     "n25_context_chunking",
     "n26_chunk_dedup",
+    "n27_source_mixture",
 ]
 
 EVENT_ORDER_QUERIES = [
@@ -54,6 +55,7 @@ EVENT_ORDER_QUERIES = [
     "q28_topk",
     "x05_price_histogram",
     "q48_struct_funcs",
+    "t09_stream_stream_join",
 ]
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -137,7 +139,20 @@ def test_event_order_queries_tolerate_weird_corpus(spark, weird_dir):
 
 
 def test_embedding_queries_tolerate_zero_vectors(spark, weird_dir):
-    _run_all(spark, weird_dir, ["n03_topk_cosine", "n04_similarity_selfjoin", "n23_label_centroids"])
+    _run_all(
+        spark,
+        weird_dir,
+        ["n03_topk_cosine", "n04_similarity_selfjoin", "n23_label_centroids", "n28_embedding_quantize"],
+    )
+
+
+def test_n28_constant_vector_all_zero_codes(spark, weird_dir):
+    """The SQ8 guard: a constant vector (vmax == vmin) quantizes to all-zero
+    codes with zero reconstruction error instead of dividing by zero."""
+    rows = {r["vec_id"]: r for r in QS["n28_embedding_quantize"].fn(spark, weird_dir).collect()}
+    const = rows[1]  # the [0.0, 0.0] vector in the weird fixture
+    assert const["q8"] == "0,0" and const["mean_abs_err"] == 0.0
+    assert rows[0]["q8"] == "0,255"  # [1.0, 2.0]: min->0, max->255
 
 
 def test_n12_oracle_agrees_on_degenerate_docs(spark, weird_dir):
