@@ -181,6 +181,32 @@ def test_chunking_is_narrow_and_dedup_shuffles_once(spark, oracle_sf_dir):
     assert p.count("Exchange hashpartitioning") == 1
 
 
+def test_stream_stream_join_is_merge_not_nested_loop(spark, oracle_sf_dir):
+    """t09: the attribution time bound must ride an equi-join on the user
+    key (SMJ/SHJ) as a post-join range predicate — a nested-loop plan would
+    be quadratic in events per user at scale."""
+    p = _plan(spark, oracle_sf_dir, "t09_stream_stream_join")
+    # at sf0.01 the click side fits the broadcast threshold (BHJ); at scale
+    # the same equi-key plan degrades to SMJ/SHJ, never to a nested loop
+    assert any(j in p for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_quantization_is_narrow(spark, oracle_sf_dir):
+    """n28: per-vector SQ8 is pure higher-order array math — zero shuffle,
+    linear at any corpus size."""
+    assert "Exchange" not in _plan(spark, oracle_sf_dir, "n28_embedding_quantize")
+
+
+def test_source_mixture_single_shuffle_family(spark, oracle_sf_dir):
+    """n27: one logical groupBy on source; the two count(DISTINCT) columns
+    expand via Spark's standard two-phase distinct aggregate (Expand +
+    partial/final pairs), never a join or nested loop."""
+    p = _plan(spark, oracle_sf_dir, "n27_source_mixture")
+    assert "Join" not in p
+    assert "HashAggregate" in p
+
+
 def test_q03b_own_sink_prunes_partitions(spark, oracle_sf_dir, tmp_path):
     """q03b's core claim: a predicate on the engine-written partition
     columns reaches the file source as PartitionFilters (never a post-scan
