@@ -140,6 +140,7 @@ _MODULES = [
     "stream_joins",
     "mixture",
     "quantize",
+    "mm_ext",
 ]
 
 

@@ -36,6 +36,7 @@ DOC_QUERIES = [
     "n25_context_chunking",
     "n26_chunk_dedup",
     "n27_source_mixture",
+    "mm03_thumbnail",
 ]
 
 EVENT_ORDER_QUERIES = [
