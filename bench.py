@@ -203,6 +203,43 @@ def main() -> int:
         shutil.rmtree(ws_base, ignore_errors=True)
         shutil.rmtree(one_part, ignore_errors=True)
 
+    # pruning payoff (VERDICT r3 #2): the same reprocess against a MANY-hour
+    # archive — rebuild one hour out of ~670 hive partitions. The
+    # listing-level glob opens only that hour's ~6 archived files, so this
+    # should run ~100x under maint_reprocess_partition above, whose
+    # single-partition archive is the worst case (every archived file IS the
+    # target hour and must be read regardless).
+    spread_src = _gen_grids()
+    ws2_base = tempfile.mkdtemp(prefix="bench_ws_spread_")
+    probe_dir = tempfile.mkdtemp(prefix="bench_probe_")
+    try:
+        ws2 = init_workspace(spark, ws2_base)
+        for f in os.listdir(spread_src):
+            os.rename(os.path.join(spread_src, f), os.path.join(ws2.done_dir, f))
+        # untimed setup: decode ONE archived file to learn which hive
+        # partition its (timezone-converted) timestamp lands in
+        import shutil as _sh
+
+        _sh.copy(
+            os.path.join(ws2.done_dir, sorted(os.listdir(ws2.done_dir))[0]),
+            probe_dir,
+        )
+        tgt = (
+            decode_grid_directory(spark, probe_dir)
+            .select("year", "month", "day", "hour")
+            .first()
+        )
+        t0 = time.time()
+        n_rows = reprocess_partition(
+            spark, ws2, tgt["year"], tgt["month"], tgt["day"], tgt["hour"]
+        )
+        timings["maint_reprocess_pruned"] = round(time.time() - t0, 3)
+        assert n_rows > 0, "spread-archive reprocess rebuilt zero rows"
+    finally:
+        shutil.rmtree(ws2_base, ignore_errors=True)
+        shutil.rmtree(spread_src, ignore_errors=True)
+        shutil.rmtree(probe_dir, ignore_errors=True)
+
     # bucketed fact-fact join: the scale lever for recurring joins
     # (scale.write_bucketed / bucketed_join). Setup (bucketed table write)
     # is untimed — it is paid once per table lifetime, not per query; the
