@@ -141,6 +141,7 @@ _MODULES = [
     "mixture",
     "quantize",
     "mm_ext",
+    "boilerplate",
 ]
 
 

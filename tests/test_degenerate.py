@@ -37,6 +37,7 @@ DOC_QUERIES = [
     "n26_chunk_dedup",
     "n27_source_mixture",
     "mm03_thumbnail",
+    "n29_boilerplate_share",
 ]
 
 EVENT_ORDER_QUERIES = [

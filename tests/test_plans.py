@@ -94,6 +94,18 @@ def test_grouping_sets_single_expand_single_shuffle(spark, oracle_sf_dir):
     assert p.count("Exchange hashpartitioning") == 1
 
 
+def test_boilerplate_share_single_scan_broadcast_freq(spark, oracle_sf_dir):
+    # the frequent-shingle set broadcasts (never a shuffle join), and the
+    # corpus is scanned + exploded ONCE: the (doc, shingle, cnt) frame is
+    # checkpoint-pinned so both the doc-frequency branch and the final join
+    # read the materialized frame instead of re-running the scan subtree
+    p = _plan(spark, oracle_sf_dir, "n29_boilerplate_share")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("FileScan parquet") == 0  # both branches read the checkpoint
+    assert p.count("Scan ExistingRDD") == 2
+
+
 def test_decontamination_broadcasts_benchmark_shingles(spark, oracle_sf_dir):
     # the corpus side must NOT shuffle for the join - only the tiny benchmark
     # shingle set moves (broadcast), plus the final per-doc agg
