@@ -95,28 +95,41 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events table, whose ``ts`` is parquet TIMESTAMP(NANOS) —
-    a type Spark's vectorized reader rejects outright
-    (PARQUET_TYPE_ILLEGAL). Read nanos as raw int64 via
-    ``spark.sql.legacy.parquet.nanosAsLong`` and rebuild a microsecond
-    timestamp column JVM-side. Micros-truncation is lossless for equality
-    with DuckDB as long as both sides compare at micro precision (DuckDB
-    reads nanos parquet at nano precision but its TIMESTAMP is micros, so
-    it truncates identically)."""
+    """Read the events table, normalizing ``ts`` to a session-TZ TIMESTAMP
+    whatever the fixture's physical type is (the driver has regenerated it
+    across rounds):
+
+    * TIMESTAMP(NANOS) — a type Spark's vectorized reader rejects outright
+      (PARQUET_TYPE_ILLEGAL). Read nanos as raw int64 via
+      ``spark.sql.legacy.parquet.nanosAsLong`` and rebuild a microsecond
+      timestamp JVM-side. Micros-truncation is lossless for equality with
+      DuckDB (its TIMESTAMP is micros, so it truncates identically).
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark reads TIMESTAMP_NTZ,
+      which epoch functions (unix_micros &c) reject. Cast to TIMESTAMP: the
+      session TZ is pinned UTC by ``register``, so the wall-clock values are
+      preserved bit-for-bit and match DuckDB's naive read.
+    * plain TIMESTAMP (micros, adjusted) passes through.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
         # integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's
         # 53-bit mantissa, so float division would corrupt the low
         # microseconds.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # an events table with a plain TIMESTAMP ts (micros) passes through
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
-    """Register testdata tables as temp views for spark.sql-based queries."""
+    """Register testdata tables as temp views for spark.sql-based queries.
+    ``events`` goes through :func:`load_events` so SQL sees the same
+    normalized TIMESTAMP ``ts`` as the DataFrame path."""
     for n, df in load_tables(spark, sf_dir, *names).items():
+        if n == "events":
+            df = load_events(spark, sf_dir)
         df.createOrReplaceTempView(n)
 
 
