@@ -155,6 +155,8 @@ _MODULES = [
     "quantize",
     "mm_ext",
     "boilerplate",
+    "lm_score",
+    "incremental",
 ]
 
 

@@ -1,6 +1,7 @@
-"""Multimodal resize plumbing (LLM-pipeline extension, completes the
-decode / feature-extract / RESIZE / frame-sample quartet next to
-mm01/mm02 in llm_queries.py).
+"""Multimodal resize + audio-framing plumbing (LLM-pipeline extension,
+extending the decode / feature-extract / frame-sample set from
+mm01/mm02 in llm_queries.py with RESIZE (mm03) and AUDIO WINDOWING
+(mm04)).
 
 ``mm03_thumbnail`` subsamples a 2-D grid out of each document — the
 payload arranged row-major at a fixed width, every 2nd row and 2nd column
@@ -101,4 +102,98 @@ def mm03_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         _resize,
         "doc_id long, n_tokens int, in_h int, out_h int, n_kept int, thumb_md5 string",
+    )
+
+
+#: fake audio framing geometry: overlapping analysis windows of FRAME
+#: samples, hop HOP — the standard STFT-style layout (frame k covers
+#: samples [k*HOP, k*HOP+FRAME), truncated at the signal end)
+FRAME, HOP = 8, 4
+
+
+@register(
+    "mm04_audio_frames",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents
+    ), m AS (
+        SELECT doc_id,
+               list_transform(ws, w -> CAST(length(w) AS BIGINT)) AS samples,
+               len(ws) AS n
+        FROM t
+    ), f AS (
+        SELECT doc_id, n,
+               list_transform(
+                   range(0, CAST(ceil(n / {HOP}.0) AS INT)),
+                   k -> coalesce(list_aggregate(
+                            list_transform(
+                                list_slice(samples, k * {HOP} + 1,
+                                           least(k * {HOP} + {FRAME}, n)),
+                                x -> x * x),
+                            'sum'), 0)) AS energies
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_samples,
+           CAST(len(energies) AS INT) AS n_frames,
+           CAST(coalesce(list_aggregate(energies, 'sum'), 0) AS BIGINT)
+               AS total_energy,
+           CAST(coalesce(list_aggregate(energies, 'max'), 0) AS BIGINT)
+               AS peak_energy,
+           md5(array_to_string(energies, ',')) AS frames_md5
+    FROM f
+    """,
+)
+def mm04_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM4 (extension): STFT-style audio framing — overlapping windows of
+    8 "samples" at hop 4, per-frame energy (sum of squares), per-doc
+    energy totals + a fingerprint of the frame-energy sequence.  As with
+    mm01-mm03 the decode is a DETERMINISTIC FAKE (samples are token
+    lengths; audio codecs aren't in this container) while the Spark-side
+    contract is real: Arrow-batched ``mapInPandas``, a per-payload Python
+    loop (the natural unit of a real windowing kernel), integer energies
+    so every output is order- and float-independent.  Swap the token
+    lengths for ``np.frombuffer(payload, dtype='<i2')`` on a real cluster
+    and the plumbing is unchanged."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def _frames(batches: Iterator) -> Iterator:
+        import hashlib
+        import math
+        import re
+
+        import pandas as pd
+
+        def toks(s):
+            if s is None:
+                return []
+            return [t for t in re.split(r"\s+", s.strip().lower()) if t]
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_samples": [], "n_frames": [],
+                "total_energy": [], "peak_energy": [], "frames_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                samples = [len(t) for t in toks(text)]
+                n = len(samples)
+                n_frames = math.ceil(n / HOP)
+                energies = [
+                    sum(x * x for x in samples[k * HOP: k * HOP + FRAME])
+                    for k in range(n_frames)
+                ]
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["n_frames"].append(n_frames)
+                out["total_energy"].append(sum(energies))
+                out["peak_energy"].append(max(energies, default=0))
+                out["frames_md5"].append(
+                    hashlib.md5(",".join(str(e) for e in energies).encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id", "text").mapInPandas(
+        _frames,
+        "doc_id long, n_samples int, n_frames int, "
+        "total_energy long, peak_energy long, frames_md5 string",
     )

@@ -37,7 +37,10 @@ DOC_QUERIES = [
     "n26_chunk_dedup",
     "n27_source_mixture",
     "mm03_thumbnail",
+    "mm04_audio_frames",
     "n29_boilerplate_share",
+    "n30_unigram_lm_score",
+    "n31_incremental_merge",
 ]
 
 EVENT_ORDER_QUERIES = [

@@ -272,3 +272,25 @@ def test_histogram_is_single_fact_aggregation(spark, oracle_sf_dir):
     p = _plan(spark, oracle_sf_dir, "x05_price_histogram")
     assert p.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_lm_score_broadcasts_model_and_sums_integers(spark, oracle_sf_dir):
+    # the top-V model broadcasts to the exploded token stream (the corpus
+    # side must not shuffle for the scoring join), the vocabulary cut is a
+    # heap (TakeOrderedAndProject), and the per-doc sum input is BIGINT so
+    # the aggregate is order-independent
+    p = _plan(spark, oracle_sf_dir, "n30_unigram_lm_score")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_incremental_merge_is_anti_join_no_text_on_corpus_side(spark, oracle_sf_dir):
+    # admission is a LEFT ANTI on the digest (no row multiplication), and
+    # the existing-corpus side is a digest-only projection: its scan must
+    # not read the text column (the digest is computed from text scanned
+    # once per side, but the join key carries only the 32-char hash)
+    p = _plan(spark, oracle_sf_dir, "n31_incremental_merge")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
