@@ -102,3 +102,105 @@ def test_polyhash_matches_python_fold(spark, tokens):
     )
     got = {r["tok"]: r["h"] for r in df.collect()}
     assert got == {t: _py_polyhash(t) for t in tokens}
+
+
+# --------------------------------------------------- filename grammars
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ts=st.datetimes(
+        min_value=__import__("datetime").datetime(2000, 1, 1),
+        max_value=__import__("datetime").datetime(2035, 12, 31),
+    )
+)
+def test_sydney_partition_grammar_inverts(ts):
+    """Grammar 1 driver-side roundtrip, pure Python (no Spark): for ANY
+    UTC hour, the filename built from it parses to the Sydney-local
+    partition of that instant, and utc_hours_for_sydney_partition maps
+    that partition back to a set CONTAINING the original hour — including
+    across both DST transitions (the repeated fall-back hour yields two
+    candidates, the skipped spring-forward hour zero, which this
+    roundtrip direction never hits)."""
+    from datetime import timezone
+    from zoneinfo import ZoneInfo
+
+    from etl_bom_radiation_spark.grid.filenames import (
+        sydney_partition_for_filename,
+        utc_hours_for_sydney_partition,
+    )
+
+    utc_hour = ts.replace(minute=0, second=0, microsecond=0)
+    fname = f"IDZ_GLOBAL_{utc_hour:%Y%m%d}_{utc_hour:%H}00.txt"
+    part = sydney_partition_for_filename(fname)
+    local = utc_hour.replace(tzinfo=timezone.utc).astimezone(
+        ZoneInfo("Australia/Sydney")
+    )
+    assert part == (local.year, local.month, local.day, local.hour)
+    assert utc_hour in utc_hours_for_sydney_partition(*part)
+    # exactness of listing-level pruning: every candidate the inversion
+    # proposes really lands back in the partition
+    for cand in utc_hours_for_sydney_partition(*part):
+        c_local = cand.replace(tzinfo=timezone.utc).astimezone(
+            ZoneInfo("Australia/Sydney")
+        )
+        assert (c_local.year, c_local.month, c_local.day, c_local.hour) == part
+
+
+def test_run_grammar_slot_arithmetic_matches_python_model(spark):
+    """Grammar 2 (11-digit run = YYYYMMDD + 5-min slot on an 04:00 base):
+    one Spark job over a seeded batch of random (date, slot) pairs —
+    including slots past midnight wrap and both 2017 AEDT transition
+    dates — must equal the naive-datetime Python fold exactly."""
+    import random
+    from datetime import datetime, timedelta
+
+    from etl_bom_radiation_spark.grid.filenames import parse_run_timestamp
+
+    rng = random.Random(20260813)
+    cases = [(datetime(2017, 4, 2), 0), (datetime(2017, 10, 1), 287)]
+    for _ in range(200):
+        cases.append(
+            (
+                datetime(2000, 1, 1) + timedelta(days=rng.randrange(0, 366 * 30)),
+                rng.randrange(0, 288),
+            )
+        )
+    rows = [(f"NEMPriceSetter_{d:%Y%m%d}{slot:03d}.csv",) for d, slot in cases]
+    got = (
+        spark.createDataFrame(rows, "fname string")
+        .select(parse_run_timestamp("fname").alias("ts"))
+        .collect()
+    )
+    want = [
+        d.replace(hour=4) + timedelta(minutes=5 * slot) for d, slot in cases
+    ]
+    assert [r.ts for r in got] == want
+
+
+def test_sq8_quantization_error_bound(spark):
+    """n28 semantics (not just cross-engine consistency): dequantizing the
+    SQ8 codes reconstructs every element to within half a quantization
+    step, span/(2*255) — the defining property of scalar quantization.
+    v_min/v_max are reported rounded to 1e-6, so the bound carries that
+    slack."""
+    from etl_bom_radiation_spark.queries import load_all
+
+    qs = load_all()
+    sf = "/root/testdata/sf0.001"
+    out = {r.vec_id: r for r in qs["n28_embedding_quantize"].fn(spark, sf).collect()}
+    orig = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+        if r.embedding
+    }
+    assert set(out) == set(orig) and out
+    for vid, row in out.items():
+        span = row.v_max - row.v_min
+        codes = [int(c) for c in row.q8.split(",")]
+        assert len(codes) == len(orig[vid])
+        assert all(0 <= c <= 255 for c in codes)
+        tol = span / 510 + 2e-6 * (1 + abs(row.v_min) + span)
+        for c, x in zip(codes, orig[vid]):
+            assert abs(row.v_min + c * span / 255 - x) <= tol
+        assert abs(row.mean_abs_err) <= tol
