@@ -41,6 +41,7 @@ HEADLINE = [
     "n05_text_stats",
     "n14_decontamination",
     "n22_tfidf_topterms",
+    "n30_unigram_lm_score",
     "x02_gapfill",
 ]
 

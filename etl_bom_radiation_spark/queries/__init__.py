@@ -157,6 +157,7 @@ _MODULES = [
     "boilerplate",
     "lm_score",
     "incremental",
+    "truncation",
 ]
 
 

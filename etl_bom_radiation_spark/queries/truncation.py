@@ -1,0 +1,118 @@
+"""Prefix-truncation dedup (LLM-pipeline extension).
+
+Re-crawls and clipped extractions produce documents that are exact
+PREFIXES of longer documents already in the corpus — n01's whole-content
+digest misses them and MinHash treats a short prefix of a long doc as
+dissimilar.  ``n32_truncation_dedup`` finds them directly: doc A is a
+truncation of doc B when ``tokens(B)[:len(A)] == tokens(A)``.
+
+Scale shape (the part that must survive 100 TB):
+
+* All-pairs prefix comparison is quadratic, so candidates come from a
+  **prefix-K fingerprint bucket join** (K = 8): a truncation of ≥ K
+  tokens must share its container's first-K-token digest, so the
+  self-join key is ``md5(first K tokens)`` — the same
+  bucket-then-verify design as the SimHash/LSH near-dup paths, never
+  all-pairs.  The full prefix check then runs only inside a bucket.
+* Docs shorter than K tokens are out of contract (filtered on BOTH
+  engines): their containment is better handled by n01 exact dedup and
+  quality filters, and including them would need per-length bucket keys
+  — the classic recall/cost trade, taken the same way production
+  pipelines take it.
+* Hot buckets are real data skew (boilerplate openings shared by
+  thousands of docs): the digest key is uniform only as far as prefixes
+  are distinct.  The production levers are a longer K and AQE skew-join
+  split (``spark.sql.adaptive.skewJoin``, on in the session conf); the
+  in-bucket verify is a single array-slice comparison, so even a hot
+  bucket does no text re-scan.
+* Ties (identical token sequences) keep the min-doc_id survivor —
+  consistent with n01's deterministic-survivor discipline — by requiring
+  ``(a.n < b.n) OR (a.n = b.n AND a.doc_id > b.doc_id)``.
+
+Output is integer-only (doc_id, token counts, container stats), so the
+result hashes identically on any engine/plan.
+
+Registered after ``incremental`` in ``queries.__init__._MODULES`` — new
+round-4 entries must not queue-jump the never-driver-verified queries at
+the registry front (VERDICT r3 #1).
+
+Reference parity: no reference analog (the reference has no LLM surface);
+extends SURVEY §2.H's dedup family (n01/n02/n11b/n12/n20/n26/n31).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load_tables, register
+from .llm_queries import _DUCK_TOKENS, _tokens
+
+#: prefix fingerprint width — a truncation shorter than this is out of
+#: contract (see module docstring)
+K = 8
+
+
+@register(
+    "n32_truncation_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents
+    ), m AS (
+        SELECT doc_id, ws, len(ws) AS n,
+               md5(array_to_string(list_slice(ws, 1, {K}), ' ')) AS pk
+        FROM t WHERE len(ws) >= {K}
+    ), pairs AS (
+        SELECT a.doc_id AS contained, a.n AS n_tokens, b.doc_id AS container
+        FROM m a JOIN m b USING (pk)
+        WHERE (a.n < b.n OR (a.n = b.n AND a.doc_id > b.doc_id))
+          AND list_slice(b.ws, 1, a.n) = a.ws
+    )
+    SELECT contained AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_containers,
+           CAST(min(container) AS BIGINT) AS min_container
+    FROM pairs GROUP BY contained, n_tokens
+    """,
+)
+def n32_truncation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N32 (extension): docs that are exact token-prefixes of another doc
+    (truncated re-crawls). Prefix-K digest bucket join + in-bucket
+    array-slice verify; min-doc_id survivor on full ties."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    m = (
+        d.select("doc_id", _tokens(F.col("text")).alias("ws"))
+        .withColumn("n", F.size("ws").cast("long"))
+        .filter(F.col("n") >= K)
+        .withColumn(
+            "pk", F.md5(F.concat_ws(" ", F.slice("ws", 1, K)))
+        )
+    )
+    a = m.select(
+        F.col("pk"),
+        F.col("doc_id").alias("contained"),
+        F.col("n").alias("na"),
+        F.col("ws").alias("wa"),
+    )
+    b = m.select(
+        F.col("pk"),
+        F.col("doc_id").alias("container"),
+        F.col("n").alias("nb"),
+        F.col("ws").alias("wb"),
+    )
+    pairs = a.join(b, "pk").filter(
+        (
+            (F.col("na") < F.col("nb"))
+            | ((F.col("na") == F.col("nb")) & (F.col("contained") > F.col("container")))
+        )
+        & (F.slice("wb", F.lit(1), F.col("na")) == F.col("wa"))
+    )
+    return (
+        pairs.groupBy(
+            F.col("contained").alias("doc_id"), F.col("na").alias("n_tokens")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_containers"),
+            F.min("container").alias("min_container"),
+        )
+    )

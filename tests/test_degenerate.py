@@ -41,6 +41,7 @@ DOC_QUERIES = [
     "n29_boilerplate_share",
     "n30_unigram_lm_score",
     "n31_incremental_merge",
+    "n32_truncation_dedup",
 ]
 
 EVENT_ORDER_QUERIES = [

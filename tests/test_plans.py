@@ -294,3 +294,12 @@ def test_incremental_merge_is_anti_join_no_text_on_corpus_side(spark, oracle_sf_
     p = _plan(spark, oracle_sf_dir, "n31_incremental_merge")
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_truncation_dedup_is_bucketed_equi_join(spark, oracle_sf_dir):
+    # candidates come from the prefix-K digest bucket (equi-join on pk),
+    # never an all-pairs comparison: any nested-loop/cartesian form here
+    # is quadratic in the corpus
+    p = _plan(spark, oracle_sf_dir, "n32_truncation_dedup")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "pk" in p
