@@ -100,7 +100,16 @@ def n30_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("ws").alias("tok"),
     )
 
-    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # lazy localCheckpoint (the n29/scale.global_sort_index lever): the
+    # (token, cnt) frame feeds THREE consumers (total, top-V cut, OOV
+    # floor) — without a materialization barrier Catalyst re-executes the
+    # corpus scan + explode + shuffle once per consumer. One checkpoint =
+    # one model-building pass; scoring is the only other corpus scan.
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     # total corpus token count and the OOV floor: one tiny scalar row,
     # cross-joined broadcast-style into the V-row model build
     total = vocab.agg(F.sum("cnt").cast("double").alias("total"))

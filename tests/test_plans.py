@@ -284,6 +284,12 @@ def test_lm_score_broadcasts_model_and_sums_integers(spark, oracle_sf_dir):
     assert "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+    # the model's three consumers (total, top-V cut, OOV floor) read the
+    # checkpointed (token, cnt) frame, NOT three re-runs of the corpus
+    # scan+explode+shuffle subtree; the only FileScan in the main plan is
+    # the scoring pass (the checkpoint build is its own one-scan job)
+    assert p.count("FileScan parquet") == 1
+    assert p.count("Scan ExistingRDD") == 3
 
 
 def test_incremental_merge_is_anti_join_no_text_on_corpus_side(spark, oracle_sf_dir):
