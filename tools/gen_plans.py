@@ -29,6 +29,10 @@ NOTES = {
     "q03b_partition_prune_own_sink": "partition predicate on the engine-written sink reaches the scan as PartitionFilters; only 3 of ~84 hive partitions are listed/read",
     "n25_context_chunking": "narrow-only: scan -> project -> generate (posexplode of the window starts) -> project; zero Exchange, linear in corpus size",
     "n26_chunk_dedup": "chunks explode narrowly, then ONE shuffle on the (uniform) chunk digest for the group-by; min-doc survivor keeps the result deterministic",
+    "n29_boilerplate_share": "one corpus scan: the (doc, shingle, cnt) frame is checkpoint-pinned (Scan ExistingRDD) and feeds both the frequent-set branch and the final join; frequent set broadcast",
+    "n30_unigram_lm_score": "model building is one pass (checkpointed (token, cnt) frame read by total / top-V / OOV floor); top-V cut via TakeOrderedAndProject; model broadcast to the exploded token stream so the corpus never shuffles for the scoring join; BIGINT micro-bit sums are order-independent",
+    "n31_incremental_merge": "LEFT ANTI on the content digest — no row multiplication; the corpus side is a digest-only projection (text pruned from the join); uniform keys, bucketing-ready",
+    "n32_truncation_dedup": "prefix-8 digest bucket self-join (equi-join on pk, never all-pairs/nested-loop); in-bucket verify is one array-slice comparison; hot-bucket levers: longer K, AQE skew-join",
 }
 
 
