@@ -158,6 +158,8 @@ _MODULES = [
     "lm_score",
     "incremental",
     "truncation",
+    "regrid",
+    "scd",
 ]
 
 

@@ -1,0 +1,116 @@
+"""Bilinear raster regrid (flagship-family extension).
+
+``g_regrid_bilinear`` resamples the decoded radiation point cloud onto
+the half-cell-offset lattice: every target point sits at the center of a
+2x2 block of source cells and takes their bilinear value — which at the
+exact midpoint is the plain mean of the four corners.  This is the
+standard raster re-alignment step when fusing grids whose lattices don't
+coincide (the reference stores decoded points, so any consumer regridding
+to a different product's lattice needs exactly this).
+
+Scale shape: each source point is exploded to its (up to) four target
+contributions — a narrow 4x generate, no join against the corpus — and
+one aggregation shuffles on the (grid-hour, target-cell) key.  Edge
+targets (fewer than four corners, or any corner lost to nodata) are
+dropped by the ``n_corners = 4`` gate, which is what keeps the operator
+exact: bilinear needs all four corners, and the gate makes the nodata
+contract explicit instead of silently extrapolating.
+
+Determinism: radiation is integer, so the 4-corner sum is exact and
+``sum/4.0`` is one IEEE division; coordinates stay on the exact-binary
+quarter-degree lattice (cellsize 0.5 across the fixture corpus — a
+per-file cellsize would come from the header join, same plumbing).
+
+Registered after ``truncation`` in ``queries.__init__._MODULES`` — new
+round-4 entries must not queue-jump the never-driver-verified queries at
+the registry front (VERDICT r3 #1).
+
+Reference parity: intended semantics of the decode (bom/bom.py:110-157)
+feeding a raster consumer; extends SURVEY §2.C alongside g_coarsen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from .grid_queries import GRID_DIR, _ORACLE_BASE
+from ..grid.decode import decode_grid_directory
+
+#: fixture lattice step (constant across the fixture corpus; per-file it
+#: would join in from g_header_extract's cellsize column)
+CS = 0.5
+
+
+@register(
+    "g_regrid_bilinear",
+    oracle=_ORACLE_BASE
+    + f"""
+    , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
+    , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
+    , pts AS (
+        SELECT p[2] AS RadiationType,
+               CAST(year(syd) AS INT) AS year, CAST(month(syd) AS INT) AS month,
+               CAST(day(syd) AS INT) AS day, CAST(hour(syd) AS INT) AS hour,
+               xll + (j-1)*cs AS lon, yll + nrows*cs - i*cs AS lat,
+               CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS rad
+        FROM cls
+        WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
+          AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
+    ), contrib AS (
+        SELECT RadiationType, year, month, day, hour, rad,
+               lon + {CS}/2 - dx*{CS} AS tlon,
+               lat + {CS}/2 - dy*{CS} AS tlat
+        FROM pts, unnest(range(0, 2)) AS t1(dx), unnest(range(0, 2)) AS t2(dy)
+    )
+    SELECT RadiationType, year, month, day, hour,
+           ROUND(tlon, 6) AS tlon, ROUND(tlat, 6) AS tlat,
+           ROUND(CAST(SUM(rad) AS DOUBLE) / 4.0, 6) AS value
+    FROM contrib
+    GROUP BY RadiationType, year, month, day, hour, tlon, tlat
+    HAVING COUNT(*) = 4
+    """,
+)
+def g_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-extension: bilinear resample onto the half-cell-offset lattice —
+    each target is the mean of its 2x2 source corners; targets missing any
+    corner (grid edge or nodata) are dropped, never extrapolated."""
+    pts = decode_grid_directory(spark, GRID_DIR)
+    half = CS / 2
+    offsets = F.array(
+        *[
+            F.struct(
+                (F.col("Longitude") + F.lit(half) - F.lit(dx * CS)).alias("tlon"),
+                (F.col("Latitude") + F.lit(half) - F.lit(dy * CS)).alias("tlat"),
+            )
+            for dx in (0, 1)
+            for dy in (0, 1)
+        ]
+    )
+    contrib = pts.select(
+        "RadiationType",
+        "year",
+        "month",
+        "day",
+        "hour",
+        "Radiation",
+        F.explode(offsets).alias("t"),
+    )
+    return (
+        contrib.groupBy(
+            "RadiationType",
+            "year",
+            "month",
+            "day",
+            "hour",
+            F.round(F.col("t.tlon"), 6).alias("tlon"),
+            F.round(F.col("t.tlat"), 6).alias("tlat"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_corners"),
+            F.round(F.sum("Radiation").cast("double") / 4.0, 6).alias("value"),
+        )
+        .filter(F.col("n_corners") == 4)
+        .drop("n_corners")
+    )

@@ -62,6 +62,7 @@ EVENT_ORDER_QUERIES = [
     "x05_price_histogram",
     "q48_struct_funcs",
     "t09_stream_stream_join",
+    "x06_scd2_intervals",
 ]
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"

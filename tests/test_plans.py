@@ -309,3 +309,22 @@ def test_truncation_dedup_is_bucketed_equi_join(spark, oracle_sf_dir):
     p = _plan(spark, oracle_sf_dir, "n32_truncation_dedup")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "pk" in p
+
+
+def test_regrid_is_narrow_explode_single_shuffle(spark, oracle_sf_dir):
+    # each source point explodes to its 4 target contributions (a narrow
+    # generate — no join against the corpus), then ONE aggregation shuffle
+    # on the (grid-hour, target-cell) key
+    p = _plan(spark, oracle_sf_dir, "g_regrid_bilinear")
+    assert "Generate explode" in p
+    assert p.count("Exchange") == 1
+    assert "Join" not in p
+
+
+def test_scd2_shuffles_once_per_user(spark, oracle_sf_dir):
+    # both windows and the interval aggregation partition on user_id: the
+    # plan may reuse one user_id Exchange for the lag/lead sorts but must
+    # never fall back to a global (unpartitioned) window
+    p = _plan(spark, oracle_sf_dir, "x06_scd2_intervals")
+    assert "user_id" in p
+    assert p.count("Window") >= 2
