@@ -160,6 +160,7 @@ _MODULES = [
     "truncation",
     "regrid",
     "scd",
+    "leakage",
 ]
 
 

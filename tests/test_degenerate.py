@@ -42,6 +42,7 @@ DOC_QUERIES = [
     "n30_unigram_lm_score",
     "n31_incremental_merge",
     "n32_truncation_dedup",
+    "n33_split_leakage",
 ]
 
 EVENT_ORDER_QUERIES = [

@@ -328,3 +328,13 @@ def test_scd2_shuffles_once_per_user(spark, oracle_sf_dir):
     p = _plan(spark, oracle_sf_dir, "x06_scd2_intervals")
     assert "user_id" in p
     assert p.count("Window") >= 2
+
+
+def test_split_leakage_single_pass_no_multiplication(spark, oracle_sf_dir):
+    # LEFT JOIN against the DEDUPED train shingle set: join key is unique
+    # on the right, so no row multiplication; totals + leaked counts come
+    # from ONE aggregation over the joined frame (no second test-side scan
+    # feeding a separate totals branch)
+    p = _plan(spark, oracle_sf_dir, "n33_split_leakage")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("FileScan parquet") == 2  # one per split side
