@@ -161,6 +161,7 @@ _MODULES = [
     "regrid",
     "scd",
     "leakage",
+    "packing",
 ]
 
 

@@ -114,3 +114,104 @@ def g_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_corners") == 4)
         .drop("n_corners")
     )
+
+
+@register(
+    "g_gradient",
+    oracle=_ORACLE_BASE
+    + f"""
+    , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
+    , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
+    , pts AS (
+        SELECT p[2] AS RadiationType,
+               CAST(year(syd) AS INT) AS year, CAST(month(syd) AS INT) AS month,
+               CAST(day(syd) AS INT) AS day, CAST(hour(syd) AS INT) AS hour,
+               xll + (j-1)*cs AS lon, yll + nrows*cs - i*cs AS lat,
+               CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS rad
+        FROM cls
+        WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
+          AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
+    ), contrib AS (
+        SELECT RadiationType, year, month, day, hour,
+               lon + {CS} AS tlon, lat AS tlat, -rad AS dxc, CAST(NULL AS INT) AS dyc
+        FROM pts
+        UNION ALL SELECT RadiationType, year, month, day, hour,
+               lon - {CS}, lat, rad, NULL FROM pts
+        UNION ALL SELECT RadiationType, year, month, day, hour,
+               lon, lat + {CS}, NULL, -rad FROM pts
+        UNION ALL SELECT RadiationType, year, month, day, hour,
+               lon, lat - {CS}, NULL, rad FROM pts
+    )
+    SELECT RadiationType, year, month, day, hour,
+           ROUND(tlon, 6) AS lon, ROUND(tlat, 6) AS lat,
+           ROUND(CAST(SUM(dxc) AS DOUBLE) / (2 * {CS}), 6) AS grad_x,
+           ROUND(CAST(SUM(dyc) AS DOUBLE) / (2 * {CS}), 6) AS grad_y,
+           ROUND(sqrt((CAST(SUM(dxc) AS DOUBLE) / (2 * {CS})) ^ 2
+                    + (CAST(SUM(dyc) AS DOUBLE) / (2 * {CS})) ^ 2), 6) AS magnitude
+    FROM contrib
+    GROUP BY RadiationType, year, month, day, hour, tlon, tlat
+    HAVING COUNT(*) = 4
+    """,
+)
+def g_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-extension: raster gradient by central differences — each cell's
+    grad_x/grad_y from its 4 axis neighbors ((right-left)/2cs and
+    (up-down)/2cs), magnitude = hypot.  Same contribution-explode shape as
+    the regrid (each point sends one signed contribution to each of its 4
+    neighbors — a narrow 4x generate, no self-join against the corpus),
+    one aggregation shuffle; the 4-contribution gate drops edges and
+    nodata-adjacent cells instead of extrapolating.  Integer sums per
+    component + one correctly-rounded sqrt keep the oracle exact."""
+    pts = decode_grid_directory(spark, GRID_DIR)
+    rad = F.col("Radiation")
+    null_i = F.lit(None).cast("int")
+    contribs = F.array(
+        F.struct(
+            (F.col("Longitude") + CS).alias("tlon"),
+            F.col("Latitude").alias("tlat"),
+            (-rad).cast("int").alias("dxc"),
+            null_i.alias("dyc"),
+        ),
+        F.struct(
+            (F.col("Longitude") - CS).alias("tlon"),
+            F.col("Latitude").alias("tlat"),
+            rad.cast("int").alias("dxc"),
+            null_i.alias("dyc"),
+        ),
+        F.struct(
+            F.col("Longitude").alias("tlon"),
+            (F.col("Latitude") + CS).alias("tlat"),
+            null_i.alias("dxc"),
+            (-rad).cast("int").alias("dyc"),
+        ),
+        F.struct(
+            F.col("Longitude").alias("tlon"),
+            (F.col("Latitude") - CS).alias("tlat"),
+            null_i.alias("dxc"),
+            rad.cast("int").alias("dyc"),
+        ),
+    )
+    contrib = pts.select(
+        "RadiationType", "year", "month", "day", "hour", F.explode(contribs).alias("c")
+    )
+    gx = F.sum(F.col("c.dxc")).cast("double") / (2 * CS)
+    gy = F.sum(F.col("c.dyc")).cast("double") / (2 * CS)
+    return (
+        contrib.groupBy(
+            "RadiationType",
+            "year",
+            "month",
+            "day",
+            "hour",
+            F.round(F.col("c.tlon"), 6).alias("lon"),
+            F.round(F.col("c.tlat"), 6).alias("lat"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_contrib"),
+            F.round(gx, 6).alias("grad_x"),
+            F.round(gy, 6).alias("grad_y"),
+            F.round(F.sqrt(gx * gx + gy * gy), 6).alias("magnitude"),
+        )
+        .filter(F.col("n_contrib") == 4)
+        .drop("n_contrib")
+    )

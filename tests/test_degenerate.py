@@ -43,6 +43,7 @@ DOC_QUERIES = [
     "n31_incremental_merge",
     "n32_truncation_dedup",
     "n33_split_leakage",
+    "n34_sequence_packing",
 ]
 
 EVENT_ORDER_QUERIES = [

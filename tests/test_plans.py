@@ -338,3 +338,22 @@ def test_split_leakage_single_pass_no_multiplication(spark, oracle_sf_dir):
     p = _plan(spark, oracle_sf_dir, "n33_split_leakage")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert p.count("FileScan parquet") == 2  # one per split side
+
+
+def test_sequence_packing_windows_partition_on_shard(spark, oracle_sf_dir):
+    # the running token offset is a per-shard window — a global running
+    # sum would serialize the corpus through one task (the registry-wide
+    # unpartitioned-window lint also covers this; the explicit assert
+    # documents the design)
+    p = _plan(spark, oracle_sf_dir, "n34_sequence_packing")
+    assert "shard_id" in p
+    assert "SinglePartition" not in p
+
+
+def test_gradient_is_narrow_explode_single_shuffle(spark, oracle_sf_dir):
+    # one corpus pass: the 4 signed neighbor contributions come from one
+    # explode (never a self-join of the point cloud), then one shuffle
+    p = _plan(spark, oracle_sf_dir, "g_gradient")
+    assert "Generate explode" in p
+    assert p.count("Exchange") == 1
+    assert "Join" not in p
