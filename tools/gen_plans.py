@@ -33,6 +33,11 @@ NOTES = {
     "n30_unigram_lm_score": "model building is one pass (checkpointed (token, cnt) frame read by total / top-V / OOV floor); top-V cut via TakeOrderedAndProject; model broadcast to the exploded token stream so the corpus never shuffles for the scoring join; BIGINT micro-bit sums are order-independent",
     "n31_incremental_merge": "LEFT ANTI on the content digest — no row multiplication; the corpus side is a digest-only projection (text pruned from the join); uniform keys, bucketing-ready",
     "n32_truncation_dedup": "prefix-8 digest bucket self-join (equi-join on pk, never all-pairs/nested-loop); in-bucket verify is one array-slice comparison; hot-bucket levers: longer K, AQE skew-join",
+    "n33_split_leakage": "LEFT JOIN against the deduped train shingle set (unique right key — no row multiplication); totals + leaked counts from ONE aggregation (conditional sum), one scan per split side",
+    "n34_sequence_packing": "running token offsets via a window PARTITIONED on shard_id (distributed packing — no global running sum / SinglePartition anywhere); one shuffle to shards, one agg to packs",
+    "g_regrid_bilinear": "narrow 4x contribution explode (no corpus self-join) + ONE aggregation shuffle on (grid-hour, target-cell); all-corners gate drops edge/nodata targets",
+    "g_gradient": "same contribution-explode shape as the regrid: one narrow generate with signed per-axis contributions, one shuffle, 4-contribution gate; integer sums keep both engines exact",
+    "x06_scd2_intervals": "change-detect (lag) -> running version -> close (lead): every window partitioned on user_id, ts ties broken by event_id; shuffle-once-then-narrow",
 }
 
 
