@@ -126,10 +126,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register testdata tables as temp views for spark.sql-based queries.
     ``events`` goes through :func:`load_events` so SQL sees the same
-    normalized TIMESTAMP ``ts`` as the DataFrame path."""
-    for n, df in load_tables(spark, sf_dir, *names).items():
-        if n == "events":
-            df = load_events(spark, sf_dir)
+    normalized TIMESTAMP ``ts`` as the DataFrame path — and must NOT pass
+    through ``load_tables`` first: its eager schema read would throw
+    ILLEGAL_PARQUET_TYPE on a TIMESTAMP(NANOS) fixture before load_events
+    gets the chance to set the nanosAsLong conf (code-review r4)."""
+    names = names or TABLES
+    for n in names:
+        df = (
+            load_events(spark, sf_dir)
+            if n == "events"
+            else spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        )
         df.createOrReplaceTempView(n)
 
 

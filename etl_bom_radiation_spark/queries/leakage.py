@@ -48,11 +48,16 @@ from .llm_queries import _DUCK_TOKENS, _shingles, _tokens
 #: convention)
 N_GRAM = 3
 
-#: DuckDB 3-gram shingles with _shingles' degenerate-doc clamp (a 0/1/2-
-#: token doc yields one degenerate shingle, exactly like the Spark side)
+#: DuckDB n-gram shingles with _shingles' degenerate-doc clamp (a doc with
+#: fewer than N_GRAM tokens yields one degenerate shingle, exactly like the
+#: Spark side) — parameterized by N_GRAM so the two engines cannot drift
+#: (code-review r4)
 _DUCK_SH = (
-    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
-    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len(toks) - {N_GRAM - 1}, 1) + 1), "
+    "i -> concat_ws(' ', "
+    + ", ".join(f"toks[i+{k}]" if k else "toks[i]" for k in range(N_GRAM))
+    + ")))"
 )
 
 

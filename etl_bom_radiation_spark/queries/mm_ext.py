@@ -32,6 +32,22 @@ from .llm_queries import _DUCK_TOKENS
 IN_W, STRIDE = 16, 2
 
 
+def _py_tokens(s):
+    """The fake-decode tokenizer, shared by every mm kernel in this module.
+
+    ``re.ASCII`` pins ``\\s`` to the ASCII class — Java's ``\\s`` (the Spark
+    ``_tokens`` split) and RE2's (the DuckDB oracles) are ASCII-only, and
+    Python is the odd engine out on Unicode whitespace like U+00A0
+    (code-review r4). Defined at module level (one copy, cloudpickle-safe
+    for mapInPandas) instead of per-kernel closures.
+    """
+    import re
+
+    if s is None:
+        return []
+    return [t for t in re.split(r"\s+", s.strip().lower(), flags=re.ASCII) if t]
+
+
 @register(
     "mm03_thumbnail",
     oracle=f"""
@@ -70,14 +86,10 @@ def mm03_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _resize(batches: Iterator) -> Iterator:
         import hashlib
         import math
-        import re
 
         import pandas as pd
 
-        def toks(s):
-            if s is None:
-                return []
-            return [t for t in re.split(r"\s+", s.strip().lower()) if t]
+        toks = _py_tokens
 
         for pdf in batches:
             out = {"doc_id": [], "n_tokens": [], "in_h": [], "out_h": [], "n_kept": [], "thumb_md5": []}
@@ -160,14 +172,10 @@ def mm04_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _frames(batches: Iterator) -> Iterator:
         import hashlib
         import math
-        import re
 
         import pandas as pd
 
-        def toks(s):
-            if s is None:
-                return []
-            return [t for t in re.split(r"\s+", s.strip().lower()) if t]
+        toks = _py_tokens
 
         for pdf in batches:
             out = {

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import load_tables, register
-from .llm_queries import _tokens
+from .llm_queries import _DUCK_TOKENS, _tokens
 
 #: context budget (tokens per training sequence)
 BUDGET = 512
@@ -52,8 +52,7 @@ SHARDS = 8
     WITH t AS (
         SELECT doc_id,
                md5('epoch7-' || CAST(doc_id AS VARCHAR)) AS k,
-               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                               w -> length(w) > 0)) AS n_tokens
+               len({_DUCK_TOKENS}) AS n_tokens
         FROM documents
     ), sharded AS (
         SELECT doc_id, k, n_tokens,

@@ -64,11 +64,15 @@ CS = 0.5
                lat + {CS}/2 - dy*{CS} AS tlat
         FROM pts, unnest(range(0, 2)) AS t1(dx), unnest(range(0, 2)) AS t2(dy)
     )
+    -- GROUP BY the ROUNDED keys (not the raw arithmetic): Spark groups on
+    -- round(...,6), and on a non-binary-exact lattice ulp differences
+    -- between arithmetic paths would otherwise split DuckDB groups that
+    -- Spark merges (code-review r4)
     SELECT RadiationType, year, month, day, hour,
            ROUND(tlon, 6) AS tlon, ROUND(tlat, 6) AS tlat,
            ROUND(CAST(SUM(rad) AS DOUBLE) / 4.0, 6) AS value
     FROM contrib
-    GROUP BY RadiationType, year, month, day, hour, tlon, tlat
+    GROUP BY RadiationType, year, month, day, hour, ROUND(tlon, 6), ROUND(tlat, 6)
     HAVING COUNT(*) = 4
     """,
 )
@@ -149,7 +153,8 @@ def g_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(sqrt((CAST(SUM(dxc) AS DOUBLE) / (2 * {CS})) ^ 2
                     + (CAST(SUM(dyc) AS DOUBLE) / (2 * {CS})) ^ 2), 6) AS magnitude
     FROM contrib
-    GROUP BY RadiationType, year, month, day, hour, tlon, tlat
+    -- rounded grouping keys for the same reason as the regrid oracle
+    GROUP BY RadiationType, year, month, day, hour, ROUND(tlon, 6), ROUND(tlat, 6)
     HAVING COUNT(*) = 4
     """,
 )

@@ -328,6 +328,7 @@ def test_scd2_shuffles_once_per_user(spark, oracle_sf_dir):
     p = _plan(spark, oracle_sf_dir, "x06_scd2_intervals")
     assert "user_id" in p
     assert p.count("Window") >= 2
+    assert "SinglePartition" not in p
 
 
 def test_split_leakage_single_pass_no_multiplication(spark, oracle_sf_dir):

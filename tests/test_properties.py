@@ -178,7 +178,7 @@ def test_run_grammar_slot_arithmetic_matches_python_model(spark):
     assert [r.ts for r in got] == want
 
 
-def test_sq8_quantization_error_bound(spark):
+def test_sq8_quantization_error_bound(spark, sf_dir):
     """n28 semantics (not just cross-engine consistency): dequantizing the
     SQ8 codes reconstructs every element to within half a quantization
     step, span/(2*255) — the defining property of scalar quantization.
@@ -187,7 +187,7 @@ def test_sq8_quantization_error_bound(spark):
     from etl_bom_radiation_spark.queries import load_all
 
     qs = load_all()
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     out = {r.vec_id: r for r in qs["n28_embedding_quantize"].fn(spark, sf).collect()}
     orig = {
         r.vec_id: [float(x) for x in r.embedding]
