@@ -169,6 +169,7 @@ _MODULES = [
     "scd",
     "leakage",
     "packing",
+    "provenance",
 ]
 
 

@@ -44,6 +44,7 @@ DOC_QUERIES = [
     "n32_truncation_dedup",
     "n33_split_leakage",
     "n34_sequence_packing",
+    "n35_source_dup_matrix",
 ]
 
 EVENT_ORDER_QUERIES = [

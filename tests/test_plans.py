@@ -358,3 +358,13 @@ def test_gradient_is_narrow_explode_single_shuffle(spark, oracle_sf_dir):
     assert "Generate explode" in p
     assert p.count("Exchange") == 1
     assert "Join" not in p
+
+
+def test_source_dup_matrix_collapses_before_pair_join(spark, oracle_sf_dir):
+    # the distinct (fingerprint, source) collapse must happen BELOW the
+    # self-join (bounded per-key fan-out), and the join is an equi-join on
+    # the digest — never a nested loop of the corpus against itself
+    p = _plan(spark, oracle_sf_dir, "n35_source_dup_matrix")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # both join inputs are aggregates (the distinct), not raw scans
+    assert p.count("HashAggregate") >= 4
