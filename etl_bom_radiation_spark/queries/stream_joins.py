@@ -90,3 +90,91 @@ def t09_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(latency), 6).alias("min_latency_s"),
         F.round(F.avg(latency), 6).alias("avg_latency_s"),
     )
+
+
+@register("t10_stream_incremental_merge", streaming=True)
+def t10_stream_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 (extension): REAL streaming incremental corpus admission — the
+    streaming form of n31. A document stream is deduplicated against
+    itself with stateful ``dropDuplicates`` on the content digest (state
+    persists across micro-batches via the checkpoint) and anti-joined
+    against the static existing-corpus digest set (stream-static
+    left_outer + null filter — the supported stream-static anti shape).
+    Two micro-batches prove all three rejection paths: in-batch dup,
+    cross-batch dup (needs the dedup state), already-in-corpus.
+
+    At scale the unbounded dedup state becomes
+    ``dropDuplicatesWithinWatermark`` (state bounded by event time) and
+    the static side a digest-only snapshot table, exactly n31's
+    bucketing-ready projection. Returns the admitted digests (collected
+    to a local relation so the temp checkpoint dies with the call)."""
+    import json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming_batch import _localized
+
+    src = tempfile.mkdtemp(prefix="t10_src_")
+    ckpt = tempfile.mkdtemp(prefix="t10_ckpt_")
+    name = f"t10_sink_{uuid.uuid4().hex[:8]}"
+
+    existing = (
+        spark.createDataFrame([("alpha beta",), ("gamma delta",)], "text string")
+        .select(F.md5("text").alias("h"), F.lit(1).alias("in_corpus"))
+    )
+
+    def _drop(fname: str, docs: list[dict]) -> None:
+        tmp = os.path.join(src, f".{fname}.tmp")
+        with open(tmp, "w") as fh:
+            for d in docs:
+                fh.write(json.dumps(d) + "\n")
+        os.rename(tmp, os.path.join(src, fname))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(src)
+        .withColumn("h", F.md5("text"))
+        .dropDuplicates(["h"])
+        .join(existing, "h", "left_outer")
+        .filter(F.col("in_corpus").isNull())
+        .select("h")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        _drop(
+            "b1.json",
+            [
+                {"doc_id": 1, "text": "alpha beta"},    # already in corpus
+                {"doc_id": 2, "text": "epsilon zeta"},  # admitted
+                {"doc_id": 3, "text": "epsilon zeta"},  # in-batch dup
+                {"doc_id": 4, "text": "eta theta"},     # admitted
+            ],
+        )
+        q.processAllAvailable()
+        _drop(
+            "b2.json",
+            [
+                {"doc_id": 5, "text": "epsilon zeta"},  # cross-batch dup (state)
+                {"doc_id": 6, "text": "iota kappa"},    # admitted
+                {"doc_id": 7, "text": "gamma delta"},   # already in corpus
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        # exactly the 3 admitted digests (epsilon zeta, eta theta, iota
+        # kappa) — any dup leaking through would change the row count
+        return _localized(spark.table(name).orderBy("h"))
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

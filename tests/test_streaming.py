@@ -248,3 +248,20 @@ def test_sessionize_transform_with_state(spark, tmp_path):
     rows = {r["user_id"]: r for r in spark.sql("SELECT * FROM t7b").collect()}
     assert rows[1]["sessions"] == 2 and rows[1]["events"] == 3
     assert rows[2]["sessions"] == 1
+
+
+def test_t10_streaming_incremental_merge_admits_exactly_new_content(spark):
+    """The t10 declared query is rows-only for the driver; here the exact
+    admitted digests are pinned: in-batch dup, cross-batch dup (dedup
+    state across micro-batches), and already-in-corpus must all be
+    rejected, leaving exactly the three novel texts."""
+    import hashlib
+
+    from etl_bom_radiation_spark.queries import load_all
+
+    got = [r.h for r in load_all()["t10_stream_incremental_merge"].fn(spark, "").collect()]
+    want = sorted(
+        hashlib.md5(t.encode()).hexdigest()
+        for t in ("epsilon zeta", "eta theta", "iota kappa")
+    )
+    assert got == want
