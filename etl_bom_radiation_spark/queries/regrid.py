@@ -220,3 +220,74 @@ def g_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_contrib") == 4)
         .drop("n_contrib")
     )
+
+
+#: named analysis zones (bounding boxes) for zonal statistics — the tiny
+#: broadcast dim a real deployment would load from a zone catalog
+ZONES = [
+    # (zone, lon_min, lon_max, lat_min, lat_max)
+    ("west", 111.5, 112.6, -45.0, -42.5),
+    ("east", 112.6, 114.0, -45.0, -42.5),
+    ("all", 111.0, 115.0, -46.0, -42.0),
+]
+
+
+@register(
+    "g_zonal_stats",
+    oracle=_ORACLE_BASE
+    + f"""
+    , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
+    , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
+    , pts AS (
+        SELECT p[2] AS RadiationType,
+               xll + (j-1)*cs AS lon, yll + nrows*cs - i*cs AS lat,
+               CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS rad
+        FROM cls
+        WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
+          AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
+    ), zones(zone, lon_min, lon_max, lat_min, lat_max) AS (
+        VALUES {", ".join(f"('{z}', {a}, {b}, {c}, {d})" for z, a, b, c, d in ZONES)}
+    )
+    SELECT z.zone, p.RadiationType,
+           CAST(count(*) AS BIGINT) AS points,
+           CAST(sum(p.rad) AS BIGINT) AS total_radiation,
+           CAST(min(p.rad) AS INT) AS min_radiation,
+           CAST(max(p.rad) AS INT) AS max_radiation,
+           ROUND(CAST(sum(p.rad) AS DOUBLE) / count(*), 6) AS avg_radiation
+    FROM pts p JOIN zones z
+      ON p.lon >= z.lon_min AND p.lon < z.lon_max
+     AND p.lat >= z.lat_min AND p.lat < z.lat_max
+    GROUP BY z.zone, p.RadiationType
+    """,
+)
+def g_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-extension: zonal statistics — per named zone (bounding box) and
+    radiation type: point count, min/max/total and mean radiation. Zones
+    may overlap (a point lands in every zone containing it). The zone
+    catalog is rows-small at any deployment, so the range join is the
+    broadcast-tiny-side pattern (the q10 shape): the point cloud never
+    shuffles for the join, only for the final (zone, type) aggregation —
+    |zones| x |types| rows. Integer sums keep the mean exact."""
+    pts = decode_grid_directory(spark, GRID_DIR)
+    zones = spark.createDataFrame(
+        ZONES, "zone string, lon_min double, lon_max double, lat_min double, lat_max double"
+    )
+    joined = pts.join(
+        F.broadcast(zones),
+        (F.col("Longitude") >= F.col("lon_min"))
+        & (F.col("Longitude") < F.col("lon_max"))
+        & (F.col("Latitude") >= F.col("lat_min"))
+        & (F.col("Latitude") < F.col("lat_max")),
+    )
+    return (
+        joined.groupBy("zone", "RadiationType")
+        .agg(
+            F.count(F.lit(1)).alias("points"),
+            F.sum("Radiation").alias("total_radiation"),
+            F.min("Radiation").alias("min_radiation"),
+            F.max("Radiation").alias("max_radiation"),
+            F.round(
+                F.sum("Radiation").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_radiation"),
+        )
+    )

@@ -368,3 +368,12 @@ def test_source_dup_matrix_collapses_before_pair_join(spark, oracle_sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     # both join inputs are aggregates (the distinct), not raw scans
     assert p.count("HashAggregate") >= 4
+
+
+def test_zonal_stats_broadcasts_zone_catalog(spark, oracle_sf_dir):
+    # the zone catalog (rows-small) broadcasts for the range join — the
+    # point cloud must never shuffle for it (q10's tiny-side pattern);
+    # the only Exchange is the final (zone, type) aggregation
+    p = _plan(spark, oracle_sf_dir, "g_zonal_stats")
+    assert "BroadcastNestedLoopJoin" in p
+    assert p.count("Exchange hashpartitioning") == 1
