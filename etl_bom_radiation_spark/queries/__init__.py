@@ -170,6 +170,7 @@ _MODULES = [
     "leakage",
     "packing",
     "provenance",
+    "minhash_eval",
 ]
 
 

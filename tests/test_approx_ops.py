@@ -169,3 +169,19 @@ def test_cosine_queries_survive_zero_norm_vectors(spark, tmp_path):
     assert [r["vec_id"] for r in top][:2] == [0, 2]  # zero vector sorts last
     pairs = L.n04_similarity_selfjoin(spark, d).collect()
     assert all(1 not in (r["id_a"], r["id_b"]) for r in pairs)
+
+
+def test_minhash_estimator_statistics(spark, sf_dir):
+    """n36 semantics beyond oracle parity: an identical-shingle-set pair
+    must estimate exactly 1.0, and the 16-permutation sketch should track
+    exact Jaccard within a loose statistical bound on average."""
+    from etl_bom_radiation_spark.queries import load_all
+
+    rows = load_all()["n36_minhash_estimate"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.jaccard_exact == 1.0:
+            assert r.minhash_est == 1.0
+        assert 0.0 <= r.minhash_est <= 1.0
+    mean_err = sum(r.abs_err for r in rows) / len(rows)
+    assert mean_err < 0.2, mean_err

@@ -377,3 +377,12 @@ def test_zonal_stats_broadcasts_zone_catalog(spark, oracle_sf_dir):
     p = _plan(spark, oracle_sf_dir, "g_zonal_stats")
     assert "BroadcastNestedLoopJoin" in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_minhash_estimate_seeds_broadcast_pairs_equi(spark, oracle_sf_dir):
+    # the 16-seed fan-out is a broadcast of the tiny seed table (the only
+    # nested-loop allowed); every doc-pair comparison is an equi-join of
+    # SIGNATURES (16 rows/doc), never a cartesian of shingle sets
+    p = _plan(spark, oracle_sf_dir, "n36_minhash_estimate")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
