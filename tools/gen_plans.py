@@ -38,6 +38,9 @@ NOTES = {
     "g_regrid_bilinear": "narrow 4x contribution explode (no corpus self-join) + ONE aggregation shuffle on (grid-hour, target-cell); all-corners gate drops edge/nodata targets",
     "g_gradient": "same contribution-explode shape as the regrid: one narrow generate with signed per-axis contributions, one shuffle, 4-contribution gate; integer sums keep both engines exact",
     "x06_scd2_intervals": "change-detect (lag) -> running version -> close (lead): every window partitioned on user_id, ts ties broken by event_id; shuffle-once-then-narrow",
+    "n35_source_dup_matrix": "distinct (fingerprint, source) collapse BELOW the self-join bounds per-key fan-out by |sources|; equi-join on the digest, output bounded by |sources|^2",
+    "n36_minhash_estimate": "signature frame checkpoint-pinned (both pair branches read 16-row-per-doc sketches, one shingle explode); seed fan-out is the only broadcast nested loop; pair compares are equi-joins",
+    "g_zonal_stats": "zone catalog broadcast for the range join (q10 tiny-side pattern) — the point cloud never shuffles for the join; single aggregation Exchange",
 }
 
 
