@@ -84,3 +84,66 @@ def test_gapfill_calendar_is_dense_and_count_preserving(spark, oracle_sf_dir):
     assert (
         out.agg(F.sum("orders_n")).first()[0] == orders.count()
     )  # zero-fill adds cells, never counts
+
+
+def test_truncation_dedup_known_corpus(spark, tmp_path):
+    """n32 semantics on a constructed corpus: exact prefix → contained;
+    same-length tie → larger doc_id contained by min; shared first-8 but
+    diverging later → NOT contained; under-8-token docs out of contract."""
+    base = "w0 w1 w2 w3 w4 w5 w6 w7"  # exactly 8 tokens
+    rows = [
+        (1, base + " w8 w9", "en", "a", 0),        # container (10 tokens)
+        (2, base, "en", "a", 0),                   # prefix of 1 -> contained
+        (3, base + " w8 w9", "en", "a", 0),        # identical to 1 -> tie, contained by 1
+        (4, base + " zz w9", "en", "a", 0),        # shares first 8, diverges at 9
+        (5, "w0 w1 w2", "en", "a", 0),             # < 8 tokens: out of contract
+    ]
+    d = str(tmp_path / "fix")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    from etl_bom_radiation_spark.queries import load_all
+
+    got = {
+        r.doc_id: (r.n_containers, r.min_container)
+        for r in load_all()["n32_truncation_dedup"].fn(spark, d).collect()
+    }
+    # doc 2 is a prefix of docs 1, 3 and 4 (all share its full 8-token span)
+    assert got[2] == (3, 1)
+    # doc 3 ties with doc 1 -> contained by the min doc_id only
+    assert got[3] == (1, 1)
+    # docs 1, 4, 5 are not contained by anything
+    assert set(got) == {2, 3}
+
+
+def test_sequence_packing_invariants_per_shard(spark, sf_dir):
+    """n34 manifest invariants against an independent Python fold: per
+    shard, pack ids are exactly the offsets' floor-div classes, token
+    totals are conserved, and every pack's doc count is positive."""
+    import hashlib
+
+    from etl_bom_radiation_spark.queries import load_all
+    from etl_bom_radiation_spark.queries.packing import BUDGET, SHARDS
+
+    rows = load_all()["n34_sequence_packing"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+
+    # independent model: same key, same shard arithmetic, same fold
+    per_shard = {}
+    for r in docs:
+        k = hashlib.md5(f"epoch7-{r.doc_id}".encode()).hexdigest()
+        shard = (ord(k[0]) * 256 + ord(k[1])) % SHARDS
+        n = len([t for t in (r.text or "").strip().lower().split() if t])
+        per_shard.setdefault(shard, []).append((k, r.doc_id, n))
+    want = {}
+    for shard, items in per_shard.items():
+        off = 0
+        for k, doc_id, n in sorted(items):
+            pack = off // BUDGET
+            w = want.setdefault((shard, pack), [0, 0])
+            w[0] += 1
+            w[1] += n
+            off += n
+    got = {(r.shard_id, r.pack_id): [r.n_docs, r.n_tokens] for r in rows}
+    assert got == want
+    assert all(nd > 0 for nd, _ in got.values())
