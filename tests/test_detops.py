@@ -147,3 +147,61 @@ def test_sequence_packing_invariants_per_shard(spark, sf_dir):
     got = {(r.shard_id, r.pack_id): [r.n_docs, r.n_tokens] for r in rows}
     assert got == want
     assert all(nd > 0 for nd, _ in got.values())
+
+
+def test_incremental_merge_known_corpus(spark, tmp_path):
+    """n31 semantics on a constructed corpus: even ids = existing corpus,
+    odd ids = incoming; planted in-batch dup and already-in-corpus dup
+    must both be rejected, novel content admitted with min-id survivor."""
+    rows = [
+        (2, "alpha", "en", "a", 0),   # existing
+        (4, "beta", "en", "a", 0),    # existing
+        (1, "alpha", "en", "a", 0),   # incoming, already in corpus -> rejected
+        (3, "gamma", "en", "a", 0),   # incoming, novel -> admitted
+        (5, "gamma", "en", "a", 0),   # incoming, in-batch dup of 3 -> rejected
+        (7, "delta", "en", "a", 0),   # incoming, novel -> admitted
+    ]
+    d = str(tmp_path / "fix")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    from etl_bom_radiation_spark.queries import load_all
+
+    got = sorted(
+        r.doc_id for r in load_all()["n31_incremental_merge"].fn(spark, d).collect()
+    )
+    assert got == [3, 7]
+
+
+def test_split_leakage_known_corpus(spark, tmp_path):
+    """n33 semantics on a constructed corpus: a test doc sharing half its
+    trigrams with a train doc scores leak_frac 0.5; a fully-novel test doc
+    scores 0. Split membership is derived with the same hash rule the
+    query uses, so the fixture plants docs on known sides."""
+    import hashlib
+
+    def split_of(i):
+        return "test" if hashlib.md5(f"split42-{i}".encode()).hexdigest()[0] in "01" else "train"
+
+    test_ids = [i for i in range(1, 200) if split_of(i) == "test"]
+    train_ids = [i for i in range(1, 200) if split_of(i) == "train"]
+    # leaky test doc: trigrams {a b c, b c d} — "a b c" also in a train doc
+    # novel test doc: trigrams {p q r, q r s}
+    rows = [
+        (test_ids[0], "a b c d", "en", "a", 0),
+        (test_ids[1], "p q r s", "en", "a", 0),
+        (train_ids[0], "a b c", "en", "a", 0),
+        (train_ids[1], "x y z", "en", "a", 0),
+    ]
+    d = str(tmp_path / "fix")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    from etl_bom_radiation_spark.queries import load_all
+
+    got = {
+        r.doc_id: (r.n_shingles, r.n_leaked, r.leak_frac)
+        for r in load_all()["n33_split_leakage"].fn(spark, d).collect()
+    }
+    assert got[test_ids[0]] == (2, 1, 0.5)
+    assert got[test_ids[1]] == (2, 0, 0.0)
