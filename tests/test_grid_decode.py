@@ -261,3 +261,81 @@ def test_gzipped_grid_decodes_transparently(spark, tmp_path):
     assert sorted(r.Radiation for r in rows) == [7, 7, 9, 9]
     hours = {r.Date.hour for r in rows}
     assert len(hours) == 2  # both files parsed their own filename metadata
+
+
+def test_regrid_and_gradient_match_independent_python_model(spark):
+    """Third-implementation cross-check for the raster extensions: parse
+    the golden fixtures in pure Python (no Spark, no DuckDB) and fold the
+    same midpoint-mean / central-difference definitions; the declared
+    queries must reproduce them exactly."""
+    import glob
+    import math
+
+    from etl_bom_radiation_spark.queries import load_all
+
+    qs = load_all()
+
+    def parse(path):
+        with open(path) as fh:
+            lines = [ln.rstrip("\n") for ln in fh]
+        hdr = {ln.split()[0].lower(): float(ln.split()[1]) for ln in lines[:6]}
+        ncols, nrows = int(hdr["ncols"]), int(hdr["nrows"])
+        xll, yll, cs, nod = hdr["xllcorner"], hdr["yllcorner"], hdr["cellsize"], int(hdr["nodata_value"])
+        pts = {}
+        for i, ln in enumerate(lines[6 : 6 + nrows], start=1):
+            for j, tok in enumerate(ln.split(" "), start=1):
+                v = int(tok)
+                if v != nod:
+                    pts[(xll + (j - 1) * cs, yll + nrows * cs - i * cs)] = v
+        return cs, pts
+
+    # both fixtures hold the same matrix; spark groups by hour so model per file
+    for path in sorted(glob.glob("fixtures/grids/*.txt")):
+        cs, pts = parse(path)
+
+        regrid = {}
+        for (x, y), v in pts.items():
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    t = (round(x + cs / 2 - dx * cs, 6), round(y + cs / 2 - dy * cs, 6))
+                    regrid.setdefault(t, []).append(v)
+        want_regrid = {
+            t: round(sum(vs) / 4.0, 6) for t, vs in regrid.items() if len(vs) == 4
+        }
+
+        want_grad = {}
+        # central differences at every lattice position with all 4 neighbors
+        coords = set(pts)
+        for (x, y) in {(round(x, 6), round(y, 6)) for (x, y) in coords} | {
+            (round(x + sx * cs, 6), round(y + sy * cs, 6))
+            for (x, y) in coords
+            for sx, sy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        }:
+            def get(a, b):
+                return pts.get((a, b))
+            l, r = get(round(x - cs, 6), y), get(round(x + cs, 6), y)
+            d, u = get(x, round(y - cs, 6)), get(x, round(y + cs, 6))
+            if None in (l, r, d, u):
+                continue
+            gx, gy = (r - l) / (2 * cs), (u - d) / (2 * cs)
+            want_grad[(x, y)] = (
+                round(gx, 6), round(gy, 6), round(math.sqrt(gx * gx + gy * gy), 6)
+            )
+
+        got_regrid = {
+            (r.tlon, r.tlat): r.value
+            for r in qs["g_regrid_bilinear"].fn(spark, "").collect()
+        }
+        got_grad = {
+            (r.lon, r.lat): (r.grad_x, r.grad_y, r.magnitude)
+            for r in qs["g_gradient"].fn(spark, "").collect()
+        }
+        # per-hour grouping: every model target must appear with the model
+        # value (both fixture hours share the matrix, so values coincide)
+        for t, v in want_regrid.items():
+            assert got_regrid.get(t) == v, (t, v, got_regrid.get(t))
+        for t, g in want_grad.items():
+            assert got_grad.get(t) == g, (t, g, got_grad.get(t))
+        # and nothing beyond the model's gated targets
+        assert set(got_regrid) == set(want_regrid)
+        assert set(got_grad) == set(want_grad)
