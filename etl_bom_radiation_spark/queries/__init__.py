@@ -174,24 +174,31 @@ _MODULES = [
 ]
 
 
-def _driver_verified() -> set[str]:
-    """Query names that already hold a green row in a past driver
-    ``CORRECTNESS_r*.json`` artifact (or the contractual ``no_oracle``
-    outcome for approximate ops).
+def _last_verified_round() -> dict[str, int]:
+    """Map query name -> the most recent driver round whose
+    ``CORRECTNESS_r*.json`` holds a green row for it (``hash_match`` true, or
+    the contractual ``no_oracle`` outcome for approximate/streaming ops).
+    Absent names have never been driver-verified.
 
-    The driver's per-round correctness budget covers a finite prefix of
-    the registry (r2 recorded exactly the first 50 entries), so ordering
-    is a coverage lever: queries that are already proven rotate to the
-    back, never-verified ones float to the front.  Across rounds this
-    converges to every query having a driver row.
+    The driver's per-round correctness budget covers a finite prefix of the
+    registry (~50 entries), so ordering is a freshness lever: never-verified
+    queries float to the very front, then the stalest-verified ones — the
+    entries whose evidence is the most testdata-regenerations old.  Across
+    rounds this keeps every query's driver row within a bounded age
+    (VERDICT r4 #1: the 50 r2-window entries rotate front in r5).
     """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(p) as f:
                 data = json.load(f)
@@ -201,14 +208,13 @@ def _driver_verified() -> set[str]:
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match") is True or row.get("err") == "no_oracle":
-                seen.add(name)
-    return seen
+                last[name] = max(rnd, last.get(name, 0))
+    return last
 
 
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY) and return it,
-    reordered so never-driver-verified queries come first (see
-    ``_driver_verified``).
+    reordered stalest-driver-evidence-first (see ``_last_verified_round``).
 
     Every module named in ``_MODULES`` must exist — a missing or broken
     module raises instead of silently dropping its queries from the
@@ -216,8 +222,9 @@ def load_all() -> dict[str, Query]:
     """
     for m in _MODULES:
         importlib.import_module(f"{__name__}.{m}")
-    verified = _driver_verified()
-    ordered = sorted(REGISTRY, key=lambda n: n in verified)  # stable: keeps module order
+    last = _last_verified_round()
+    # stable: keeps module order within each freshness class
+    ordered = sorted(REGISTRY, key=lambda n: last.get(n, 0))
     for name in ordered:
         REGISTRY[name] = REGISTRY.pop(name)
     return REGISTRY

@@ -43,6 +43,34 @@ from ..grid.decode import decode_grid_directory
 CS = 0.5
 
 
+def _assert_cellsize(spark: SparkSession) -> None:
+    """Fail loudly if any fixture grid header's cellsize differs from CS.
+
+    The regrid/gradient offset arithmetic AND their DuckDB oracles both use
+    the CS constant, so a fixture with a different cellsize would produce
+    wrong lattice targets on both engines simultaneously and the parity
+    gate would never notice (ADVICE r4).  This guard turns that silent
+    co-drift into an error: one tiny aggregate over the (handful of)
+    fixture headers before the real plan runs.
+    """
+    from ..grid.decode import _header_field, read_grid_files
+
+    lines = F.split(F.col("_content"), r"\r?\n")
+    bad = (
+        read_grid_files(spark, GRID_DIR)
+        .select(_header_field(lines, 5).try_cast("double").alias("cs"))
+        .filter((F.col("cs").isNull()) | (F.col("cs") != F.lit(CS)))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"grid fixture cellsize {bad[0]['cs']!r} != module constant CS={CS}; "
+            "regrid/gradient offsets (and their oracles) assume CS — rederive "
+            "the lattice step from the header before trusting results"
+        )
+
+
 @register(
     "g_regrid_bilinear",
     oracle=_ORACLE_BASE
@@ -80,6 +108,7 @@ def g_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G-extension: bilinear resample onto the half-cell-offset lattice —
     each target is the mean of its 2x2 source corners; targets missing any
     corner (grid edge or nodata) are dropped, never extrapolated."""
+    _assert_cellsize(spark)
     pts = decode_grid_directory(spark, GRID_DIR)
     half = CS / 2
     offsets = F.array(
@@ -167,6 +196,7 @@ def g_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
     one aggregation shuffle; the 4-contribution gate drops edges and
     nodata-adjacent cells instead of extrapolating.  Integer sums per
     component + one correctly-rounded sqrt keep the oracle exact."""
+    _assert_cellsize(spark)
     pts = decode_grid_directory(spark, GRID_DIR)
     rad = F.col("Radiation")
     null_i = F.lit(None).cast("int")

@@ -9,14 +9,33 @@ as a bench regression at 100x the data.
 
 from __future__ import annotations
 
+import pyspark
+
 from etl_bom_radiation_spark.grid.decode import decode_grid_directory
 from etl_bom_radiation_spark.queries import load_all
 
 QS = load_all()
 
+#: exact plan-fragment counts are only contractual on the pinned Spark minor
+#: — Catalyst reuse/formatting can shift them across versions with no
+#: semantic regression (ADVICE r4)
+SPARK_PINNED = pyspark.__version__.startswith("4.1.")
+
 
 def _plan(spark, sf_dir, name: str) -> str:
     return QS[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_count(p: str, token: str, n: int) -> None:
+    """Assert the plan contains exactly ``n`` occurrences of ``token`` on the
+    pinned Spark minor; off-pin, enforce only the no-regression upper bound
+    (more shuffles/scans is always a real regression; fewer can be a newer
+    optimizer doing better or printing reuse differently — ADVICE r4)."""
+    got = p.count(token)
+    if SPARK_PINNED:
+        assert got == n, f"{token!r}: {got} != {n}\n{p}"
+    else:
+        assert got <= n, f"{token!r}: {got} > {n}\n{p}"
 
 
 def test_filters_push_to_parquet_scan(spark, oracle_sf_dir):
@@ -33,7 +52,7 @@ def test_projection_prunes_columns(spark, oracle_sf_dir):
 
 def test_dim_joins_broadcast(spark, oracle_sf_dir):
     p = _plan(spark, oracle_sf_dir, "q06_broadcast_join")
-    assert p.count("BroadcastHashJoin") == 2
+    plan_count(p, "BroadcastHashJoin", 2)
     assert "SortMergeJoin" not in p
 
 
@@ -74,7 +93,7 @@ def test_range_join_broadcasts_tiny_side(spark, oracle_sf_dir):
 
 def test_exact_dedup_shuffles_once_on_digest(spark, oracle_sf_dir):
     p = _plan(spark, oracle_sf_dir, "n01_exact_dedup")
-    assert p.count("Exchange hashpartitioning") == 1
+    plan_count(p, "Exchange hashpartitioning", 1)
     assert "HashAggregate" in p  # partial+final combine around the shuffle
 
 
@@ -84,14 +103,14 @@ def test_pivot_is_single_aggregate_no_enumeration_pass(spark, oracle_sf_dir):
     # pivotfirst on key: two Exchanges, but the second moves already-
     # aggregated rows (|keys x pivot values|), negligible at any scale.
     p = _plan(spark, oracle_sf_dir, "q43_pivot")
-    assert p.count("Exchange hashpartitioning") == 2
+    plan_count(p, "Exchange hashpartitioning", 2)
     assert p.count("partial_") >= 2  # map-side combine around both shuffles
 
 
 def test_grouping_sets_single_expand_single_shuffle(spark, oracle_sf_dir):
     p = _plan(spark, oracle_sf_dir, "q19c_grouping_sets")
-    assert p.count("Expand") == 1
-    assert p.count("Exchange hashpartitioning") == 1
+    plan_count(p, "Expand", 1)
+    plan_count(p, "Exchange hashpartitioning", 1)
 
 
 def test_boilerplate_share_single_scan_broadcast_freq(spark, oracle_sf_dir):
@@ -102,8 +121,8 @@ def test_boilerplate_share_single_scan_broadcast_freq(spark, oracle_sf_dir):
     p = _plan(spark, oracle_sf_dir, "n29_boilerplate_share")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
-    assert p.count("FileScan parquet") == 0  # both branches read the checkpoint
-    assert p.count("Scan ExistingRDD") == 2
+    plan_count(p, "FileScan parquet", 0)  # both branches read the checkpoint
+    plan_count(p, "Scan ExistingRDD", 2)
 
 
 def test_decontamination_broadcasts_benchmark_shingles(spark, oracle_sf_dir):
@@ -190,7 +209,7 @@ def test_chunking_is_narrow_and_dedup_shuffles_once(spark, oracle_sf_dir):
     n26 (chunk dedup) adds exactly one shuffle, on the uniform digest."""
     assert "Exchange" not in _plan(spark, oracle_sf_dir, "n25_context_chunking")
     p = _plan(spark, oracle_sf_dir, "n26_chunk_dedup")
-    assert p.count("Exchange hashpartitioning") == 1
+    plan_count(p, "Exchange hashpartitioning", 1)
 
 
 def test_stream_stream_join_is_merge_not_nested_loop(spark, oracle_sf_dir):
@@ -270,7 +289,7 @@ def test_histogram_is_single_fact_aggregation(spark, oracle_sf_dir):
     # min/max broadcast back over the fact; the only hash exchange moves
     # 20 partial rows
     p = _plan(spark, oracle_sf_dir, "x05_price_histogram")
-    assert p.count("Exchange hashpartitioning") == 1
+    plan_count(p, "Exchange hashpartitioning", 1)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
@@ -288,8 +307,8 @@ def test_lm_score_broadcasts_model_and_sums_integers(spark, oracle_sf_dir):
     # checkpointed (token, cnt) frame, NOT three re-runs of the corpus
     # scan+explode+shuffle subtree; the only FileScan in the main plan is
     # the scoring pass (the checkpoint build is its own one-scan job)
-    assert p.count("FileScan parquet") == 1
-    assert p.count("Scan ExistingRDD") == 3
+    plan_count(p, "FileScan parquet", 1)
+    plan_count(p, "Scan ExistingRDD", 3)
 
 
 def test_incremental_merge_is_anti_join_no_text_on_corpus_side(spark, oracle_sf_dir):
@@ -317,7 +336,7 @@ def test_regrid_is_narrow_explode_single_shuffle(spark, oracle_sf_dir):
     # on the (grid-hour, target-cell) key
     p = _plan(spark, oracle_sf_dir, "g_regrid_bilinear")
     assert "Generate explode" in p
-    assert p.count("Exchange") == 1
+    plan_count(p, "Exchange", 1)
     assert "Join" not in p
 
 
@@ -338,7 +357,7 @@ def test_split_leakage_single_pass_no_multiplication(spark, oracle_sf_dir):
     # feeding a separate totals branch)
     p = _plan(spark, oracle_sf_dir, "n33_split_leakage")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    assert p.count("FileScan parquet") == 2  # one per split side
+    plan_count(p, "FileScan parquet", 2)  # one per split side
 
 
 def test_sequence_packing_windows_partition_on_shard(spark, oracle_sf_dir):
@@ -356,7 +375,7 @@ def test_gradient_is_narrow_explode_single_shuffle(spark, oracle_sf_dir):
     # explode (never a self-join of the point cloud), then one shuffle
     p = _plan(spark, oracle_sf_dir, "g_gradient")
     assert "Generate explode" in p
-    assert p.count("Exchange") == 1
+    plan_count(p, "Exchange", 1)
     assert "Join" not in p
 
 
@@ -376,7 +395,7 @@ def test_zonal_stats_broadcasts_zone_catalog(spark, oracle_sf_dir):
     # the only Exchange is the final (zone, type) aggregation
     p = _plan(spark, oracle_sf_dir, "g_zonal_stats")
     assert "BroadcastNestedLoopJoin" in p
-    assert p.count("Exchange hashpartitioning") == 1
+    plan_count(p, "Exchange hashpartitioning", 1)
 
 
 def test_minhash_estimate_seeds_broadcast_pairs_equi(spark, oracle_sf_dir):
