@@ -43,6 +43,20 @@ HEADLINE = [
     "n22_tfidf_topterms",
     "n30_unigram_lm_score",
     "x02_gapfill",
+    # round-4 surface (VERDICT r4 #2): a plan regression in the new dedup /
+    # provenance / raster family must show up as wall-time here, not only
+    # as a plan-lint failure
+    "n31_incremental_merge",
+    "n32_truncation_dedup",
+    "n33_split_leakage",
+    "n35_source_dup_matrix",
+    "n36_minhash_estimate",
+    "g_zonal_stats",
+    "g_gradient",
+    "g_regrid_bilinear",
+    "x06_scd2_intervals",
+    "mm03_thumbnail",
+    "mm04_audio_frames",
 ]
 
 
@@ -363,6 +377,34 @@ def main() -> int:
         for k, v in prev_conf.items():
             spark.conf.set(k, v)
         shutil.rmtree(skew_dir, ignore_errors=True)
+
+    # hot-bucket dedup skew lever (VERDICT r4 #3): n32's prefix-digest
+    # self-join against a corpus where 2500 docs share one boilerplate
+    # opening — one bucket holding 2500² verify pairs on a single reducer
+    # unless AQE splits it. Same query fn as the declared n32 entry; only
+    # the skewJoin toggle differs between the two timings. The pytest twin
+    # (tests/test_scale.py::test_truncation_dedup_hot_bucket_aqe_skew_split)
+    # asserts the split actually fires AND the result stays exact.
+    from etl_bom_radiation_spark.scale import SKEW_SPLIT_CONF, gen_skewed_documents
+
+    skdoc_dir = tempfile.mkdtemp(prefix="bench_skewdoc_")
+    prev_conf = {k: spark.conf.get(k) for k in SKEW_SPLIT_CONF}
+    try:
+        gen_skewed_documents(spark, skdoc_dir, n_hot=2500, n_cold=20000, n_trunc=200)
+        for k, v in SKEW_SPLIT_CONF.items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        timings["dedup_hot_bucket_plain"] = _timed_noop(
+            lambda: qs["n32_truncation_dedup"](spark, skdoc_dir)
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        timings["dedup_hot_bucket_skewsplit"] = _timed_noop(
+            lambda: qs["n32_truncation_dedup"](spark, skdoc_dir)
+        )
+    finally:
+        for k, v in prev_conf.items():
+            spark.conf.set(k, v)
+        shutil.rmtree(skdoc_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     try:

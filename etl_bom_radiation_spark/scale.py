@@ -159,3 +159,60 @@ def salted_join(
         how,
     )
     return out.drop("_salt")
+
+
+#: AQE confs that make the hot-bucket skew split fire at test/bench scale —
+#: production keeps the defaults (256 MB threshold); these scale the same
+#: decision down to a few-MB fixture. forceOptimizeSkewedJoin lets the split
+#: proceed even though the downstream per-doc aggregation re-shuffles anyway.
+SKEW_SPLIT_CONF = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+}
+
+
+def gen_skewed_documents(
+    spark: SparkSession,
+    path: str,
+    n_hot: int = 1500,
+    n_cold: int = 2000,
+    n_trunc: int = 100,
+) -> None:
+    """Write a ``documents.parquet`` fixture with a pathological prefix-8
+    hot bucket, for exercising the dedup family's skew lever.
+
+    The prefix-bucket dedup joins (n32 truncation, n35 provenance) shuffle
+    on a first-K-tokens digest; boilerplate openings shared by thousands of
+    docs make that key hot (truncation.py module docstring).  This corpus
+    makes the hazard concrete: ``n_hot`` docs share ONE 8-token opening
+    (one bucket holding n_hot² verify pairs), ``n_cold`` docs have distinct
+    openings (the uniform background that sets the median partition size
+    AQE compares against), and ``n_trunc`` docs are true 16-token
+    truncations of the first hot docs (so the query has real matches to
+    find: expect exactly n_trunc result rows, one container each).
+    """
+    opening = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = []
+    for i in range(n_hot):
+        body = " ".join(f"w{i}x{j}" for j in range(24))
+        rows.append((i, f"{opening} {body}", "en", "crawl", 0))
+    for i in range(n_hot, n_hot + n_cold):
+        rows.append((i, " ".join(f"u{i}y{j}" for j in range(32)), "en", "web", 0))
+    base = n_hot + n_cold
+    for i in range(base, base + n_trunc):
+        src_toks = rows[i - base][1].split()
+        rows.append((i, " ".join(src_toks[:16]), "en", "recrawl", 0))
+    import os
+
+    (
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "documents.parquet"))
+    )

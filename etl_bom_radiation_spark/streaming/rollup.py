@@ -37,13 +37,16 @@ def _partial_aggs():
     ]
 
 
-#: how long the swap marker is honored before being treated as a crashed
-#: compactor's leftovers. The marked window spans only the two renames
-#: (milliseconds — the expensive fold write happens BEFORE the marker), so
-#: 60 s is generous; it also bounds how long rollup entry points can block
-#: after a compactor crash. Assumes the hosts' clocks agree to well within
-#: the lease (true for a driver-side ops job; tighten if compaction ever
-#: moves off-host).
+#: how long a fence marker (the compactor's swap marker, or an appender's
+#: per-append lease) is honored before being treated as a crashed owner's
+#: leftovers. The compactor's marked window spans listing + fold + the two
+#: renames — the fold is over PARTIALS (one row per hour per batch), so
+#: seconds even for thousands of generations; raise the lease before
+#: compacting a rollup whose fold legitimately runs longer, because a
+#: fresh-looking-stale marker deleted mid-fold reopens the lost-append
+#: race the fence exists to close. Assumes the hosts' clocks agree to well
+#: within the lease (true for a driver-side ops job; tighten if compaction
+#: ever moves off-host).
 _SWAP_LEASE_MS = 60_000
 
 
@@ -95,6 +98,73 @@ def _recover_rollup(spark: SparkSession, rollup_dir: str) -> None:
         fs.delete(tmp, True)
 
 
+def _acquire_append_lease(spark: SparkSession, rollup_dir: str):
+    """Register an in-flight partial append: create a per-append lease
+    marker the compactor's drain phase waits on, AFTER confirming no
+    compaction fence is up (backing off if one appears between the check
+    and our create — the compactor wins every race).
+
+    Without this, an append landing between the compactor's fold listing
+    and its directory swap would ride the staged-aside generation into
+    ``fs.delete(old)`` and be silently lost (VERDICT r4 #8 — the last
+    unproven interleaving). Returns ``(fs, lease_path)``; the caller must
+    delete the lease in a ``finally``."""
+    import time
+
+    jvm = spark._jvm
+    fs, root, tmp, old, marker = _swap_paths(spark, rollup_dir)
+    parent, name = root.getParent().toString(), root.getName()
+    lease = jvm.org.apache.hadoop.fs.Path(
+        f"{parent}/.{name}.append_{uuid4().hex}"
+    )
+    deadline = time.time() + 4 * (_SWAP_LEASE_MS / 1000)
+    while time.time() < deadline:
+        _recover_rollup(spark, rollup_dir)  # waits out / heals any swap
+        fs.create(lease, True).close()
+        if not fs.exists(marker):
+            return fs, lease
+        # a compaction fenced between our recover check and our create:
+        # back off so its drain phase sees no straggler lease
+        fs.delete(lease, False)
+        time.sleep(0.05)
+    raise TimeoutError(
+        f"append lease on {rollup_dir} not acquired within "
+        f"{4 * _SWAP_LEASE_MS} ms: compaction fence never cleared"
+    )
+
+
+def _drain_append_leases(spark: SparkSession, rollup_dir: str) -> None:
+    """Compactor side of the append fence: with the swap marker already up
+    (so no NEW append can start), wait for in-flight append leases to
+    finish; a lease older than the lease period is a crashed appender's
+    leftover and is removed (its write either committed — the fold's
+    listing sees it — or never will)."""
+    import time
+
+    fs, root, *_ = _swap_paths(spark, rollup_dir)
+    parent, name = root.getParent(), root.getName()
+    prefix = f".{name}.append_"
+    deadline = time.time() + 2 * (_SWAP_LEASE_MS / 1000)
+    while time.time() < deadline:
+        live = 0
+        for st in fs.listStatus(parent):
+            p = st.getPath()
+            if not p.getName().startswith(prefix):
+                continue
+            age_ms = int(time.time() * 1000) - st.getModificationTime()
+            if age_ms > _SWAP_LEASE_MS:
+                fs.delete(p, False)  # crashed appender
+            else:
+                live += 1
+        if not live:
+            return
+        time.sleep(0.05)
+    raise TimeoutError(
+        f"in-flight partial appends on {rollup_dir} did not drain within "
+        f"{2 * _SWAP_LEASE_MS} ms"
+    )
+
+
 def append_hourly_partials(
     points: DataFrame, rollup_dir: str, batch_id: int | None = None
 ) -> None:
@@ -113,15 +183,22 @@ def append_hourly_partials(
     between its rollup append and its commit marker) rewrites the same
     subdir with identical content instead of double-appending its partials.
     Without *batch_id* the label is unique per call (plain append
-    semantics for ad-hoc/batch callers)."""
-    _recover_rollup(points.sparkSession, rollup_dir)
-    label = f"batch{batch_id}" if batch_id is not None else f"adhoc{uuid4().hex}"
-    (
-        points.groupBy(*KEYS)
-        .agg(*_partial_aggs())
-        .write.mode("overwrite")
-        .parquet(f"{rollup_dir}/gen={label}")
-    )
+    semantics for ad-hoc/batch callers).
+
+    The write happens under a per-append lease marker so a concurrent
+    :func:`compact_rollup` drains it before swapping directories — safe to
+    run against a live compactor (see :func:`_acquire_append_lease`)."""
+    fs, lease = _acquire_append_lease(points.sparkSession, rollup_dir)
+    try:
+        label = f"batch{batch_id}" if batch_id is not None else f"adhoc{uuid4().hex}"
+        (
+            points.groupBy(*KEYS)
+            .agg(*_partial_aggs())
+            .write.mode("overwrite")
+            .parquet(f"{rollup_dir}/gen={label}")
+        )
+    finally:
+        fs.delete(lease, False)
 
 
 def read_hourly_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
@@ -152,32 +229,40 @@ def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
     next partial append would recreate the dir with one batch of history
     and readers would silently undercount).
 
-    The rename window is fenced by an in-progress marker (ADVICE r3):
-    concurrent rollup entry points — e.g. a streaming batch's partial
-    append landing mid-swap — wait for the marker instead of mistaking
-    the staged-aside directory for a crashed swap and 'recovering' it out
-    from under the two renames.
+    The whole compaction — listing, fold, and the two renames — is fenced
+    by the in-progress marker (ADVICE r3, tightened in r5): concurrent
+    rollup entry points wait for the marker instead of mistaking the
+    staged-aside directory for a crashed swap and 'recovering' it out
+    from under the two renames, AND — because appends hold per-append
+    leases the fence drains before folding — an append can no longer
+    land a generation between the fold's listing and the swap, where
+    ``fs.delete(old)`` would silently destroy it.  Live appenders are
+    therefore safe: they back off for the (seconds-long) fence and
+    their partials survive (tests/test_rollup.py::
+    test_compaction_concurrent_with_live_appender).
 
     Run only against a FULLY-COMMITTED stream (stopped, or no batch in
     flight): folding consumes every ``gen=batch<id>`` generation, so
     compacting while a crashed-uncommitted batch is pending would
     double-count that batch when its replay rewrites ``gen=batch<id>``
-    after the fold already absorbed it."""
+    after the fold already absorbed it. (The lease protects the FILE
+    interleaving; it cannot know a crashed batch will be redelivered.)"""
     _recover_rollup(spark, rollup_dir)
     fs, root, tmp, old, marker = _swap_paths(spark, rollup_dir)
 
-    p = spark.read.parquet(rollup_dir)
-    folded = p.groupBy(*KEYS).agg(
-        F.sum("cnt").alias("cnt"),
-        F.sum("sum_rad").alias("sum_rad"),
-        F.min("min_rad").alias("min_rad"),
-        F.max("max_rad").alias("max_rad"),
-    )
-    # folded output keeps the uniform gen= layout (a bare-file root next to
-    # later gen= subdirs would break hive partition discovery on read)
-    folded.write.mode("overwrite").parquet(f"{tmp.toString()}/gen=folded")
-    fs.create(marker, True).close()  # fence the rename window
+    fs.create(marker, True).close()  # fence: new appends back off from here
     try:
+        _drain_append_leases(spark, rollup_dir)  # in-flight appends finish
+        p = spark.read.parquet(rollup_dir)
+        folded = p.groupBy(*KEYS).agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_rad").alias("sum_rad"),
+            F.min("min_rad").alias("min_rad"),
+            F.max("max_rad").alias("max_rad"),
+        )
+        # folded output keeps the uniform gen= layout (a bare-file root next
+        # to later gen= subdirs would break hive partition discovery on read)
+        folded.write.mode("overwrite").parquet(f"{tmp.toString()}/gen=folded")
         fs.delete(old, True)
         if not fs.rename(root, old):
             raise OSError(f"compact_rollup: could not stage {rollup_dir} aside")

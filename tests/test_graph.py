@@ -58,3 +58,46 @@ def test_connected_components_chain_and_singletons(spark):
     }
     assert all(got[i] == 0 for i in range(11))
     assert all(got[i] == i for i in range(11, 15))
+
+
+def test_connected_components_iteration_guard_raises_not_silently_wrong(spark):
+    """Pathological chain longer than the iteration bound (VERDICT r4 #5):
+    min-label propagation needs diameter-many rounds, so a 12-vertex chain
+    cannot converge in 3 — the guard must RAISE rather than return
+    unconverged labels to the dedup survivor choice."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(11)]
+    vertices = spark.createDataFrame([(i,) for i in range(12)], ["id"])
+    edf = spark.createDataFrame(chain, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge within 3"):
+        connected_components(vertices, edf, max_iterations=3)
+    # the same graph under the default bound converges exactly
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(vertices, edf).collect()
+    }
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable checkpoint
+    (executor-loss-safe at cluster scale): same exact labels, and the
+    checkpoint files actually land in the given directory."""
+    import os
+
+    chain = [(i, i + 1) for i in range(8)]
+    vertices = spark.createDataFrame([(i,) for i in range(9)], ["id"])
+    edf = spark.createDataFrame(chain, ["src", "dst"])
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            vertices, edf, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(9)}
+    written = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "reliable checkpoint wrote nothing to checkpoint_dir"

@@ -139,3 +139,41 @@ def test_global_sort_index_edge_cases(spark):
         tiny, F.col("v").desc(), F.col("k").asc(), num_partitions=8
     ).collect()
     assert {(r["k"], r["pos"]) for r in sparse} == {(3, 1), (1, 2), (2, 3)}
+
+
+def test_truncation_dedup_hot_bucket_aqe_skew_split(spark, tmp_path):
+    """The dedup family's documented skew lever, exercised (VERDICT r4 #3):
+    a corpus where 1500 docs share one prefix-8 opening puts n_hot² verify
+    pairs into a single shuffle partition of n32's bucket self-join.  With
+    the skew thresholds scaled to fixture size, AQE's OptimizeSkewedJoin
+    must actually split that partition — the final adaptive plan carries
+    SortMergeJoin(skew=true) over 'coalesced and skewed' shuffle reads —
+    and the result must still be exact (each planted truncation found,
+    exactly once, nothing else)."""
+    from etl_bom_radiation_spark.queries import load_all
+
+    qs = load_all()
+    scale.gen_skewed_documents(spark, str(tmp_path))
+    saved = {k: spark.conf.get(k) for k in scale.SKEW_SPLIT_CONF}
+    try:
+        for k, v in scale.SKEW_SPLIT_CONF.items():
+            spark.conf.set(k, v)
+        df = qs["n32_truncation_dedup"].fn(spark, str(tmp_path))
+        rows = df.collect()  # drive THIS Dataset's queryExecution to final
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "isFinalPlan=true" in p
+    assert "skew=true" in p, f"AQE skew split did not fire:\n{p}"
+    assert "skewed" in p  # AQEShuffleRead coalesced and skewed
+    # exactness under the split: the 100 planted 16-token truncations of
+    # hot docs 0..99, each contained in exactly its source doc
+    assert len(rows) == 100
+    base = 1500 + 2000
+    by_id = {r["doc_id"]: r for r in rows}
+    assert set(by_id) == set(range(base, base + 100))
+    for r in rows:
+        assert r["n_tokens"] == 16
+        assert r["n_containers"] == 1
+        assert r["min_container"] == r["doc_id"] - base

