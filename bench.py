@@ -406,6 +406,45 @@ def main() -> int:
             spark.conf.set(k, v)
         shutil.rmtree(skdoc_dir, ignore_errors=True)
 
+    # n31's zero-shuffle lever (documented r4, exercised r5): corpus digest
+    # snapshot and incoming batch both bucketed on the digest -> the
+    # admission LEFT ANTI reads co-located buckets with no Exchange
+    # (plan asserted in tests/test_scale.py::
+    # test_bucketed_digest_anti_join_no_exchange). Setup untimed (the
+    # snapshot is bucketed once per merge cycle, not per query); broadcast
+    # disabled for the fact-fact regime where the lever matters.
+    from etl_bom_radiation_spark.scale import write_bucketed
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .select(F.md5("text").alias("h"))
+            .distinct(),
+            "bench_corpus_digest_b",
+            "h",
+            num_buckets=8,
+        )
+        write_bucketed(
+            docs.filter(F.col("doc_id") % 2 == 1).select(
+                "doc_id", F.md5("text").alias("h")
+            ),
+            "bench_batch_digest_b",
+            "h",
+            num_buckets=8,
+        )
+        timings["n31_bucketed_anti_join"] = _timed_noop(
+            lambda: spark.table("bench_batch_digest_b").join(
+                spark.table("bench_corpus_digest_b"), "h", "left_anti"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bench_corpus_digest_b")
+        spark.sql("DROP TABLE IF EXISTS bench_batch_digest_b")
+
     total = round(sum(timings.values()), 3)
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))

@@ -177,3 +177,34 @@ def test_truncation_dedup_hot_bucket_aqe_skew_split(spark, tmp_path):
         assert r["n_tokens"] == 16
         assert r["n_containers"] == 1
         assert r["min_container"] == r["doc_id"] - base
+
+
+def test_bucketed_digest_anti_join_no_exchange(spark, sf_dir):
+    """n31's documented zero-shuffle lever, exercised: with the corpus
+    digest snapshot AND the incoming batch both bucketed on the digest,
+    the admission LEFT ANTI join reads co-located buckets — no Exchange on
+    either side.  At 100 TB this removes the only big shuffle the
+    incremental merge has (the corpus side; the batch side is small but
+    bucketing it too keeps the join exchange-free instead of one-sided)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("h")).distinct()
+    batch = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("bh")
+    )
+    scale.write_bucketed(corpus, "b_corpus_digest", "h", num_buckets=8)
+    scale.write_bucketed(
+        batch.withColumnRenamed("bh", "h"), "b_batch_digest", "h", num_buckets=8
+    )
+    try:
+        admitted = spark.table("b_batch_digest").join(
+            spark.table("b_corpus_digest"), "h", "left_anti"
+        )
+        plan = admitted._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located buckets
+        # row parity with the plain (shuffling) anti join
+        plain = batch.join(corpus, batch.bh == corpus.h, "left_anti")
+        assert admitted.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_corpus_digest")
+        spark.sql("DROP TABLE IF EXISTS b_batch_digest")
