@@ -445,6 +445,40 @@ def main() -> int:
         spark.sql("DROP TABLE IF EXISTS bench_corpus_digest_b")
         spark.sql("DROP TABLE IF EXISTS bench_batch_digest_b")
 
+    # composed corpus-prep pipeline: the operators a training-data pipeline
+    # chains (exact dedup -> token-count quality gate -> sequence packing)
+    # expressed as ONE plan over ONE scan of the documents table — no
+    # re-read between stages, two partitioned-window shuffles total
+    # (digest survivor pick, per-source running sum). The per-operator
+    # entries above time the stages in isolation; this times the
+    # composition Catalyst actually runs in production.
+    from pyspark.sql.window import Window
+
+    from etl_bom_radiation_spark.queries.llm_queries import _tokens
+
+    def _corpus_prep():
+        docs2 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        w_digest = Window.partitionBy("h").orderBy("doc_id")
+        w_pack = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            docs2.withColumn("h", F.md5("text"))
+            .withColumn("rn", F.row_number().over(w_digest))
+            .filter(F.col("rn") == 1)
+            .withColumn("n_tokens", F.size(_tokens(F.col("text"))))
+            .filter(F.col("n_tokens") >= 10)
+            .withColumn("cum", F.sum("n_tokens").over(w_pack))
+            .withColumn("shard", F.expr("cum div 2048"))
+            .groupBy("source", "shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("shard_tokens"),
+            )
+        )
+
+    timings["pipeline_corpus_prep"] = _timed_noop(_corpus_prep)
+
     total = round(sum(timings.values()), 3)
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
