@@ -38,18 +38,18 @@ def _py_tokens(s):
     ``re.ASCII`` pins ``\\s`` to the ASCII class — Java's ``\\s`` (the Spark
     ``_tokens`` split) and RE2's (the DuckDB oracles) are ASCII-only, and
     Python is the odd engine out on Unicode whitespace like U+00A0
-    (code-review r4). The edge trim must be ASCII-only too: ``str.strip()``
-    strips Unicode whitespace (U+00A0, U+2003, …) that neither Spark's
-    ``trim`` nor DuckDB's removes, shifting token boundaries on docs with
-    such leading/trailing characters (ADVICE r4). Defined at module level
-    (one copy, cloudpickle-safe for mapInPandas) instead of per-kernel
-    closures.
+    (code-review r4). No edge trim at all (ADVICE r4): ``str.strip()``
+    stripped Unicode whitespace that neither Spark's ``trim`` nor DuckDB's
+    removes, shifting token boundaries — and an ASCII trim is redundant,
+    because ASCII-whitespace edges just split into empty tokens that the
+    filter drops, while non-ASCII whitespace must stay attached for
+    cross-engine parity. Defined at module level (one copy,
+    cloudpickle-safe for mapInPandas) instead of per-kernel closures.
     """
     import re
 
     if s is None:
         return []
-    s = re.sub(r"^\s+|\s+$", "", s, flags=re.ASCII)
     return [t for t in re.split(r"\s+", s.lower(), flags=re.ASCII) if t]
 
 

@@ -43,6 +43,13 @@ from ..grid.decode import decode_grid_directory
 CS = 0.5
 
 
+#: grid dirs whose headers were already verified against CS this process —
+#: the fixture is immutable on disk, so one scan per process suffices
+#: (code-review r5: without memoization every query build re-scanned it,
+#: 8x per bench entry)
+_CELLSIZE_OK: set[str] = set()
+
+
 def _assert_cellsize(spark: SparkSession) -> None:
     """Fail loudly if any fixture grid header's cellsize differs from CS.
 
@@ -51,8 +58,10 @@ def _assert_cellsize(spark: SparkSession) -> None:
     wrong lattice targets on both engines simultaneously and the parity
     gate would never notice (ADVICE r4).  This guard turns that silent
     co-drift into an error: one tiny aggregate over the (handful of)
-    fixture headers before the real plan runs.
+    fixture headers, once per process per directory.
     """
+    if GRID_DIR in _CELLSIZE_OK:
+        return
     from ..grid.decode import _header_field, read_grid_files
 
     lines = F.split(F.col("_content"), r"\r?\n")
@@ -69,6 +78,7 @@ def _assert_cellsize(spark: SparkSession) -> None:
             "regrid/gradient offsets (and their oracles) assume CS — rederive "
             "the lattice step from the header before trusting results"
         )
+    _CELLSIZE_OK.add(GRID_DIR)
 
 
 @register(

@@ -38,16 +38,45 @@ def _partial_aggs():
 
 
 #: how long a fence marker (the compactor's swap marker, or an appender's
-#: per-append lease) is honored before being treated as a crashed owner's
-#: leftovers. The compactor's marked window spans listing + fold + the two
-#: renames — the fold is over PARTIALS (one row per hour per batch), so
-#: seconds even for thousands of generations; raise the lease before
-#: compacting a rollup whose fold legitimately runs longer, because a
-#: fresh-looking-stale marker deleted mid-fold reopens the lost-append
-#: race the fence exists to close. Assumes the hosts' clocks agree to well
-#: within the lease (true for a driver-side ops job; tighten if compaction
-#: ever moves off-host).
+#: per-append lease) may go without a heartbeat before being treated as a
+#: crashed owner's leftovers. LIVE owners re-touch their marker every
+#: quarter-lease from a daemon thread (:func:`_heartbeat`) for as long as
+#: their work runs — a slow fold or a big append never goes stale, only a
+#: dead process does (code-review r5: without the heartbeat, any owner
+#: outliving the lease had its fence torn down mid-operation, reopening
+#: the lost-append race). Assumes the hosts' clocks agree to well within
+#: the lease and that a live process is never paused longer than the lease
+#: (true for a driver-side ops job; tighten if compaction ever moves
+#: off-host).
 _SWAP_LEASE_MS = 60_000
+
+
+class _heartbeat:
+    """Context manager: re-touch *path* every quarter-lease on a daemon
+    thread so the fence stays fresh exactly as long as its owner is alive.
+    py4j is thread-safe (each thread gets its own gateway connection)."""
+
+    def __init__(self, fs, path):
+        import threading
+
+        self._fs, self._path = fs, path
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        while not self._stop.wait(_SWAP_LEASE_MS / 4000):
+            try:
+                self._fs.create(self._path, True).close()
+            except Exception:
+                return  # owner is tearing down (or fence was healed away)
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join()
 
 
 def _swap_paths(spark: SparkSession, rollup_dir: str):
@@ -68,13 +97,17 @@ def _recover_rollup(spark: SparkSession, rollup_dir: str) -> None:
     it back — otherwise the next partial append would silently recreate
     the dir with ONE batch of history and readers would undercount.
 
-    A LIVE swap is not a crashed one (ADVICE r3): while the in-progress
-    marker is fresh, the compactor owns the directory and this waits the
-    swap out (the marked window is two renames — milliseconds) instead of
-    renaming the staged-aside generation back mid-swap, which aborted the
-    compaction (or, losing the second race, nested a stale dir inside the
-    rollup). A marker older than the lease means the compactor died between
-    marker and swap completion — remove it and heal as before."""
+    A LIVE compaction is not a crashed one (ADVICE r3): while the
+    in-progress marker is fresh — and a live compactor heartbeats it for
+    the whole fenced drain+fold+swap window (code-review r5) — the
+    compactor owns the directory and this waits instead of renaming the
+    staged-aside generation back mid-swap, which aborted the compaction
+    (or, losing the second race, nested a stale dir inside the rollup).
+    The wait is bounded (2x lease): if the marker is still fresh after
+    that, root exists during the fold so falling through is safe for
+    readers, and writers re-check the fence in their acquire loop. A
+    marker past the lease with no heartbeat means the compactor died —
+    remove it and heal as before."""
     import time
 
     fs, root, tmp, old, marker = _swap_paths(spark, rollup_dir)
@@ -117,7 +150,10 @@ def _acquire_append_lease(spark: SparkSession, rollup_dir: str):
     lease = jvm.org.apache.hadoop.fs.Path(
         f"{parent}/.{name}.append_{uuid4().hex}"
     )
-    deadline = time.time() + 4 * (_SWAP_LEASE_MS / 1000)
+    # generous absolute cap: a LIVE compaction heartbeats its fence and may
+    # legitimately hold it for many lease periods (big fold); waiting on a
+    # fresh fence is correct, so only a truly wedged fence should raise
+    deadline = time.time() + 60 * (_SWAP_LEASE_MS / 1000)
     while time.time() < deadline:
         _recover_rollup(spark, rollup_dir)  # waits out / heals any swap
         fs.create(lease, True).close()
@@ -129,22 +165,27 @@ def _acquire_append_lease(spark: SparkSession, rollup_dir: str):
         time.sleep(0.05)
     raise TimeoutError(
         f"append lease on {rollup_dir} not acquired within "
-        f"{4 * _SWAP_LEASE_MS} ms: compaction fence never cleared"
+        f"{60 * _SWAP_LEASE_MS} ms: compaction fence never cleared"
     )
 
 
 def _drain_append_leases(spark: SparkSession, rollup_dir: str) -> None:
     """Compactor side of the append fence: with the swap marker already up
     (so no NEW append can start), wait for in-flight append leases to
-    finish; a lease older than the lease period is a crashed appender's
-    leftover and is removed (its write either committed — the fold's
-    listing sees it — or never will)."""
+    finish. Live appenders heartbeat their lease for the whole write
+    (code-review r5), so a lease past the lease period is a crashed
+    appender's leftover and is removed — its process is gone, so its write
+    either already committed (the fold's listing sees it) or never will.
+    A heartbeating slow append resets the drain wait each touch."""
     import time
 
     fs, root, *_ = _swap_paths(spark, rollup_dir)
     parent, name = root.getParent(), root.getName()
     prefix = f".{name}.append_"
-    deadline = time.time() + 2 * (_SWAP_LEASE_MS / 1000)
+    # a live slow append heartbeats its lease and is worth waiting for;
+    # only a wedged state (lease forever fresh, write never finishing)
+    # should abort the compaction, hence the generous absolute cap
+    deadline = time.time() + 60 * (_SWAP_LEASE_MS / 1000)
     while time.time() < deadline:
         live = 0
         for st in fs.listStatus(parent):
@@ -161,7 +202,7 @@ def _drain_append_leases(spark: SparkSession, rollup_dir: str) -> None:
         time.sleep(0.05)
     raise TimeoutError(
         f"in-flight partial appends on {rollup_dir} did not drain within "
-        f"{2 * _SWAP_LEASE_MS} ms"
+        f"{60 * _SWAP_LEASE_MS} ms"
     )
 
 
@@ -191,12 +232,16 @@ def append_hourly_partials(
     fs, lease = _acquire_append_lease(points.sparkSession, rollup_dir)
     try:
         label = f"batch{batch_id}" if batch_id is not None else f"adhoc{uuid4().hex}"
-        (
-            points.groupBy(*KEYS)
-            .agg(*_partial_aggs())
-            .write.mode("overwrite")
-            .parquet(f"{rollup_dir}/gen={label}")
-        )
+        # heartbeat for the whole write: a big batch's aggregation+commit can
+        # outlive the lease, and a stale-looking lease would be deleted by a
+        # concurrent compactor's drain mid-write (code-review r5)
+        with _heartbeat(fs, lease):
+            (
+                points.groupBy(*KEYS)
+                .agg(*_partial_aggs())
+                .write.mode("overwrite")
+                .parquet(f"{rollup_dir}/gen={label}")
+            )
     finally:
         fs.delete(lease, False)
 
@@ -252,25 +297,33 @@ def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
 
     fs.create(marker, True).close()  # fence: new appends back off from here
     try:
-        _drain_append_leases(spark, rollup_dir)  # in-flight appends finish
-        p = spark.read.parquet(rollup_dir)
-        folded = p.groupBy(*KEYS).agg(
-            F.sum("cnt").alias("cnt"),
-            F.sum("sum_rad").alias("sum_rad"),
-            F.min("min_rad").alias("min_rad"),
-            F.max("max_rad").alias("max_rad"),
-        )
-        # folded output keeps the uniform gen= layout (a bare-file root next
-        # to later gen= subdirs would break hive partition discovery on read)
-        folded.write.mode("overwrite").parquet(f"{tmp.toString()}/gen=folded")
-        fs.delete(old, True)
-        if not fs.rename(root, old):
-            raise OSError(f"compact_rollup: could not stage {rollup_dir} aside")
-        if not fs.rename(tmp, root):
-            fs.rename(old, root)  # roll back: restore the original partials
-            raise OSError(
-                f"compact_rollup: could not swap folded rollup into {rollup_dir}"
+        # heartbeat for the whole fenced window: a fold outliving the lease
+        # must not look like a crashed compactor to concurrent entry points,
+        # which would delete the live fence and reopen the lost-append race
+        # (code-review r5)
+        with _heartbeat(fs, marker):
+            _drain_append_leases(spark, rollup_dir)  # in-flight appends finish
+            p = spark.read.parquet(rollup_dir)
+            folded = p.groupBy(*KEYS).agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("sum_rad").alias("sum_rad"),
+                F.min("min_rad").alias("min_rad"),
+                F.max("max_rad").alias("max_rad"),
             )
-        fs.delete(old, True)
+            # folded output keeps the uniform gen= layout (a bare-file root
+            # next to later gen= subdirs would break hive partition
+            # discovery on read)
+            folded.write.mode("overwrite").parquet(f"{tmp.toString()}/gen=folded")
+            fs.delete(old, True)
+            if not fs.rename(root, old):
+                raise OSError(
+                    f"compact_rollup: could not stage {rollup_dir} aside"
+                )
+            if not fs.rename(tmp, root):
+                fs.rename(old, root)  # roll back: restore original partials
+                raise OSError(
+                    f"compact_rollup: could not swap folded rollup into {rollup_dir}"
+                )
+            fs.delete(old, True)
     finally:
         fs.delete(marker, False)

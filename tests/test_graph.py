@@ -72,10 +72,12 @@ def test_connected_components_iteration_guard_raises_not_silently_wrong(spark):
     edf = spark.createDataFrame(chain, ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge within 3"):
         connected_components(vertices, edf, max_iterations=3)
-    # the same graph under the default bound converges exactly
+    # boundary: max_iterations = the chain's diameter (11) must SUCCEED —
+    # the fixpoint-confirmation round is extra, not counted against the
+    # bound (code-review r5 fixed the off-by-one here)
     got = {
         r["id"]: r["component"]
-        for r in connected_components(vertices, edf).collect()
+        for r in connected_components(vertices, edf, max_iterations=11).collect()
     }
     assert got == {i: 0 for i in range(12)}
 
@@ -101,3 +103,12 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
     ]
     assert written, "reliable checkpoint wrote nothing to checkpoint_dir"
+    # intermediate rounds are cleaned as soon as the next round
+    # materializes: only the edge checkpoint and the FINAL round (which
+    # back the returned DataFrame) may remain (code-review r5)
+    subdirs = sorted(os.listdir(ckpt))
+    rounds = [d for d in subdirs if d.startswith("round")]
+    assert len(rounds) == 1, subdirs
+    assert "edges" in subdirs, subdirs
+    # and the returned frame stays readable off those files
+    assert len(rows := got) == 9 and rows

@@ -253,3 +253,52 @@ def test_compaction_concurrent_with_live_appender(spark, tmp_path):
         1,
         100,
     )
+
+
+def test_slow_heartbeated_lease_survives_drain_dead_lease_reaped(
+    spark, tmp_path, monkeypatch
+):
+    """code-review r5: an appender slower than the lease period must not be
+    mistaken for a crashed one — its heartbeat keeps the lease fresh, and
+    the compactor's drain waits instead of deleting it mid-write. A lease
+    with no heartbeat past the period IS a crashed appender's and is
+    reaped promptly."""
+    import os
+    import threading
+    import time
+
+    monkeypatch.setattr(R, "_SWAP_LEASE_MS", 1000)
+    rdir = str(tmp_path / "rollup")
+    R.append_hourly_partials(_one_point(spark, 1), rdir)
+    fs, root, *_ = R._swap_paths(spark, rdir)
+    jvm = spark._jvm
+    live = jvm.org.apache.hadoop.fs.Path(str(tmp_path / ".rollup.append_live"))
+    fs.create(live, True).close()
+
+    done = threading.Event()
+
+    def drain():
+        R._drain_append_leases(spark, rdir)
+        done.set()
+
+    t = threading.Thread(target=drain)
+    with R._heartbeat(fs, live):
+        t.start()
+        # well past the 1 s lease: drain must still be waiting on the
+        # heartbeated (fresh) lease, not have deleted it
+        assert not done.wait(2.5), "drain reaped a live, heartbeated lease"
+        assert os.path.exists(str(tmp_path / ".rollup.append_live"))
+    fs.delete(live, False)  # appender finishes (heartbeat already stopped)
+    assert done.wait(30), "drain never finished after the lease was released"
+    t.join()
+
+    # dead lease: no heartbeat, aged past the period -> reaped, drain returns
+    dead = str(tmp_path / ".rollup.append_dead")
+    with open(dead, "w"):
+        pass
+    old_t = time.time() - 5
+    os.utime(dead, (old_t, old_t))
+    t0 = time.time()
+    R._drain_append_leases(spark, rdir)
+    assert time.time() - t0 < 5
+    assert not os.path.exists(dead)

@@ -195,16 +195,24 @@ def test_bucketed_digest_anti_join_no_exchange(spark, sf_dir):
     scale.write_bucketed(
         batch.withColumnRenamed("bh", "h"), "b_batch_digest", "h", num_buckets=8
     )
+    # disable broadcast: at test SF the digest side fits the 10 MB
+    # threshold and a BroadcastHashJoin(LeftAnti) would make the
+    # no-Exchange assert pass VACUOUSLY without exercising bucketing at
+    # all (code-review r5; same trap test_bucketed_q05_shape_no_exchange
+    # documents) — at 100 TB neither side broadcasts
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         admitted = spark.table("b_batch_digest").join(
             spark.table("b_corpus_digest"), "h", "left_anti"
         )
         plan = admitted._jdf.queryExecution().executedPlan().toString()
-        assert "LeftAnti" in plan
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
         assert "Exchange hashpartitioning" not in plan  # co-located buckets
         # row parity with the plain (shuffling) anti join
         plain = batch.join(corpus, batch.bh == corpus.h, "left_anti")
         assert admitted.count() == plain.count()
     finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_corpus_digest")
         spark.sql("DROP TABLE IF EXISTS b_batch_digest")
