@@ -235,3 +235,65 @@ def test_unigram_lm_score_hand_computed(spark, tmp_path):
         s = sum(ib[t] for t in toks)
         want[doc_id] = (len(toks), 0, round(s * 100.0 / len(toks)))
     assert got == want
+
+
+def test_tokenizer_tri_engine_parity(spark):
+    """The mm kernels' Python tokenizer must match the engine's Spark-side
+    ``_tokens`` EXACTLY — that is the product parity contract (ADVICE r4
+    found a str.strip() Unicode gap here). Asserted over an adversarial
+    corpus: ASCII edges, NBSP/em-space (edge and interior), the
+    C0 separators \\x1c-\\x1f that Python's str.strip eats, vertical tab,
+    CRLF, case folding, dotted capital I, final sigma.
+
+    The DuckDB oracle tokenizer agrees on everything ASCII (asserted) but
+    is KNOWN to diverge off-ASCII — its trim strips Unicode-space edges,
+    RE2's \\s excludes \\x0b, and lower('İ') differs — which is an oracle
+    harness limitation, not an engine bug: the parity gate runs on the
+    ASCII documents fixture, where all three engines agree."""
+    import duckdb
+    import pandas as pd
+
+    from etl_bom_radiation_spark.queries.llm_queries import _tokens
+    from etl_bom_radiation_spark.queries.mm_ext import _py_tokens
+
+    ascii_cases = [
+        "", "   ", "hello world", "  hello  world  ", "MIXED Case TeXT",
+        "tab\tsep", "nl\nsep", "cr\rsep", "crlf\r\nsep",
+        "\ta\r\nb\x0c c", "one", " x ", "a  b   c",
+    ]
+    unicode_cases = [
+        " hello world ", "a b",
+        " em space ", "\x1c\x1dx\x1e\x1f",
+        "vt\x0btail", "café RÉSUMÉ Größe",
+        "ẞharp ß", "İstanbul I ı",
+        "ΣΙΓΜΑ σς",
+        "zero\u200bwidth", "ideo\u3000space",
+    ]
+    cases = ascii_cases + unicode_cases
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "i int, text string"
+    )
+    spark_toks = {
+        r["i"]: r["t"]
+        for r in df.select("i", _tokens(F.col("text")).alias("t")).collect()
+    }
+    # engine-internal parity: Python kernel == Spark, on EVERY case
+    for i, s in enumerate(cases):
+        assert _py_tokens(s) == spark_toks[i], (i, s)
+    # oracle parity holds on the ASCII range the fixtures live in
+    con = duckdb.connect()
+    con.register(
+        "tdf",
+        pd.DataFrame(
+            {"i": range(len(ascii_cases)), "text": ascii_cases}
+        ),
+    )
+    duck = {
+        r[0]: list(r[1])
+        for r in con.execute(
+            "SELECT i, list_filter(string_split_regex(lower(trim(text)),"
+            " '\\s+'), t -> length(t) > 0) FROM tdf"
+        ).fetchall()
+    }
+    for i, s in enumerate(ascii_cases):
+        assert duck[i] == _py_tokens(s), (i, s)
