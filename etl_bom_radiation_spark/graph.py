@@ -60,8 +60,14 @@ def connected_components(
     O(iterations x |vertices|) — code-review r5); the FINAL round's files
     and the edge checkpoint back the returned DataFrame and stay until the
     caller discards the directory. Note ``setCheckpointDir`` is global
-    SparkContext state; the previous value is restored on exit when one
-    was set. Single-machine runs keep the local default.
+    SparkContext state (ADVICE r5): rounds are namespaced under a per-call
+    ``cc_<uuid>`` subdirectory so two concurrent calls on one context never
+    checkpoint into (or delete) each other's round dirs, and on exit the
+    global dir is restored to its previous value — or, when none was set,
+    reset to the ``checkpoint_dir`` ROOT, so a later unrelated
+    ``.checkpoint()`` on the same context writes into the caller-owned root
+    rather than a round directory this function may delete. Single-machine
+    runs keep the local default.
 
     ``max_iterations`` bounds the LABEL-CHANGING rounds (= graph diameter);
     the fixpoint confirmation round is extra and not counted, so
@@ -70,16 +76,24 @@ def connected_components(
     returning silently would hand unconverged, WRONG component labels to
     the dedup survivor choice downstream.
     """
+    from uuid import uuid4
+
     spark = vertices.sparkSession
     sc = spark.sparkContext
     prev_ckpt_dir = None
     fs = None
+    call_ns = None
     if checkpoint_dir is not None:
         opt = sc._jsc.sc().getCheckpointDir()
         prev_ckpt_dir = opt.get() if opt.isDefined() else None
         jvm = spark._jvm
         root = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
         fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        # per-call namespace (ADVICE r5): concurrent calls on one context
+        # each round-checkpoint under their own uuid dir, so interleaved
+        # setCheckpointDir calls can misroute a round into the OTHER
+        # call's namespace at worst — never into a dir that call deletes
+        call_ns = f"{checkpoint_dir}/cc_{uuid4().hex}"
 
     def _pin(df: DataFrame, tag: str) -> DataFrame:
         if checkpoint_dir is None:
@@ -87,13 +101,13 @@ def connected_components(
         # per-round subdirectory: lets round k-1 be deleted wholesale once
         # round k has materialized (eager=True returns only after the files
         # are written, so the delete below never races the write)
-        sc.setCheckpointDir(f"{checkpoint_dir}/{tag}")
+        sc.setCheckpointDir(f"{call_ns}/{tag}")
         return df.checkpoint(eager=True)
 
     def _drop_round(tag: str) -> None:
         if fs is not None:
             fs.delete(
-                spark._jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/{tag}"),
+                spark._jvm.org.apache.hadoop.fs.Path(f"{call_ns}/{tag}"),
                 True,
             )
 
@@ -149,5 +163,12 @@ def connected_components(
             "set is wrong)"
         )
     finally:
-        if prev_ckpt_dir is not None:
-            sc.setCheckpointDir(prev_ckpt_dir)
+        if checkpoint_dir is not None:
+            # Always reset the global dir (ADVICE r5): leaving it pointed at
+            # a round subdir would route later unrelated .checkpoint() calls
+            # into a directory this function deletes. With no previous value
+            # to restore there is no unset API, so the caller-owned root is
+            # the least-surprising destination.
+            sc.setCheckpointDir(
+                prev_ckpt_dir if prev_ckpt_dir is not None else checkpoint_dir
+            )

@@ -64,11 +64,39 @@ class _heartbeat:
         self._thread = threading.Thread(target=self._run, daemon=True)
 
     def _run(self):
+        # Retry on touch failure instead of exiting (ADVICE r5): a transient
+        # FS/py4j error must not silently disarm the heartbeat while the
+        # owner keeps working — one lease period later a concurrent entry
+        # point would treat the still-live fence as a crashed owner's and
+        # delete it mid-operation. Only a _stop (owner teardown) or a full
+        # two lease periods of consecutive failures (the fence is already
+        # stale by then, so the protection is gone either way) ends the loop,
+        # and both a failed touch and a disarm are logged so they're
+        # observable.
+        import logging
+
+        log = logging.getLogger(__name__)
+        failures = 0
         while not self._stop.wait(_SWAP_LEASE_MS / 4000):
             try:
                 self._fs.create(self._path, True).close()
+                failures = 0
             except Exception:
-                return  # owner is tearing down (or fence was healed away)
+                failures += 1
+                log.warning(
+                    "heartbeat touch failed (%d consecutive) on %s",
+                    failures,
+                    self._path,
+                    exc_info=True,
+                )
+                if failures >= 8:  # 8 quarter-lease ticks = 2 lease periods
+                    log.error(
+                        "heartbeat disarmed after %d consecutive failures on "
+                        "%s; fence is stale and may be healed away",
+                        failures,
+                        self._path,
+                    )
+                    return
 
     def __enter__(self):
         self._thread.start()
@@ -103,11 +131,16 @@ def _recover_rollup(spark: SparkSession, rollup_dir: str) -> None:
     compactor owns the directory and this waits instead of renaming the
     staged-aside generation back mid-swap, which aborted the compaction
     (or, losing the second race, nested a stale dir inside the rollup).
-    The wait is bounded (2x lease): if the marker is still fresh after
-    that, root exists during the fold so falling through is safe for
-    readers, and writers re-check the fence in their acquire loop. A
-    marker past the lease with no heartbeat means the compactor died —
-    remove it and heal as before."""
+    The wait is bounded (2x lease); if the marker is STILL fresh when the
+    bound expires (a legitimately heartbeated fold longer than the wait),
+    return WITHOUT healing (ADVICE r5): the compactor owns the directory
+    while its marker is fresh, and running the old->root heal at that
+    instant could land inside the swap window and rename the staged-aside
+    generation back mid-swap. Skipping the heal is safe for both callers —
+    readers only need root to exist, and it does outside the
+    milliseconds-long swap window; writers re-check the fence in their
+    acquire loop. A marker past the lease with no heartbeat means the
+    compactor died — remove it and heal as before."""
     import time
 
     fs, root, tmp, old, marker = _swap_paths(spark, rollup_dir)
@@ -123,6 +156,10 @@ def _recover_rollup(spark: SparkSession, rollup_dir: str) -> None:
             fs.delete(marker, False)  # crashed compactor: heal below
             break
         time.sleep(0.05)
+    if fs.exists(marker):
+        # bounded wait expired with the fence still fresh: a live (slow,
+        # heartbeated) compaction owns the directory — never heal under it
+        return
     if not fs.exists(root) and fs.exists(old):
         fs.rename(old, root)
         # the folded output in tmp is now stale (superseded by the restored
@@ -291,11 +328,26 @@ def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
     compacting while a crashed-uncommitted batch is pending would
     double-count that batch when its replay rewrites ``gen=batch<id>``
     after the fold already absorbed it. (The lease protects the FILE
-    interleaving; it cannot know a crashed batch will be redelivered.)"""
+    interleaving; it cannot know a crashed batch will be redelivered.)
+
+    SINGLE live compactor per rollup dir, enforced (ADVICE r5): the fence
+    is taken with an atomic create-if-absent, so a second compactor that
+    waited out ``_recover_rollup``'s bounded wait while the first is still
+    folding raises instead of overwriting the live fence and racing the
+    swap. Callers wanting queue semantics should catch the OSError and
+    retry after the first compaction's fence clears."""
     _recover_rollup(spark, rollup_dir)
     fs, root, tmp, old, marker = _swap_paths(spark, rollup_dir)
 
-    fs.create(marker, True).close()  # fence: new appends back off from here
+    # fence: new appends back off from here. createNewFile is atomic
+    # create-if-absent — if a fresh fence is already up (live compaction
+    # that outlasted _recover_rollup's bounded wait), fail loudly rather
+    # than co-owning the marker and racing the directory swap.
+    if not fs.createNewFile(marker):
+        raise OSError(
+            f"compact_rollup: a compaction of {rollup_dir} is already in "
+            f"progress (fence {marker} exists); retry after it clears"
+        )
     try:
         # heartbeat for the whole fenced window: a fold outliving the lease
         # must not look like a crashed compactor to concurrent entry points,

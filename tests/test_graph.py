@@ -91,7 +91,7 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     chain = [(i, i + 1) for i in range(8)]
     vertices = spark.createDataFrame([(i,) for i in range(9)], ["id"])
     edf = spark.createDataFrame(chain, ["src", "dst"])
-    ckpt = str(tmp_path / "cc_ckpt")
+    ckpt = str(tmp_path / "ckpt_root")
     got = {
         r["id"]: r["component"]
         for r in connected_components(
@@ -103,12 +103,27 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
     ]
     assert written, "reliable checkpoint wrote nothing to checkpoint_dir"
+    # rounds live under a per-call cc_<uuid> namespace (ADVICE r5:
+    # concurrent calls on one context must not share round dirs)
+    ns_dirs = [d for d in sorted(os.listdir(ckpt)) if d.startswith("cc_")]
+    assert len(ns_dirs) == 1, sorted(os.listdir(ckpt))
     # intermediate rounds are cleaned as soon as the next round
     # materializes: only the edge checkpoint and the FINAL round (which
     # back the returned DataFrame) may remain (code-review r5)
-    subdirs = sorted(os.listdir(ckpt))
+    subdirs = sorted(os.listdir(os.path.join(ckpt, ns_dirs[0])))
     rounds = [d for d in subdirs if d.startswith("round")]
     assert len(rounds) == 1, subdirs
     assert "edges" in subdirs, subdirs
     # and the returned frame stays readable off those files
     assert len(rows := got) == 9 and rows
+    # ADVICE r5: with no previous checkpoint dir to restore, exit must
+    # reset the global dir to the caller-owned ROOT — not leave it on a
+    # round subdir that later unrelated .checkpoint() calls would write
+    # into (and this function deletes)
+    # (setCheckpointDir itself nests a Spark-managed uuid dir under the
+    # given root, so assert on the PARENT)
+    opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert opt.isDefined()
+    restored_parent = opt.get().rstrip("/").rsplit("/", 1)[0]
+    assert restored_parent.endswith("ckpt_root"), opt.get()
+    assert "/cc_" not in restored_parent, opt.get()  # not a round namespace

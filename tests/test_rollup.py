@@ -302,3 +302,89 @@ def test_slow_heartbeated_lease_survives_drain_dead_lease_reaped(
     R._drain_append_leases(spark, rdir)
     assert time.time() - t0 < 5
     assert not os.path.exists(dead)
+
+
+def test_recover_never_heals_under_a_fresh_marker(spark, tmp_path, monkeypatch):
+    """ADVICE r5: when the bounded wait expires while the compaction marker
+    is STILL fresh (a legitimately heartbeated fold longer than the wait),
+    _recover_rollup must return WITHOUT running the old->root heal — healing
+    at that instant could land inside the compactor's swap window and rename
+    the staged-aside generation back mid-swap."""
+    import os
+    import threading
+    import time
+
+    monkeypatch.setattr(R, "_SWAP_LEASE_MS", 1000)
+    rdir = str(tmp_path / "rollup")
+    R.append_hourly_partials(_one_point(spark, 1), rdir)
+
+    staged = str(tmp_path / ".rollup.compact_old")
+    marker = str(tmp_path / ".rollup.compact_inprogress")
+    os.rename(rdir, staged)  # mid-swap: root absent, old present
+    with open(marker, "w"):
+        pass  # fence up BEFORE recovery starts (no thread-start race)
+    stop = threading.Event()
+
+    def keep_fresh():  # the live compactor's heartbeat
+        while not stop.wait(0.1):
+            with open(marker, "w"):
+                pass
+
+    t = threading.Thread(target=keep_fresh, daemon=True)
+    t.start()
+    try:
+        t0 = time.time()
+        R._recover_rollup(spark, rdir)
+        waited = time.time() - t0
+    finally:
+        stop.set()
+        t.join()
+    # waited out the 2x-lease bound, then declined to heal
+    assert waited >= 1.8
+    assert not os.path.exists(rdir), "healed old->root under a fresh marker"
+    assert os.path.exists(staged)
+    os.rename(staged, rdir)  # restore for cleanliness
+    os.remove(marker)
+
+
+def test_second_compactor_fails_instead_of_coopting_live_fence(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r5: compact_rollup takes its fence with an atomic
+    create-if-absent — a second compactor arriving while a live (fresh,
+    heartbeated) fence is up must raise, not overwrite the marker and race
+    the first compactor's swap."""
+    import threading
+    import time
+
+    import pytest
+
+    monkeypatch.setattr(R, "_SWAP_LEASE_MS", 1000)
+    rdir = str(tmp_path / "rollup")
+    R.append_hourly_partials(_one_point(spark, 1), rdir)
+
+    marker = str(tmp_path / ".rollup.compact_inprogress")
+    with open(marker, "w"):
+        pass  # fence up BEFORE the second compactor starts
+    stop = threading.Event()
+
+    def keep_fresh():  # first compactor holds + heartbeats the fence
+        while not stop.wait(0.1):
+            with open(marker, "w"):
+                pass
+
+    t = threading.Thread(target=keep_fresh, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(OSError, match="already in progress"):
+            R.compact_rollup(spark, rdir)
+    finally:
+        stop.set()
+        t.join()
+    import os
+
+    os.remove(marker)
+    # with the fence gone the same call succeeds
+    R.compact_rollup(spark, rdir)
+    before = _as_dict(R.read_hourly_rollup(spark, rdir))
+    assert before
