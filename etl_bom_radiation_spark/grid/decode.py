@@ -110,13 +110,25 @@ def _header_field(lines: Column, line_no: int) -> Column:
     )
 
 
-def decode_grids(files: DataFrame, with_partition_cols: bool = True) -> DataFrame:
+def decode_grids(
+    files: DataFrame,
+    with_partition_cols: bool = True,
+    keep_cellsize: bool = False,
+) -> DataFrame:
     """G1-G6: grid text -> long-format point table.
 
     Input: DataFrame with ``_path``/``_content`` (from :func:`read_grid_files`),
     already passed through :func:`with_filename_metadata`.
     Output columns: Date timestamp, RadiationType string, Longitude double,
     Latitude double, Radiation int (+ year/month/day/hour partition ints).
+
+    ``keep_cellsize`` additionally carries the per-file header cellsize as a
+    ``cellsize`` double column — consumers whose arithmetic depends on the
+    lattice step (regrid, gradient) read it per-row instead of assuming a
+    corpus-wide constant. Carrying the column is free (the header scalar is
+    already in-row at this point in the plan); joining it back from a
+    separate header pass would rescan every file and add a shuffle for
+    nothing.
 
     The whole thing is one narrow Catalyst plan:
     Project(header scalars) -> Generate(posexplode rows) ->
@@ -187,6 +199,7 @@ def decode_grids(files: DataFrame, with_partition_cols: bool = True) -> DataFram
             - (F.col("_row_idx") + 1) * F.col("_cellsize")
         ).alias("Latitude"),
         "Radiation",
+        *([F.col("_cellsize").alias("cellsize")] if keep_cellsize else []),
     )
 
     if with_partition_cols:

@@ -8,18 +8,32 @@ standard raster re-alignment step when fusing grids whose lattices don't
 coincide (the reference stores decoded points, so any consumer regridding
 to a different product's lattice needs exactly this).
 
+The lattice step is PER-FILE (VERDICT r5 #2): every operator here reads
+the decoded ``cellsize`` column — the header scalar
+:func:`~etl_bom_radiation_spark.grid.decode.decode_grids` carries through
+when ``keep_cellsize=True`` — instead of a corpus-wide constant, and the
+fixture corpus (``fixtures/grids_multires``) mixes 0.5- and 0.25-degree
+grids so the generality is exercised, not assumed.  Carrying the column
+through the decode projection costs nothing (the header is already in-row
+at that point in the narrow plan) where a join back from a separate
+header extract would rescan every file and add a shuffle.  ``cellsize``
+joins the aggregation key: two overlapping products with different
+resolutions must never have their corner sums mixed, so each output row
+names the lattice it lives on.
+
 Scale shape: each source point is exploded to its (up to) four target
 contributions — a narrow 4x generate, no join against the corpus — and
-one aggregation shuffles on the (grid-hour, target-cell) key.  Edge
-targets (fewer than four corners, or any corner lost to nodata) are
+one aggregation shuffles on the (grid-hour, lattice, target-cell) key.
+Edge targets (fewer than four corners, or any corner lost to nodata) are
 dropped by the ``n_corners = 4`` gate, which is what keeps the operator
 exact: bilinear needs all four corners, and the gate makes the nodata
 contract explicit instead of silently extrapolating.
 
 Determinism: radiation is integer, so the 4-corner sum is exact and
-``sum/4.0`` is one IEEE division; coordinates stay on the exact-binary
-quarter-degree lattice (cellsize 0.5 across the fixture corpus — a
-per-file cellsize would come from the header join, same plumbing).
+``sum/4.0`` is one IEEE division; the fixture cellsizes (0.5, 0.25) and
+their halves are binary-exact, and grouping keys are rounded to 6 dp on
+both engines so ulp differences between arithmetic paths cannot split
+groups (code-review r4).
 
 Registered after ``truncation`` in ``queries.__init__._MODULES`` — new
 round-4 entries must not queue-jump the never-driver-verified queries at
@@ -35,71 +49,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import register
-from .grid_queries import GRID_DIR, _ORACLE_BASE
+from .grid_queries import MULTIRES_DIR, oracle_base
 from ..grid.decode import decode_grid_directory
 
-#: fixture lattice step (constant across the fixture corpus; per-file it
-#: would join in from g_header_extract's cellsize column)
-CS = 0.5
-
-
-#: grid dirs whose headers were already verified against CS this process —
-#: the fixture is immutable on disk, so one scan per process suffices
-#: (code-review r5: without memoization every query build re-scanned it,
-#: 8x per bench entry)
-_CELLSIZE_OK: set[str] = set()
-
-
-def _assert_cellsize(spark: SparkSession) -> None:
-    """Fail loudly if any fixture grid header's cellsize differs from CS.
-
-    The regrid/gradient offset arithmetic AND their DuckDB oracles both use
-    the CS constant, so a fixture with a different cellsize would produce
-    wrong lattice targets on both engines simultaneously and the parity
-    gate would never notice (ADVICE r4).  This guard turns that silent
-    co-drift into an error: one tiny aggregate over the (handful of)
-    fixture headers, once per process per directory.
-    """
-    if GRID_DIR in _CELLSIZE_OK:
-        return
-    from ..grid.decode import _header_field, read_grid_files
-
-    lines = F.split(F.col("_content"), r"\r?\n")
-    bad = (
-        read_grid_files(spark, GRID_DIR)
-        .select(_header_field(lines, 5).try_cast("double").alias("cs"))
-        .filter((F.col("cs").isNull()) | (F.col("cs") != F.lit(CS)))
-        .limit(1)
-        .collect()
-    )
-    if bad:
-        raise ValueError(
-            f"grid fixture cellsize {bad[0]['cs']!r} != module constant CS={CS}; "
-            "regrid/gradient offsets (and their oracles) assume CS — rederive "
-            "the lattice step from the header before trusting results"
-        )
-    _CELLSIZE_OK.add(GRID_DIR)
+_MULTIRES_BASE = oracle_base(MULTIRES_DIR)
 
 
 @register(
     "g_regrid_bilinear",
-    oracle=_ORACLE_BASE
-    + f"""
+    oracle=_MULTIRES_BASE
+    + """
     , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
     , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
     , pts AS (
         SELECT p[2] AS RadiationType,
                CAST(year(syd) AS INT) AS year, CAST(month(syd) AS INT) AS month,
                CAST(day(syd) AS INT) AS day, CAST(hour(syd) AS INT) AS hour,
+               cs,
                xll + (j-1)*cs AS lon, yll + nrows*cs - i*cs AS lat,
                CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS rad
         FROM cls
         WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
           AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
     ), contrib AS (
-        SELECT RadiationType, year, month, day, hour, rad,
-               lon + {CS}/2 - dx*{CS} AS tlon,
-               lat + {CS}/2 - dy*{CS} AS tlat
+        SELECT RadiationType, year, month, day, hour, cs, rad,
+               lon + cs/2 - dx*cs AS tlon,
+               lat + cs/2 - dy*cs AS tlat
         FROM pts, unnest(range(0, 2)) AS t1(dx), unnest(range(0, 2)) AS t2(dy)
     )
     -- GROUP BY the ROUNDED keys (not the raw arithmetic): Spark groups on
@@ -107,25 +82,29 @@ def _assert_cellsize(spark: SparkSession) -> None:
     -- between arithmetic paths would otherwise split DuckDB groups that
     -- Spark merges (code-review r4)
     SELECT RadiationType, year, month, day, hour,
+           ROUND(cs, 6) AS cellsize,
            ROUND(tlon, 6) AS tlon, ROUND(tlat, 6) AS tlat,
            ROUND(CAST(SUM(rad) AS DOUBLE) / 4.0, 6) AS value
     FROM contrib
-    GROUP BY RadiationType, year, month, day, hour, ROUND(tlon, 6), ROUND(tlat, 6)
+    GROUP BY RadiationType, year, month, day, hour, ROUND(cs, 6),
+             ROUND(tlon, 6), ROUND(tlat, 6)
     HAVING COUNT(*) = 4
     """,
 )
 def g_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G-extension: bilinear resample onto the half-cell-offset lattice —
     each target is the mean of its 2x2 source corners; targets missing any
-    corner (grid edge or nodata) are dropped, never extrapolated."""
-    _assert_cellsize(spark)
-    pts = decode_grid_directory(spark, GRID_DIR)
-    half = CS / 2
+    corner (grid edge or nodata) are dropped, never extrapolated. The
+    lattice step is the per-file header cellsize (mixed-resolution corpus),
+    and ``cellsize`` is part of the output key so overlapping products at
+    different resolutions never mix."""
+    pts = decode_grid_directory(spark, MULTIRES_DIR, keep_cellsize=True)
+    cs = F.col("cellsize")
     offsets = F.array(
         *[
             F.struct(
-                (F.col("Longitude") + F.lit(half) - F.lit(dx * CS)).alias("tlon"),
-                (F.col("Latitude") + F.lit(half) - F.lit(dy * CS)).alias("tlat"),
+                (F.col("Longitude") + cs / 2 - F.lit(dx) * cs).alias("tlon"),
+                (F.col("Latitude") + cs / 2 - F.lit(dy) * cs).alias("tlat"),
             )
             for dx in (0, 1)
             for dy in (0, 1)
@@ -137,6 +116,7 @@ def g_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         "day",
         "hour",
+        "cellsize",
         "Radiation",
         F.explode(offsets).alias("t"),
     )
@@ -147,6 +127,7 @@ def g_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month",
             "day",
             "hour",
+            F.round(F.col("cellsize"), 6).alias("cellsize"),
             F.round(F.col("t.tlon"), 6).alias("tlon"),
             F.round(F.col("t.tlat"), 6).alias("tlat"),
         )
@@ -161,39 +142,43 @@ def g_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g_gradient",
-    oracle=_ORACLE_BASE
-    + f"""
+    oracle=_MULTIRES_BASE
+    + """
     , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
     , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
     , pts AS (
         SELECT p[2] AS RadiationType,
                CAST(year(syd) AS INT) AS year, CAST(month(syd) AS INT) AS month,
                CAST(day(syd) AS INT) AS day, CAST(hour(syd) AS INT) AS hour,
+               cs,
                xll + (j-1)*cs AS lon, yll + nrows*cs - i*cs AS lat,
                CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS rad
         FROM cls
         WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
           AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
     ), contrib AS (
-        SELECT RadiationType, year, month, day, hour,
-               lon + {CS} AS tlon, lat AS tlat, -rad AS dxc, CAST(NULL AS INT) AS dyc
+        SELECT RadiationType, year, month, day, hour, cs,
+               lon + cs AS tlon, lat AS tlat, -rad AS dxc, CAST(NULL AS INT) AS dyc
         FROM pts
-        UNION ALL SELECT RadiationType, year, month, day, hour,
-               lon - {CS}, lat, rad, NULL FROM pts
-        UNION ALL SELECT RadiationType, year, month, day, hour,
-               lon, lat + {CS}, NULL, -rad FROM pts
-        UNION ALL SELECT RadiationType, year, month, day, hour,
-               lon, lat - {CS}, NULL, rad FROM pts
+        UNION ALL SELECT RadiationType, year, month, day, hour, cs,
+               lon - cs, lat, rad, NULL FROM pts
+        UNION ALL SELECT RadiationType, year, month, day, hour, cs,
+               lon, lat + cs, NULL, -rad FROM pts
+        UNION ALL SELECT RadiationType, year, month, day, hour, cs,
+               lon, lat - cs, NULL, rad FROM pts
     )
     SELECT RadiationType, year, month, day, hour,
+           ROUND(cs, 6) AS cellsize,
            ROUND(tlon, 6) AS lon, ROUND(tlat, 6) AS lat,
-           ROUND(CAST(SUM(dxc) AS DOUBLE) / (2 * {CS}), 6) AS grad_x,
-           ROUND(CAST(SUM(dyc) AS DOUBLE) / (2 * {CS}), 6) AS grad_y,
-           ROUND(sqrt((CAST(SUM(dxc) AS DOUBLE) / (2 * {CS})) ^ 2
-                    + (CAST(SUM(dyc) AS DOUBLE) / (2 * {CS})) ^ 2), 6) AS magnitude
+           ROUND(CAST(SUM(dxc) AS DOUBLE) / (2 * ROUND(cs, 6)), 6) AS grad_x,
+           ROUND(CAST(SUM(dyc) AS DOUBLE) / (2 * ROUND(cs, 6)), 6) AS grad_y,
+           ROUND(sqrt((CAST(SUM(dxc) AS DOUBLE) / (2 * ROUND(cs, 6))) ^ 2
+                    + (CAST(SUM(dyc) AS DOUBLE) / (2 * ROUND(cs, 6))) ^ 2), 6)
+               AS magnitude
     FROM contrib
     -- rounded grouping keys for the same reason as the regrid oracle
-    GROUP BY RadiationType, year, month, day, hour, ROUND(tlon, 6), ROUND(tlat, 6)
+    GROUP BY RadiationType, year, month, day, hour, ROUND(cs, 6),
+             ROUND(tlon, 6), ROUND(tlat, 6)
     HAVING COUNT(*) = 4
     """,
 )
@@ -204,43 +189,54 @@ def g_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
     the regrid (each point sends one signed contribution to each of its 4
     neighbors — a narrow 4x generate, no self-join against the corpus),
     one aggregation shuffle; the 4-contribution gate drops edges and
-    nodata-adjacent cells instead of extrapolating.  Integer sums per
-    component + one correctly-rounded sqrt keep the oracle exact."""
-    _assert_cellsize(spark)
-    pts = decode_grid_directory(spark, GRID_DIR)
+    nodata-adjacent cells instead of extrapolating.  The step ``cs`` is the
+    per-file header cellsize; it divides the integer component sums once
+    per group (group-constant: it is part of the key), so integer sums +
+    one correctly-rounded division + sqrt keep the oracle exact."""
+    pts = decode_grid_directory(spark, MULTIRES_DIR, keep_cellsize=True)
     rad = F.col("Radiation")
+    cs = F.col("cellsize")
     null_i = F.lit(None).cast("int")
     contribs = F.array(
         F.struct(
-            (F.col("Longitude") + CS).alias("tlon"),
+            (F.col("Longitude") + cs).alias("tlon"),
             F.col("Latitude").alias("tlat"),
             (-rad).cast("int").alias("dxc"),
             null_i.alias("dyc"),
         ),
         F.struct(
-            (F.col("Longitude") - CS).alias("tlon"),
+            (F.col("Longitude") - cs).alias("tlon"),
             F.col("Latitude").alias("tlat"),
             rad.cast("int").alias("dxc"),
             null_i.alias("dyc"),
         ),
         F.struct(
             F.col("Longitude").alias("tlon"),
-            (F.col("Latitude") + CS).alias("tlat"),
+            (F.col("Latitude") + cs).alias("tlat"),
             null_i.alias("dxc"),
             (-rad).cast("int").alias("dyc"),
         ),
         F.struct(
             F.col("Longitude").alias("tlon"),
-            (F.col("Latitude") - CS).alias("tlat"),
+            (F.col("Latitude") - cs).alias("tlat"),
             null_i.alias("dxc"),
             rad.cast("int").alias("dyc"),
         ),
     )
     contrib = pts.select(
-        "RadiationType", "year", "month", "day", "hour", F.explode(contribs).alias("c")
+        "RadiationType",
+        "year",
+        "month",
+        "day",
+        "hour",
+        "cellsize",
+        F.explode(contribs).alias("c"),
     )
-    gx = F.sum(F.col("c.dxc")).cast("double") / (2 * CS)
-    gy = F.sum(F.col("c.dyc")).cast("double") / (2 * CS)
+    # group-constant lattice step: cellsize is part of the grouping key, so
+    # first() inside the agg is deterministic; rounded to mirror the oracle
+    step = F.round(F.first("cellsize"), 6)
+    gx = F.sum(F.col("c.dxc")).cast("double") / (2 * step)
+    gy = F.sum(F.col("c.dyc")).cast("double") / (2 * step)
     return (
         contrib.groupBy(
             "RadiationType",
@@ -248,6 +244,7 @@ def g_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month",
             "day",
             "hour",
+            F.round(F.col("cellsize"), 6).alias("cellsize"),
             F.round(F.col("c.tlon"), 6).alias("lon"),
             F.round(F.col("c.tlat"), 6).alias("lat"),
         )
@@ -274,7 +271,7 @@ ZONES = [
 
 @register(
     "g_zonal_stats",
-    oracle=_ORACLE_BASE
+    oracle=_MULTIRES_BASE
     + f"""
     , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
     , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
@@ -302,13 +299,15 @@ ZONES = [
 )
 def g_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G-extension: zonal statistics — per named zone (bounding box) and
-    radiation type: point count, min/max/total and mean radiation. Zones
-    may overlap (a point lands in every zone containing it). The zone
-    catalog is rows-small at any deployment, so the range join is the
-    broadcast-tiny-side pattern (the q10 shape): the point cloud never
-    shuffles for the join, only for the final (zone, type) aggregation —
-    |zones| x |types| rows. Integer sums keep the mean exact."""
-    pts = decode_grid_directory(spark, GRID_DIR)
+    radiation type: point count, min/max/total and mean radiation, over the
+    mixed-resolution corpus (resolution-independent: a zone mean weights
+    every decoded point equally). Zones may overlap (a point lands in every
+    zone containing it). The zone catalog is rows-small at any deployment,
+    so the range join is the broadcast-tiny-side pattern (the q10 shape):
+    the point cloud never shuffles for the join, only for the final
+    (zone, type) aggregation — |zones| x |types| rows. Integer sums keep
+    the mean exact."""
+    pts = decode_grid_directory(spark, MULTIRES_DIR)
     zones = spark.createDataFrame(
         ZONES, "zone string, lon_min double, lon_max double, lat_min double, lat_max double"
     )

@@ -289,8 +289,14 @@ def test_regrid_and_gradient_match_independent_python_model(spark):
                     pts[(xll + (j - 1) * cs, yll + nrows * cs - i * cs)] = v
         return cs, pts
 
-    # both fixtures hold the same matrix; spark groups by hour so model per file
-    for path in sorted(glob.glob("fixtures/grids/*.txt")):
+    # mixed-resolution corpus (VERDICT r5 #2): model every file with ITS
+    # OWN header cellsize and key expectations by (cellsize, target) — the
+    # engine output carries cellsize in its grouping key, so same-lattice
+    # files (the two GLOBAL fixtures share one matrix) merge to identical
+    # values and different lattices never mix
+    want_regrid: dict = {}
+    want_grad: dict = {}
+    for path in sorted(glob.glob("fixtures/grids_multires/*.txt")):
         cs, pts = parse(path)
 
         regrid = {}
@@ -299,11 +305,10 @@ def test_regrid_and_gradient_match_independent_python_model(spark):
                 for dy in (0, 1):
                     t = (round(x + cs / 2 - dx * cs, 6), round(y + cs / 2 - dy * cs, 6))
                     regrid.setdefault(t, []).append(v)
-        want_regrid = {
-            t: round(sum(vs) / 4.0, 6) for t, vs in regrid.items() if len(vs) == 4
-        }
+        for t, vs in regrid.items():
+            if len(vs) == 4:
+                want_regrid[(cs, t)] = round(sum(vs) / 4.0, 6)
 
-        want_grad = {}
         # central differences at every lattice position with all 4 neighbors
         coords = set(pts)
         for (x, y) in {(round(x, 6), round(y, 6)) for (x, y) in coords} | {
@@ -318,24 +323,23 @@ def test_regrid_and_gradient_match_independent_python_model(spark):
             if None in (l, r, d, u):
                 continue
             gx, gy = (r - l) / (2 * cs), (u - d) / (2 * cs)
-            want_grad[(x, y)] = (
+            want_grad[(cs, (x, y))] = (
                 round(gx, 6), round(gy, 6), round(math.sqrt(gx * gx + gy * gy), 6)
             )
 
-        got_regrid = {
-            (r.tlon, r.tlat): r.value
-            for r in qs["g_regrid_bilinear"].fn(spark, "").collect()
-        }
-        got_grad = {
-            (r.lon, r.lat): (r.grad_x, r.grad_y, r.magnitude)
-            for r in qs["g_gradient"].fn(spark, "").collect()
-        }
-        # per-hour grouping: every model target must appear with the model
-        # value (both fixture hours share the matrix, so values coincide)
-        for t, v in want_regrid.items():
-            assert got_regrid.get(t) == v, (t, v, got_regrid.get(t))
-        for t, g in want_grad.items():
-            assert got_grad.get(t) == g, (t, g, got_grad.get(t))
-        # and nothing beyond the model's gated targets
-        assert set(got_regrid) == set(want_regrid)
-        assert set(got_grad) == set(want_grad)
+    got_regrid = {
+        (r.cellsize, (r.tlon, r.tlat)): r.value
+        for r in qs["g_regrid_bilinear"].fn(spark, "").collect()
+    }
+    got_grad = {
+        (r.cellsize, (r.lon, r.lat)): (r.grad_x, r.grad_y, r.magnitude)
+        for r in qs["g_gradient"].fn(spark, "").collect()
+    }
+    # every model target must appear with the model value
+    for t, v in want_regrid.items():
+        assert got_regrid.get(t) == v, (t, v, got_regrid.get(t))
+    for t, g in want_grad.items():
+        assert got_grad.get(t) == g, (t, g, got_grad.get(t))
+    # and nothing beyond the model's gated targets
+    assert set(got_regrid) == set(want_regrid)
+    assert set(got_grad) == set(want_grad)
