@@ -171,6 +171,7 @@ _MODULES = [
     "packing",
     "provenance",
     "minhash_eval",
+    "ivf_eval",
 ]
 
 

@@ -185,3 +185,15 @@ def test_minhash_estimator_statistics(spark, sf_dir):
         assert 0.0 <= r.minhash_est <= 1.0
     mean_err = sum(r.abs_err for r in rows) / len(rows)
     assert mean_err < 0.2, mean_err
+
+
+def test_n37_ivf_recall_fence(spark, oracle_sf_dir):
+    """n37's engine-neutral IVF must actually be a useful index: high
+    recall@10 while scanning a bounded fraction of the corpus (nprobe/cells
+    = 4/16 of a balanced index; allow imbalance headroom). The VALUE is
+    hash-verified by the driver; this fence pins the quality floor so a
+    future quantizer change can't silently degrade it."""
+    row = QS["n37_ivf_recall"].fn(spark, oracle_sf_dir).head()
+    assert row["k"] == 10 and row["corpus"] > 0
+    assert row["recall_at_k"] >= 0.8, row
+    assert row["scan_frac"] <= 0.45, row
