@@ -57,6 +57,32 @@ HEADLINE = [
     "x06_scd2_intervals",
     "mm03_thumbnail",
     "mm04_audio_frames",
+    # round-6 surface: the oracle-verified IVF recall gate (the ANN quality
+    # claim must carry a wall-time too, or a quantizer regression could
+    # hide behind a still-green recall number)
+    "n37_ivf_recall",
+]
+
+# Fixed cross-round comparison set (VERDICT r5 #6): the full total grows
+# whenever entries are added, so round-over-round deltas need a frozen
+# basket. These 15 have been benched unchanged since round 3 — NEVER add,
+# remove, or rename an entry here; new work belongs in HEADLINE only.
+COMMON_SET = [
+    "q01_projection",
+    "q05_inner_join",
+    "q06_broadcast_join",
+    "q13_multiway_join",
+    "q14_groupby_agg",
+    "q16_count_distinct",
+    "q23_ranking",
+    "q27_global_sort",
+    "q30_union",
+    "n01_exact_dedup",
+    "n03_topk_cosine",
+    "n05_text_stats",
+    "n14_decontamination",
+    "n22_tfidf_topterms",
+    "x02_gapfill",
 ]
 
 
@@ -480,6 +506,8 @@ def main() -> int:
     timings["pipeline_corpus_prep"] = _timed_noop(_corpus_prep)
 
     total = round(sum(timings.values()), 3)
+    # frozen 15-entry basket: the one number comparable across rounds
+    common_total = round(sum(timings[n] for n in COMMON_SET if n in timings), 3)
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -490,6 +518,8 @@ def main() -> int:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "common_set_total": common_total,
+                "common_set_n": len(COMMON_SET),
                 "queries": timings,
                 "sf": sf,
             }
