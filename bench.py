@@ -57,10 +57,11 @@ HEADLINE = [
     "x06_scd2_intervals",
     "mm03_thumbnail",
     "mm04_audio_frames",
-    # round-6 surface: the oracle-verified IVF recall gate (the ANN quality
-    # claim must carry a wall-time too, or a quantizer regression could
-    # hide behind a still-green recall number)
+    # round-6 surface: the oracle-verified ANN recall gates (the quality
+    # claims must carry a wall-time too, or a quantizer/plane regression
+    # could hide behind a still-green recall number)
     "n37_ivf_recall",
+    "n38_lsh_recall",
 ]
 
 # Fixed cross-round comparison set (VERDICT r5 #6): the full total grows
@@ -419,10 +420,16 @@ def main() -> int:
         gen_skewed_documents(spark, skdoc_dir, n_hot=2500, n_cold=20000, n_trunc=200)
         for k, v in SKEW_SPLIT_CONF.items():
             spark.conf.set(k, v)
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        timings["dedup_hot_bucket_plain"] = _timed_noop(
-            lambda: qs["n32_truncation_dedup"](spark, skdoc_dir)
-        )
+        # r6: the declared query now RE-ASSERTS skewJoin.enabled itself (the
+        # production posture), so measuring the unprotected baseline needs a
+        # bench-only counter-override AFTER plan build — AQE reads the conf
+        # at execution, not at plan build
+        def _plain():
+            df = qs["n32_truncation_dedup"](spark, skdoc_dir)
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            return df
+
+        timings["dedup_hot_bucket_plain"] = _timed_noop(_plain)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         timings["dedup_hot_bucket_skewsplit"] = _timed_noop(
             lambda: qs["n32_truncation_dedup"](spark, skdoc_dir)

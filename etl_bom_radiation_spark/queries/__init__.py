@@ -172,6 +172,7 @@ _MODULES = [
     "provenance",
     "minhash_eval",
     "ivf_eval",
+    "lsh_eval",
 ]
 
 

@@ -197,3 +197,15 @@ def test_n37_ivf_recall_fence(spark, oracle_sf_dir):
     assert row["k"] == 10 and row["corpus"] > 0
     assert row["recall_at_k"] >= 0.8, row
     assert row["scan_frac"] <= 0.45, row
+
+
+def test_n38_lsh_recall_fence(spark, oracle_sf_dir):
+    """n38's engine-neutral hyperplane LSH: pin the quality floor (the
+    VALUE is hash-verified; this keeps a plane/probe change from silently
+    degrading it). Single-family hyperplane LSH on a clustered corpus is
+    honestly mid-recall at this scan fraction — that finding (vs IVF's
+    1.0 at the same scan, n37) is part of what the pair documents."""
+    row = QS["n38_lsh_recall"].fn(spark, oracle_sf_dir).head()
+    assert row["k"] == 10 and row["corpus"] > 0
+    assert row["recall_at_k"] >= 0.6, row
+    assert row["scan_frac"] <= 0.45, row
