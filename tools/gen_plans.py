@@ -48,8 +48,8 @@ NOTES = {
     ),
     "n33_split_leakage": "LEFT JOIN against the deduped train shingle set (unique right key — no row multiplication); totals + leaked counts from ONE aggregation (conditional sum), one scan per split side",
     "n34_sequence_packing": "running token offsets via a window PARTITIONED on shard_id (distributed packing — no global running sum / SinglePartition anywhere); one shuffle to shards, one agg to packs",
-    "g_regrid_bilinear": "narrow 4x contribution explode (no corpus self-join) + ONE aggregation shuffle on (grid-hour, target-cell); all-corners gate drops edge/nodata targets",
-    "g_gradient": "same contribution-explode shape as the regrid: one narrow generate with signed per-axis contributions, one shuffle, 4-contribution gate; integer sums keep both engines exact",
+    "g_regrid_bilinear": "MIXED-RESOLUTION corpus (0.5 + 0.25 deg): the per-file lattice step is the decoded header cellsize carried IN-ROW through the narrow decode — no join back to a header extract, so generalizing over resolution added ZERO Exchanges: still one narrow 4x contribution explode + ONE aggregation shuffle on (grid-hour, lattice, target-cell); all-corners gate drops edge/nodata targets",
+    "g_gradient": "same contribution-explode shape as the regrid on the mixed-resolution corpus: per-file cellsize is in-row (no header join, no extra shuffle), one narrow generate with signed per-axis contributions, one shuffle, 4-contribution gate; integer sums keep both engines exact",
     "x06_scd2_intervals": "change-detect (lag) -> running version -> close (lead): every window partitioned on user_id, ts ties broken by event_id; shuffle-once-then-narrow",
     "n35_source_dup_matrix": "distinct (fingerprint, source) collapse BELOW the self-join bounds per-key fan-out by |sources|; equi-join on the digest, output bounded by |sources|^2",
     "n36_minhash_estimate": "signature frame checkpoint-pinned (both pair branches read 16-row-per-doc sketches, one shingle explode); seed fan-out is the only broadcast nested loop; pair compares are equi-joins",
