@@ -62,6 +62,12 @@ HEADLINE = [
     # could hide behind a still-green recall number)
     "n37_ivf_recall",
     "n38_lsh_recall",
+    # round-6 operators: substring-level dedup (the most expensive text op —
+    # ~L rows per token), integer-exact mixture tempering, Morton key
+    "n39_substring_dup_spans",
+    "n40_mixture_temperature",
+    "g_zorder_cluster",
+    "n41_matryoshka_recall",
 ]
 
 # Fixed cross-round comparison set (VERDICT r5 #6): the full total grows
@@ -143,11 +149,49 @@ def _gen_grids(
     return d
 
 
+def _stage_totals(sc) -> dict[str, int] | None:
+    """Cumulative completed-stage IO/shuffle counters from the UI REST API —
+    the 'measure, don't guess' companion to the wall times: per-query deltas
+    of these are what actually predict 100-TB behavior (a query whose time
+    is fine at sf0.1 but whose shuffle_write is corpus-sized is a scale bug
+    the clock can't see). Returns None when the UI is unavailable."""
+    import json as _json
+    import urllib.request
+
+    if not sc.uiWebUrl:
+        return None
+    try:
+        url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            data = _json.load(r)
+        return {
+            "shuffle_write_mb": sum(s.get("shuffleWriteBytes", 0) for s in data) / 1e6,
+            "shuffle_read_mb": sum(s.get("shuffleReadBytes", 0) for s in data) / 1e6,
+            # NOT inputBytes: the local file: scheme under-reports bytesRead
+            # (vectorized reader), while record counts are exact — and
+            # records-read is the row-group-pruning evidence anyway
+            "input_records": sum(s.get("inputRecords", 0) for s in data),
+        }
+    except Exception:
+        return None
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from etl_bom_radiation_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    spark = get_spark(
+        app_name="bench",
+        # the UI is off in the engine session (session.py); bench enables it
+        # for the REST stage-metrics poll. retainedStages must exceed the
+        # whole run's stage count or the cumulative counters would go
+        # BACKWARD on eviction and corrupt the per-query deltas.
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "20000",
+            "spark.ui.retainedJobs": "20000",
+        },
+    )
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
 
@@ -166,14 +210,22 @@ def main() -> int:
     # shared box carry ±50% scheduler noise (observed run-to-run on
     # identical plans), so the minimum of three is the steady-state number.
     timings: dict[str, float] = {}
+    io: dict[str, dict[str, float]] = {}
     for name in names:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(3):
+        for i in range(3):
             df = qs[name](spark, SF_DIR)
+            before = _stage_totals(spark.sparkContext) if i == 2 else None
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            if before is not None:
+                after = _stage_totals(spark.sparkContext)
+                if after is not None:
+                    io[name] = {
+                        k: round(after[k] - before[k], 3) for k in after
+                    }
         timings[name] = round(best, 3)
 
     # flagship at scale: decode 1000 grids (~2M points) end-to-end.
@@ -359,13 +411,24 @@ def main() -> int:
         (F.col("o_orderkey") % 60 == 0) | (F.col("o_orderkey") == 1)
     ).select(F.col("o_orderkey").alias("dk"), "o_orderpriority")
 
-    def _timed_noop(build) -> float:
+    def _timed_noop(build, io_name: str | None = None) -> float:
         build().write.format("noop").mode("overwrite").save()  # warmup/codegen
         best = float("inf")
-        for _ in range(3):
+        for i in range(3):
+            before = (
+                _stage_totals(spark.sparkContext)
+                if io_name is not None and i == 2
+                else None
+            )
             t0 = time.time()
             build().write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            if before is not None:
+                after = _stage_totals(spark.sparkContext)
+                if after is not None:
+                    io[io_name] = {
+                        k: round(after[k] - before[k], 3) for k in after
+                    }
         return round(best, 3)
 
     _SKEW_KEYS = (
@@ -471,12 +534,62 @@ def main() -> int:
         timings["n31_bucketed_anti_join"] = _timed_noop(
             lambda: spark.table("bench_batch_digest_b").join(
                 spark.table("bench_corpus_digest_b"), "h", "left_anti"
-            )
+            ),
+            io_name="n31_bucketed_anti_join",  # expect shuffle_write ~0
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS bench_corpus_digest_b")
         spark.sql("DROP TABLE IF EXISTS bench_batch_digest_b")
+
+    # Z-order clustered-write lever (round 6): two layouts of the same 4.2M
+    # synthetic points — range-sorted on lon alone vs Morton-key sorted —
+    # then the UNPRIVILEGED-dimension strip predicate (lat-only) that a
+    # single-dimension sort cannot prune: every row group's lat envelope is
+    # full-range, so the linear layout reads the whole table while the
+    # Z-order layout's row groups bound BOTH coordinates and most are
+    # skipped on footer stats (the envelope property is proved from parquet
+    # footers in tests/test_scale.py; this pair prices it). Writes untimed:
+    # clustering is paid once at write, the payoff recurs per query.
+    from etl_bom_radiation_spark.scale import zorder_key
+
+    Q9 = 0.001953125  # 2^-9 deg: binary-exact quantum, 2048 cells over 4 deg
+    clus_dir = tempfile.mkdtemp(prefix="bench_cluster_")
+    try:
+        n_side = 2048
+        pts4m = spark.range(n_side * n_side).select(
+            (110.0 + (F.col("id") % n_side) * Q9).alias("lon"),
+            (-46.0 + (F.col("id") / n_side).cast("long") * Q9).alias("lat"),
+            (F.col("id") % 997).alias("val"),
+        )
+        pts4m.repartitionByRange(64, "lon").sortWithinPartitions(
+            "lon"
+        ).write.parquet(f"{clus_dir}/linear")
+        zk = zorder_key(F.col("lon"), F.col("lat"), 110.0, -47.0, Q9)
+        pts4m.withColumn("zk", zk).repartitionByRange(64, "zk").sortWithinPartitions(
+            "zk"
+        ).drop("zk").write.parquet(f"{clus_dir}/zorder")
+        lat_strip = (F.col("lat") >= -44.02) & (F.col("lat") < -43.98)
+
+        def _strip_scan(d):
+            return lambda: (
+                spark.read.parquet(f"{clus_dir}/{d}")
+                .filter(lat_strip)
+                .agg(F.count(F.lit(1)), F.sum("val"))
+            )
+
+        # io_name: records-read is the pruning evidence — the linear layout
+        # must scan every row group for the lat-only strip while the
+        # Z-order layout skips most on footer stats (wall time at 4M local
+        # rows is mostly task overhead; input_records is the 100-TB signal)
+        timings["cluster_scan_linear"] = _timed_noop(
+            _strip_scan("linear"), io_name="cluster_scan_linear"
+        )
+        timings["cluster_scan_zorder"] = _timed_noop(
+            _strip_scan("zorder"), io_name="cluster_scan_zorder"
+        )
+    finally:
+        shutil.rmtree(clus_dir, ignore_errors=True)
 
     # composed corpus-prep pipeline: the operators a training-data pipeline
     # chains (exact dedup -> token-count quality gate -> sequence packing)
@@ -510,7 +623,9 @@ def main() -> int:
             )
         )
 
-    timings["pipeline_corpus_prep"] = _timed_noop(_corpus_prep)
+    timings["pipeline_corpus_prep"] = _timed_noop(
+        _corpus_prep, io_name="pipeline_corpus_prep"
+    )
 
     total = round(sum(timings.values()), 3)
     # frozen 15-entry basket: the one number comparable across rounds
@@ -528,6 +643,7 @@ def main() -> int:
                 "common_set_total": common_total,
                 "common_set_n": len(COMMON_SET),
                 "queries": timings,
+                "io_mb": io,
                 "sf": sf,
             }
         )

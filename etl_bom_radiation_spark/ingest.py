@@ -138,6 +138,7 @@ def write_points(
     data_dir: str,
     mode: str = "append",
     files_per_partition: int = 1,
+    cluster_spatial: bool = False,
 ) -> None:
     """S4: Hive-layout partitioned parquet sink (bom.py:28-32 layout,
     parquet instead of headed CSV — SURVEY §1.6). Repartition on the
@@ -150,7 +151,17 @@ def write_points(
     across k writer tasks via a deterministic content salt (pmod of a
     coordinate hash — uniform, reproducible). Trade-off: up to k files per
     partition per batch; compact_partitions folds them back when the
-    partition cools."""
+    partition cools.
+
+    ``cluster_spatial=True`` Z-orders rows WITHIN each writer task's
+    partition (``sortWithinPartitions`` on the Morton key of (lon, lat) —
+    ``scale.zorder_key``): the analyst workload on this table is bbox x
+    time (SURVEY §3.4), hive partitioning prunes time, and the in-file
+    Z-order lets the parquet reader prune row groups on BOTH coordinate
+    stats for the bbox half (measured: bench ``cluster_scan_*``; footer
+    envelopes asserted in tests/test_scale.py and test_ingest.py). The
+    sort is in-task (no extra Exchange — the repartition above already
+    placed the rows) and costs one in-memory sort per writer."""
     cols = [F.col(c) for c in PARTITION_COLS]
     repartitioned = df.repartition(*cols)
     if files_per_partition > 1:
@@ -163,6 +174,17 @@ def write_points(
         # shuffle back into one task and undo the fan-out
         n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         repartitioned = df.repartition(n, *cols)
+    if cluster_spatial:
+        from .scale import zorder_key
+
+        # quantum 2^-9 deg (~200 m): binary-exact, finer than any product
+        # cellsize; 18 bits/axis so the whole-globe domain (360/2^-9 =
+        # 184320 cells < 2^18) never aliases
+        zk = zorder_key(
+            F.col("Longitude"), F.col("Latitude"), -180.0, -90.0, 0.001953125,
+            bits=18,
+        )
+        repartitioned = repartitioned.sortWithinPartitions(zk)
     (
         repartitioned.write.mode(mode)
         .partitionBy(*PARTITION_COLS)

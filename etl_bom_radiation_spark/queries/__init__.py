@@ -173,6 +173,10 @@ _MODULES = [
     "minhash_eval",
     "ivf_eval",
     "lsh_eval",
+    "substring_dedup",
+    "tempering",
+    "zorder",
+    "matryoshka",
 ]
 
 

@@ -1,0 +1,132 @@
+"""Matryoshka truncated-embedding retrieval, oracle-verified
+(LLM-pipeline extension).
+
+``n41_matryoshka_recall`` evaluates the modern two-stage ANN memory
+lever: Matryoshka-style representations (Kusupati et al., NeurIPS 2022)
+keep the leading dimensions of an embedding meaningful on their own, so
+a retrieval index can store only the first ``D_TRUNC`` of ``D_FULL``
+components (here 16/64: a 4x index-memory and scan-bandwidth cut),
+shortlist by truncated cosine, and rerank just the shortlist with the
+full vector.  This is the memory-side counterpart of the n28 SQ8
+quantizer and composes with the IVF/LSH scan-side levers (n37/n38).
+
+Like those gates, the quality claim itself sits under the driver's
+exact hash check: recall@K of the truncate-then-rerank pipeline against
+the full-dimension exact top-K, computed inside the query with
+engine-neutral arithmetic — double cosine rounded to 6 dp with vec_id
+tiebreaks on BOTH engines, slices taken identically (``F.slice`` /
+DuckDB list slicing, both 1-based inclusive).
+
+Scale shape: one corpus pass computes both similarity columns against a
+1-row broadcast query vector (no self-join); the shortlist is a
+``limit(RERANK)`` TakeOrderedAndProject (per-partition heaps, RERANK
+rows to one task — never a global sort); every final aggregate is a
+1-row broadcast combined by cross join (the accepted tiny-scalar-frame
+pattern).  At 100 TB the truncated column is the only thing the first
+stage reads — 1/4 of the scan bytes, which is the whole point.
+
+Registered after ``zorder`` in ``queries.__init__._MODULES`` — new
+round-6 entries must not queue-jump the stalest-evidence queries at the
+registry front (VERDICT r3 #1).
+
+Reference parity: no reference analog; extends SURVEY §2.H alongside
+n03/n28/n37/n38.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load_tables, register
+from .llm_queries import _cosine
+
+#: full and truncated dimensionality (testdata embeddings are 64-dim)
+D_FULL = 64
+D_TRUNC = 16
+#: shortlist depth for the full-vector rerank stage
+RERANK = 50
+#: result depth for recall@k
+K = 10
+
+
+@register(
+    "n41_matryoshka_recall",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) >= {D_TRUNC}
+    ), q0 AS (
+        SELECT v AS qv FROM e WHERE vec_id = 0
+    ), scored AS (
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(e.v, q0.qv), 6) AS sim_full,
+               ROUND(list_cosine_similarity(e.v[1:{D_TRUNC}],
+                                            q0.qv[1:{D_TRUNC}]), 6) AS sim_trunc
+        FROM e, q0
+    ), exact_k AS (
+        SELECT vec_id FROM scored ORDER BY sim_full DESC, vec_id ASC LIMIT {K}
+    ), shortlist AS (
+        SELECT vec_id, sim_full FROM scored
+        ORDER BY sim_trunc DESC, vec_id ASC LIMIT {RERANK}
+    ), mrl_k AS (
+        SELECT vec_id FROM shortlist
+        ORDER BY sim_full DESC, vec_id ASC LIMIT {K}
+    )
+    SELECT CAST({K} AS INT) AS k,
+           CAST({D_TRUNC} AS INT) AS dim_trunc,
+           CAST({D_FULL} AS INT) AS dim_full,
+           CAST({RERANK} AS INT) AS shortlist,
+           CAST((SELECT count(*) FROM exact_k x JOIN mrl_k m
+                 ON m.vec_id = x.vec_id) AS BIGINT) AS hits,
+           ROUND(CAST((SELECT count(*) FROM exact_k x JOIN mrl_k m
+                       ON m.vec_id = x.vec_id) AS DOUBLE) / {K}, 6)
+               AS recall_at_k
+    """,
+)
+def n41_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N41 (extension): Matryoshka truncate-then-rerank retrieval (16 of 64
+    dims shortlist, full-dim rerank of 50) with in-query recall@10 against
+    the full-dimension exact top-k — the 4x index-memory lever's quality
+    claim under the driver's exact hash gate."""
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    base = (
+        e.filter(F.col("embedding").isNotNull() & (F.size("embedding") >= D_TRUNC))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    q0 = base.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = base.crossJoin(F.broadcast(q0)).select(
+        "vec_id",
+        F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("sim_full"),
+        F.round(
+            _cosine(F.slice("v", 1, D_TRUNC), F.slice("qv", 1, D_TRUNC)), 6
+        ).alias("sim_trunc"),
+    )
+    exact_k = (
+        scored.orderBy(F.col("sim_full").desc(), F.col("vec_id").asc())
+        .limit(K)
+        .select("vec_id")
+    )
+    shortlist = (
+        scored.orderBy(F.col("sim_trunc").desc(), F.col("vec_id").asc())
+        .limit(RERANK)
+        .select("vec_id", "sim_full")
+    )
+    mrl_k = (
+        shortlist.orderBy(F.col("sim_full").desc(), F.col("vec_id").asc())
+        .limit(K)
+        .select("vec_id")
+    )
+    hits = exact_k.join(mrl_k, "vec_id").agg(F.count(F.lit(1)).alias("hits"))
+    return hits.select(
+        F.lit(K).cast("int").alias("k"),
+        F.lit(D_TRUNC).cast("int").alias("dim_trunc"),
+        F.lit(D_FULL).cast("int").alias("dim_full"),
+        F.lit(RERANK).cast("int").alias("shortlist"),
+        F.col("hits"),
+        F.round(F.col("hits").cast("double") / K, 6).alias("recall_at_k"),
+    )

@@ -216,3 +216,61 @@ def gen_skewed_documents(
         .write.mode("overwrite")
         .parquet(os.path.join(path, "documents.parquet"))
     )
+
+
+def zorder_key(
+    x_col,
+    y_col,
+    x0: float,
+    y0: float,
+    quantum: float,
+    bits: int = 16,
+):
+    """Z-order (Morton) key: interleave the bits of the quantized (x, y)
+    coordinates into one BIGINT, so that sorting by the key clusters rows
+    that are close in BOTH dimensions into the same parquet row groups.
+
+    Why this matters at 100 TB: parquet min/max column statistics prune row
+    groups per-column.  A layout sorted on one dimension gives tight min/max
+    envelopes for that column only — a 2-D box predicate (lat AND lon, or
+    user AND time) still reads every row group the first dimension admits.
+    Z-ordering bounds BOTH columns' envelopes per row group, so a box
+    predicate skips all but the few row groups whose curve segment crosses
+    the box — this is the clustering scheme behind Delta/Iceberg OPTIMIZE
+    ZORDER, expressed here as a plain deterministic column so any writer can
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)``.
+
+    Pure integer bit arithmetic after one quantization round — exactly
+    reproducible on any engine (the DuckDB oracle in
+    ``queries/zorder.py`` builds the identical expression), no UDF, fully
+    codegen'd.  ``quantum`` must be binary-exact (a power of two like
+    0.125) so the quantization itself cannot drift between engines.
+    Coordinates outside ``[x0, x0 + quantum * 2**bits)`` would alias; the
+    caller picks the origin/quantum to cover its domain.
+    """
+    xi = F.round((x_col - F.lit(x0)) / F.lit(quantum)).cast("long")
+    yi = F.round((y_col - F.lit(y0)) / F.lit(quantum)).cast("long")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = z + F.shiftleft(F.shiftright(xi, b).bitwiseAND(1), 2 * b)
+        z = z + F.shiftleft(F.shiftright(yi, b).bitwiseAND(1), 2 * b + 1)
+    return z
+
+
+def zorder_key_sql(
+    x_expr: str,
+    y_expr: str,
+    x0: float,
+    y0: float,
+    quantum: float,
+    bits: int = 16,
+) -> str:
+    """The ANSI-SQL rendering of :func:`zorder_key` (same bit arithmetic),
+    used by the DuckDB oracle so the key is engine-neutral by construction."""
+    xi = f"CAST(ROUND(({x_expr} - {x0}) / {quantum}) AS BIGINT)"
+    yi = f"CAST(ROUND(({y_expr} - {y0}) / {quantum}) AS BIGINT)"
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xi} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({yi} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"

@@ -297,3 +297,80 @@ def test_tokenizer_tri_engine_parity(spark):
     }
     for i, s in enumerate(ascii_cases):
         assert duck[i] == _py_tokens(s), (i, s)
+
+
+def test_substring_dup_spans_known_corpus(spark, tmp_path):
+    """n39 semantics on a constructed corpus: a shared 8-token span is one
+    duplicated window per doc embedding it; an exact-8-token doc equal to
+    the span is 100% duplicated; a doc repeating its OWN phrase twice has
+    zero duplicated windows (cross-doc gate); short docs out of contract."""
+    span = " ".join(f"s{i}" for i in range(8))
+    selfrep = " ".join(f"c{i}" for i in range(8))
+    rows = [
+        (1, "a1 a2 a3 a4 " + span + " a5 a6", "en", "a", 0),   # 14 tok, 7 win
+        (2, "b1 b2 " + span + " b3 b4 b5 b6", "en", "a", 0),   # 14 tok, 7 win
+        (3, " ".join(f"z{i}" for i in range(12)), "en", "a", 0),  # unique
+        (4, span, "en", "a", 0),                                # == span
+        (5, selfrep + " " + selfrep, "en", "a", 0),             # self-repeat
+        (6, "t0 t1 t2", "en", "a", 0),                          # < 8 tokens
+    ]
+    d = str(tmp_path / "fix39")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    from etl_bom_radiation_spark.queries import load_all
+
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_fraction)
+        for r in load_all()["n39_substring_dup_spans"].fn(spark, d).collect()
+    }
+    assert got[1] == (7, 1, round(1 / 7, 6))
+    assert got[2] == (7, 1, round(1 / 7, 6))
+    assert got[3] == (5, 0, 0.0)
+    assert got[4] == (1, 1, 1.0)
+    # 16 tokens -> 9 windows; positions 1 and 9 repeat the phrase but only
+    # within doc 5 itself -> NOT duplicated
+    assert got[5] == (9, 0, 0.0)
+    assert 6 not in got  # under L tokens: out of contract
+
+
+def test_mixture_temperature_matches_python_fold(spark, tmp_path):
+    """n40 semantics vs an independent Python model: the exact integer
+    keep-inequality reproduces per-source kept counts, and a rare source
+    whose tempered rate exceeds 1 keeps everything (the cap)."""
+    import hashlib
+    import math
+
+    rows = [(i, f"doc {i}", "en", "big", 0) for i in range(400)]
+    rows.append((400, "doc 400", "en", "rare", 0))
+    d = str(tmp_path / "fix40")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    from etl_bom_radiation_spark.queries import load_all
+
+    got = {
+        r.source: (r.n_docs, r.s_mass, r.n_kept)
+        for r in load_all()["n40_mixture_temperature"].fn(spark, d).collect()
+    }
+    # independent model
+    counts = {"big": 400, "rare": 1}
+    s = {k: round(math.sqrt(v)) for k, v in counts.items()}   # 20, 1
+    S, T = sum(s.values()), sum(counts.values())              # 21, 401
+    kept = {k: 0 for k in counts}
+    src_of = lambda i: "big" if i < 400 else "rare"
+    for i in range(401):
+        u24 = int(hashlib.md5(f"temper7-{i}".encode()).hexdigest()[:6], 16)
+        k = src_of(i)
+        if 2 * u24 * S * counts[k] < (1 << 24) * T * s[k]:
+            kept[k] += 1
+    assert got["big"] == (400, 20, kept["big"])
+    # rare source: rate = 401*1/(2*21*1) > 1 -> unconditional keep
+    assert kept["rare"] == 1
+    assert got["rare"] == (1, 1, 1)
+    # the draw is a pure function of doc_id: a second run is identical
+    again = {
+        r.source: r.n_kept
+        for r in load_all()["n40_mixture_temperature"].fn(spark, d).collect()
+    }
+    assert again == {k: v[2] for k, v in got.items()}

@@ -571,3 +571,49 @@ def test_compact_partitions_crash_recovery(spark, tmp_path):
     assert n >= 1
     assert not os.path.exists(tmp)
     assert spark.read.parquet(data_dir).count() == total
+
+
+def test_write_points_cluster_spatial_sorts_by_morton_key(spark, tmp_path):
+    """cluster_spatial=True Z-orders rows inside each partition file: the
+    on-disk row order is monotone in the Morton key (recomputed in Python
+    from the file contents — the property row-group pruning rides on), and
+    the rows are identical to the plain write."""
+    import pyarrow.parquet as pq
+
+    n = 80
+    pts = spark.range(n * n).selectExpr(
+        "timestamp'2018-04-01 11:00:00' AS Date",
+        "'G' AS RadiationType",
+        f"110.0 + CAST(id % {n} AS DOUBLE) * 0.05 AS Longitude",
+        f"-46.0 + CAST(id DIV {n} AS DOUBLE) * 0.05 AS Latitude",
+        "CAST(id % 1000 AS INT) AS Radiation",
+        "2018 AS year", "4 AS month", "1 AS day", "11 AS hour",
+    )
+    from etl_bom_radiation_spark.ingest import write_points
+
+    clus_dir = str(tmp_path / "clustered")
+    write_points(pts, clus_dir, cluster_spatial=True)
+    part = os.path.join(clus_dir, "year=2018", "month=4", "day=1", "hour=11")
+    files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(files) == 1  # the anti-small-file default is unchanged
+
+    t = pq.read_table(os.path.join(part, files[0]))
+    lons, lats = t.column("Longitude").to_pylist(), t.column("Latitude").to_pylist()
+
+    def morton(lon, lat):
+        xi = int(round((lon + 180.0) / 0.001953125))
+        yi = int(round((lat + 90.0) / 0.001953125))
+        z = 0
+        for b in range(18):
+            z |= ((xi >> b) & 1) << (2 * b)
+            z |= ((yi >> b) & 1) << (2 * b + 1)
+        return z
+
+    keys = [morton(lo, la) for lo, la in zip(lons, lats)]
+    assert keys == sorted(keys)  # physically Z-ordered on disk
+    assert len(set(keys)) == n * n  # 18-bit domain: no aliasing collisions
+
+    plain_dir = str(tmp_path / "plain")
+    write_points(pts, plain_dir)
+    a, b = spark.read.parquet(clus_dir), spark.read.parquet(plain_dir)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -424,3 +424,44 @@ def test_minhash_estimate_seeds_broadcast_pairs_equi(spark, oracle_sf_dir):
     p = _plan(spark, oracle_sf_dir, "n36_minhash_estimate")
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_substring_dup_spans_single_scan_no_join(spark, oracle_sf_dir):
+    # the suffix-array stand-in reads the text EXACTLY once: windows ->
+    # (digest, doc) collapse -> digest-partitioned window -> per-doc fold.
+    # The naive shape (dup-hash set joined back to window rows) scans the
+    # corpus twice — at 100 TB that doubles the dominant cost.
+    p = _plan(spark, oracle_sf_dir, "n39_substring_dup_spans")
+    plan_count(p, "FileScan parquet", 1)
+    assert "Join" not in p
+    assert "wh" in p and "SinglePartition" not in p
+
+
+def test_mixture_temperature_corpus_never_shuffles_for_rates(spark, oracle_sf_dir):
+    # the per-source rate table and the normalizer are tiny: they broadcast
+    # back onto the corpus — a sort-merge join here would shuffle every doc
+    # row twice for a |sources|-row dimension
+    p = _plan(spark, oracle_sf_dir, "n40_mixture_temperature")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_zorder_key_is_narrow_on_decode(spark, oracle_sf_dir):
+    # the Morton key is pure codegen arithmetic over the narrow decode:
+    # computing it must add no Exchange, no Join, no UDF — it's a sort KEY
+    # for clustered writers, so any shuffle here would be paid again by the
+    # writer's repartitionByRange
+    p = _plan(spark, oracle_sf_dir, "g_zorder_cluster")
+    plan_count(p, "Exchange", 0)
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_matryoshka_shortlists_via_heaps_not_global_sort(spark, oracle_sf_dir):
+    # both the truncated-sim shortlist and the rerank are limit-k over an
+    # order: TakeOrderedAndProject (per-partition heaps), never a global
+    # sort of the corpus; the query vector is a 1-row broadcast
+    p = _plan(spark, oracle_sf_dir, "n41_matryoshka_recall")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row query-vector attach
