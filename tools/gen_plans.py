@@ -54,6 +54,10 @@ NOTES = {
     "n35_source_dup_matrix": "distinct (fingerprint, source) collapse BELOW the self-join bounds per-key fan-out by |sources|; equi-join on the digest, output bounded by |sources|^2",
     "n36_minhash_estimate": "signature frame checkpoint-pinned (both pair branches read 16-row-per-doc sketches, one shingle explode); seed fan-out is the only broadcast nested loop; pair compares are equi-joins",
     "g_zonal_stats": "zone catalog broadcast for the range join (q10 tiny-side pattern) — the point cloud never shuffles for the join; single aggregation Exchange",
+    "n39_substring_dup_spans": "SINGLE corpus scan (the naive dup-set join-back scans the text twice): one narrow window-fingerprint explode, then digest-only shuffles over progressively collapsed sets — (digest, doc) partial+final HashAggregate, digest-partitioned window for the distinct-doc gate, per-doc fold; digests shuffle as unhex(md5)'s 16 raw bytes (measured 18.3 -> 11.8 MB at sf0.1), never text, no Join anywhere",
+    "n40_mixture_temperature": "corpus never shuffles for the rates: per-source counts aggregate on the |sources|-ary key (partial combine), then the tiny rate table and 1-row normalizer BROADCAST back onto the doc rows for the pure-BIGINT keep predicate; no SortMergeJoin/ShuffledHashJoin in the plan",
+    "g_zorder_cluster": "ZERO Exchange: the Morton key is 32 bit-interleave terms of codegen integer arithmetic appended to the narrow decode projection — no join, no UDF, no shuffle; the key exists to be a clustered-write sort key, so anything heavier here would be paid again by the writer's repartitionByRange",
+    "n41_matryoshka_recall": "one corpus pass computes truncated and full cosine against a 1-row broadcast query vector; shortlist and rerank are TakeOrderedAndProject per-partition heaps (never a global sort/rangepartitioning of the corpus); final scalars are 1-row broadcast cross joins",
 }
 
 
