@@ -588,6 +588,59 @@ def main() -> int:
         timings["cluster_scan_zorder"] = _timed_noop(
             _strip_scan("zorder"), io_name="cluster_scan_zorder"
         )
+
+        # file-skipping manifest on the same Z-ordered table (manifest.py).
+        # Honest metric: on a clustered layout, ROW-GROUP stats already
+        # bound records-read for the bbox (measured: full and pruned both
+        # read ~125k of 4.19M records) — the manifest's payoff is the file
+        # dimension: the full scan must list and open every file's footer
+        # (64 here; millions at 100 TB, where that pass IS the bottleneck)
+        # while the manifest-pruned scan starts from only the overlapping
+        # files. So alongside wall time, record files_opened per variant.
+        from etl_bom_radiation_spark.manifest import build_manifest, pruned_read
+
+        build_manifest(spark, f"{clus_dir}/zorder", ["lon", "lat"])
+        bbox = (
+            (F.col("lon") >= 112.0)
+            & (F.col("lon") < 112.5)
+            & (F.col("lat") >= -44.5)
+            & (F.col("lat") < -44.0)
+        )
+
+        def _full_bbox():
+            return (
+                spark.read.parquet(f"{clus_dir}/zorder")
+                .filter(bbox)
+                .agg(F.count(F.lit(1)), F.sum("val"))
+            )
+
+        def _pruned_bbox():
+            return (
+                pruned_read(
+                    spark,
+                    f"{clus_dir}/zorder",
+                    {"lon": (112.0, 112.5), "lat": (-44.5, -44.0)},
+                )
+                .filter(bbox)
+                .agg(F.count(F.lit(1)), F.sum("val"))
+            )
+
+        timings["manifest_bbox_full"] = _timed_noop(
+            _full_bbox, io_name="manifest_bbox_full"
+        )
+        timings["manifest_bbox_pruned"] = _timed_noop(
+            _pruned_bbox, io_name="manifest_bbox_pruned"
+        )
+        io.setdefault("manifest_bbox_full", {})["files_opened"] = len(
+            spark.read.parquet(f"{clus_dir}/zorder").inputFiles()
+        )
+        io.setdefault("manifest_bbox_pruned", {})["files_opened"] = len(
+            pruned_read(
+                spark,
+                f"{clus_dir}/zorder",
+                {"lon": (112.0, 112.5), "lat": (-44.5, -44.0)},
+            ).inputFiles()
+        )
     finally:
         shutil.rmtree(clus_dir, ignore_errors=True)
 

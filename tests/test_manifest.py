@@ -1,0 +1,114 @@
+"""File-skipping manifest tests: the Iceberg/Delta-style per-file stats
+lever (`manifest.py`) — build in one distributed pass, prune file sets by
+interval overlap, stay exactly result-equivalent to the full scan."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_bom_radiation_spark import manifest as mf
+
+
+@pytest.fixture()
+def clustered_table(spark, tmp_path):
+    """A Z-order-clustered multi-file table: 64 files whose (lon, lat)
+    envelopes are compact squares — the layout the manifest prunes best."""
+    from etl_bom_radiation_spark import scale
+
+    n_side = 256
+    base = spark.range(n_side * n_side).select(
+        (110.0 + (F.col("id") % n_side) * 0.015625).alias("lon"),
+        (-46.0 + (F.col("id") / n_side).cast("long") * 0.015625).alias("lat"),
+        (F.col("id") % 997).alias("val"),
+    )
+    d = str(tmp_path / "ztab")
+    zk = scale.zorder_key(F.col("lon"), F.col("lat"), 110.0, -47.0, 0.015625)
+    base.withColumn("zk", zk).repartitionByRange(64, "zk").sortWithinPartitions(
+        "zk"
+    ).drop("zk").write.parquet(d)
+    return d
+
+
+def test_manifest_prunes_files_and_preserves_results(spark, clustered_table):
+    d = clustered_table
+    man = mf.build_manifest(spark, d, ["lon", "lat"])
+    n_files = man.count()
+    assert n_files >= 32  # one row per data file
+    assert set(man.columns) == {
+        "file", "row_count", "min_lon", "max_lon", "min_lat", "max_lat"
+    }
+    # manifest totals reconcile with the table
+    assert (
+        man.agg(F.sum("row_count")).collect()[0][0]
+        == spark.read.parquet(d).count()
+    )
+
+    box = {"lon": (112.0, 112.5), "lat": (-44.5, -44.0)}
+    pruned = mf.pruned_read(spark, d, box)
+    picked = len(pruned.inputFiles())
+    # compact Z-order envelopes: a small box touches a small file fraction
+    assert picked < n_files / 2, (picked, n_files)
+
+    pred = (
+        F.col("lon").between(*box["lon"]) & F.col("lat").between(*box["lat"])
+    )
+    full = spark.read.parquet(d).filter(pred)
+    part = pruned.filter(pred)
+    assert part.count() == full.count() > 0
+    assert part.exceptAll(full).count() == 0 and full.exceptAll(part).count() == 0
+
+
+def test_manifest_empty_selection_keeps_schema(spark, clustered_table):
+    d = clustered_table
+    mf.build_manifest(spark, d, ["lon", "lat"])
+    out = mf.pruned_read(spark, d, {"lon": (500.0, 501.0)})
+    assert out.count() == 0
+    assert set(out.columns) == {"lon", "lat", "val"}
+
+
+def test_manifest_null_stats_kept_conservatively(spark, tmp_path):
+    d = str(tmp_path / "nulltab")
+    spark.createDataFrame(
+        [(None, 1.0, 1), (None, 2.0, 2)], "lon double, lat double, val int"
+    ).coalesce(1).write.parquet(d)
+    mf.build_manifest(spark, d, ["lon", "lat"])
+    # the file's lon stats are NULL -> it must survive any lon interval
+    out = mf.pruned_read(spark, d, {"lon": (0.0, 1.0), "lat": (0.0, 5.0)})
+    assert out.count() == 2
+
+
+def test_manifest_stale_raises(spark, clustered_table):
+    d = clustered_table
+    man = mf.build_manifest(spark, d, ["lon", "lat"])
+    victim = man.select("file").first().file.removeprefix("file:")
+    os.remove(victim)
+    with pytest.raises(FileNotFoundError, match="rebuild"):
+        mf.pruned_read(spark, d, {"lon": (-180.0, 180.0)})
+
+
+def test_manifest_on_partitioned_sink_keeps_partition_columns(spark, tmp_path):
+    """pruned_read over a hive-partitioned write_points sink retains the
+    partition columns (basePath) and composes with partition pruning."""
+    from etl_bom_radiation_spark.ingest import write_points
+
+    n = 64
+    pts = spark.range(n * n).selectExpr(
+        "timestamp'2018-04-01 11:00:00' AS Date",
+        "'G' AS RadiationType",
+        f"110.0 + CAST(id % {n} AS DOUBLE) * 0.0625 AS Longitude",
+        f"-46.0 + CAST(id DIV {n} AS DOUBLE) * 0.0625 AS Latitude",
+        "CAST(id % 97 AS INT) AS Radiation",
+        "2018 AS year", "4 AS month", "1 AS day",
+        f"CAST(11 + id % 2 AS INT) AS hour",  # two hive partitions
+    )
+    d = str(tmp_path / "sink")
+    write_points(pts, d, cluster_spatial=True)
+    mf.build_manifest(spark, d, ["Longitude", "Latitude"])
+    out = mf.pruned_read(spark, d, {"Longitude": (111.0, 112.0)})
+    assert "hour" in out.columns and out.select("hour").distinct().count() == 2
+    full = spark.read.parquet(d).filter(F.col("Longitude").between(111.0, 112.0))
+    got = out.filter(F.col("Longitude").between(111.0, 112.0))
+    assert got.count() == full.count() > 0
