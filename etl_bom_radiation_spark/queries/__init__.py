@@ -177,6 +177,7 @@ _MODULES = [
     "tempering",
     "zorder",
     "matryoshka",
+    "profiling",
 ]
 
 

@@ -465,3 +465,14 @@ def test_matryoshka_shortlists_via_heaps_not_global_sort(spark, oracle_sf_dir):
     assert "TakeOrderedAndProject" in p
     assert "Exchange rangepartitioning" not in p
     assert "BroadcastNestedLoopJoin" in p  # the 1-row query-vector attach
+
+
+def test_table_profile_single_scan_multi_distinct(spark, oracle_sf_dir):
+    # the whole per-column profile (6 columns, exact distincts) comes from
+    # ONE table scan: Catalyst plans the multi-distinct through Expand
+    # (|columns|x shuffle rows) instead of |columns| separate scans — the
+    # explicit trade the module docstring defends
+    p = _plan(spark, oracle_sf_dir, "x07_table_profile")
+    plan_count(p, "FileScan parquet", 1)
+    assert "Expand" in p
+    assert "Join" not in p
