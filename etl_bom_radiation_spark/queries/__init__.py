@@ -178,6 +178,7 @@ _MODULES = [
     "zorder",
     "matryoshka",
     "profiling",
+    "banded_lsh",
 ]
 
 

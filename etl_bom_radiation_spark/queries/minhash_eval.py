@@ -3,20 +3,25 @@
 The production near-dup path (n02) rides Spark ML's MinHashLSH, whose
 hash family is JVM-internal — the driver can only rows-check it.
 ``n36_minhash_estimate`` closes that verification gap: an ENGINE-NEUTRAL
-MinHash (the repo's 31-base polynomial hash over seeded shingle strings,
-the same primitive n10/n11 already verify against DuckDB) computed
-side-by-side with the exact Jaccard on consecutive doc pairs, plus the
-estimation error.  The math the LSH path relies on —
-``P(min_a = min_b) = J(A,B)`` per permutation — is thereby exercised
-under the driver's exact hash gate, not just a recall pytest.
+MinHash — ONE 31-base polynomial hash per distinct shingle (the
+primitive n10/n11 already verify against DuckDB) fed through 16 affine
+universal-hash permutations ``(a_i*x + b_i) mod p`` (Broder's classic
+construction) — computed side-by-side with the exact Jaccard on
+consecutive doc pairs, plus the estimation error.  The math the LSH
+path relies on — ``P(min_a = min_b) = J(A,B)`` per permutation — is
+thereby exercised under the driver's exact hash gate, not just a recall
+pytest.
 
 Scale shape (the part that must survive 100 TB):
 
-* The signature build is shingle-explode x SEEDS (a constant 16x fan-out
-  of the compact distinct-shingle frame) -> min-aggregate per (doc,
-  seed): map-side combine collapses each partition to |docs| x SEEDS
-  rows before the shuffle, and the signature table is 16 BIGINTs per doc
-  — the usual MinHash sketch compression.
+* The signature build hashes each distinct shingle ONCE (the only
+  interpreted higher-order-function work) and fans out a BIGINT x 16
+  broadcast-joined affine permutations — pure codegen arithmetic.  The
+  earlier per-seed string rehash multiplied the interpreted HOF cost by
+  16 and dominated the whole pipeline (~20 s -> ~2 s at sf0.1).  The
+  min-aggregate per (doc, seed) map-side combines to |docs| x SEEDS
+  rows before the shuffle; the signature table is 16 BIGINTs per doc —
+  the usual MinHash sketch compression.
 * The pair comparison joins SIGNATURES (16 rows per doc), never shingle
   sets; the exact-Jaccard column here is the sf-scale ground truth and
   pairs are linear (consecutive ids, n12's convention) — the all-pairs
@@ -55,6 +60,65 @@ _DUCK_SH2 = (
     "i -> concat_ws(' ', toks[i], toks[i+1])))"
 )
 
+_POLY_MOD = 2147483647  # 2^31 - 1, prime (the repo's polyhash modulus)
+
+#: the permutation family: h_i(x) = (a_i*x + b_i) mod p over ONE base hash
+#: x = polyhash(shingle). This is the textbook universal-hash MinHash
+#: (Broder-style: one expensive string hash, k cheap affine permutations)
+#: — the per-SEED char-level rehash it replaces multiplied the interpreted
+#: higher-order-function work by k and dominated the sketch build
+#: (measured ~20 s -> ~2 s at sf0.1 for the n36/n42 pipelines).
+#: Constants are materialized HERE as literals (Knuth multiplicative step,
+#: reduced mod p in Python) so both engines consume identical numbers —
+#: no cross-engine modular arithmetic to drift.
+AFFINE = [
+    ((i * 2654435761 + 1) % _POLY_MOD, (i * 40503 + 12345) % _POLY_MOD)
+    for i in range(SEEDS)
+]
+assert all(a != 0 for a, _ in AFFINE)
+
+#: DuckDB VALUES table of the same constants
+_DUCK_SEEDS = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(AFFINE)
+)
+
+#: shared oracle CTE: shingle base hashes -> affine sketch minima.
+#: expects CTEs `t(doc_id, toks)` / `shs(doc_id, s)` / `sh(doc_id, sh)`
+#: to be in scope (n36 and n42 both build them identically).
+def _duck_sig_cte() -> str:
+    return f"""
+    seeds(seed, a, b) AS (VALUES {_DUCK_SEEDS}),
+    based AS (
+        SELECT doc_id, {_duck_polyhash("sh")} AS x FROM sh
+    ), sig AS (
+        SELECT doc_id, seed, min((a * x + b) % {_POLY_MOD}) AS mn
+        FROM based CROSS JOIN seeds GROUP BY doc_id, seed
+    )"""
+
+
+def sketch_signatures(spark: SparkSession, sh: DataFrame) -> DataFrame:
+    """MinHash signature frame from an exploded (doc_id, sh) shingle frame:
+    ONE engine-neutral polyhash per shingle, then the 16 affine
+    permutations as broadcast-joined codegen arithmetic (BIGINT-safe:
+    a, x < 2^31 so a*x+b < 2^63), min per (doc, seed)."""
+    seeds = F.broadcast(
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(AFFINE)],
+            "seed int, a long, b long",
+        )
+    )
+    based = sh.select("doc_id", _polyhash(F.col("sh")).alias("x"))
+    return (
+        based.crossJoin(seeds)
+        .select(
+            "doc_id",
+            "seed",
+            ((F.col("a") * F.col("x") + F.col("b")) % _POLY_MOD).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mn"))
+    )
+
 
 @register(
     "n36_minhash_estimate",
@@ -65,13 +129,7 @@ _DUCK_SH2 = (
         SELECT doc_id, {_DUCK_SH2} AS s FROM t
     ), sh AS (
         SELECT doc_id, unnest(s) AS sh FROM shs
-    ), seeded AS (
-        SELECT doc_id, seed,
-               {_duck_polyhash("concat('mh', seed, '-', sh)")} AS h
-        FROM sh, unnest(range(0, {SEEDS})) AS sd(seed)
-    ), sig AS (
-        SELECT doc_id, seed, min(h) AS mn FROM seeded GROUP BY doc_id, seed
-    ), est AS (
+    ), {_duck_sig_cte().lstrip()}, est AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS BIGINT)
                    AS matching_mins
@@ -91,33 +149,28 @@ _DUCK_SH2 = (
     """,
 )
 def n36_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N36 (extension): engine-neutral MinHash sketch (16 seeded polyhash
-    permutations over distinct 2-gram shingles) vs exact Jaccard on
+    """N36 (extension): engine-neutral MinHash sketch (one polyhash per
+    distinct 2-gram shingle + 16 affine universal-hash permutations) vs
+    exact Jaccard on
     consecutive doc pairs, with the estimation error — the LSH path's
     core identity P(min_a = min_b) = J, verified under the exact hash
     gate instead of only a recall test."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
     # tokenize-once discipline: materialize the token array before shingling
     toks = d.select("doc_id", _tokens(F.col("text")).alias("ws"))
-    shs = toks.select("doc_id", F.array_distinct(_shingles("ws", 2)).alias("s"))
+    # materialize-before-explode (round 6): without the barrier Catalyst
+    # collapses the shingle HOF stack into the Generate and re-evaluates it
+    # per OUTPUT row — measured 7.0 s vs 0.08 s for this explode at sf0.1.
+    # The checkpoint also pins the frame for its three consumers (sketch +
+    # both exact-branch sides).
+    shs = toks.select(
+        "doc_id", F.array_distinct(_shingles("ws", 2)).alias("s")
+    ).localCheckpoint(eager=False)
     sh = shs.select("doc_id", F.explode("s").alias("sh"))
-    seeded = sh.crossJoin(
-        F.broadcast(spark.range(SEEDS).select(F.col("id").cast("int").alias("seed")))
-    ).select(
-        "doc_id",
-        "seed",
-        _polyhash(
-            F.concat(F.lit("mh"), F.col("seed").cast("string"), F.lit("-"), F.col("sh"))
-        ).alias("h"),
-    )
     # lazy localCheckpoint (the n29/n30 lever): the signature frame feeds
-    # BOTH pair branches — without the barrier the whole shingle-explode x
-    # seed fan-out x min-agg subtree (and its corpus scan) runs twice
-    sig = (
-        seeded.groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mn"))
-        .localCheckpoint(eager=False)
-    )
+    # BOTH pair branches — without the barrier the whole base-hash +
+    # permutation + min-agg subtree (and its corpus scan) runs twice
+    sig = sketch_signatures(spark, sh).localCheckpoint(eager=False)
 
     a = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("seed").alias("sa"), F.col("mn").alias("ma")

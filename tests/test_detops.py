@@ -374,3 +374,31 @@ def test_mixture_temperature_matches_python_fold(spark, tmp_path):
         for r in load_all()["n40_mixture_temperature"].fn(spark, d).collect()
     }
     assert again == {k: v[2] for k, v in got.items()}
+
+
+def test_banded_lsh_known_corpus(spark, tmp_path):
+    """n42 semantics on a constructed corpus: identical docs collide in all
+    8 bands and verify at J=1; an unrelated doc pairs with nothing; every
+    candidate pair is ordered and its flag matches its verified Jaccard."""
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, text_a, "en", "a", 0),
+        (2, text_a, "en", "a", 0),                    # exact dup of 1
+        (3, "completely different words here nothing shared with others at all", "en", "a", 0),
+    ]
+    d = str(tmp_path / "fix42")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    from etl_bom_radiation_spark.queries import load_all
+
+    out = load_all()["n42_minhash_banded_lsh"].fn(spark, d).collect()
+    got = {(r.doc_a, r.doc_b): r for r in out}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r.n_bands_hit == 8 and r.jaccard == 1.0 and r.is_near_dup == 1
+    for (da, db), row in got.items():
+        assert da < db
+        assert 1 <= row.n_bands_hit <= 8
+        assert row.is_near_dup == (1 if row.jaccard >= 0.35 else 0)
+        assert 3 not in (da, db)  # nothing shared -> no bucket collision

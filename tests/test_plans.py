@@ -476,3 +476,15 @@ def test_table_profile_single_scan_multi_distinct(spark, oracle_sf_dir):
     plan_count(p, "FileScan parquet", 1)
     assert "Expand" in p
     assert "Join" not in p
+
+
+def test_banded_lsh_bucket_join_is_equi_single_sketch(spark, oracle_sf_dir):
+    # the candidate stage is an equi self-join on (band, band-key) buckets
+    # — O(colliding pairs), never an all-pairs nested loop. The only
+    # nested loop allowed is the broadcast 16-row seed fan-out (the n36
+    # pattern), and the checkpointed band frame means that sketch build
+    # appears ONCE, not once per join side.
+    p = _plan(spark, oracle_sf_dir, "n42_minhash_banded_lsh")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "Scan ExistingRDD" in p  # the checkpointed shingle/band frames
