@@ -101,11 +101,13 @@ def n33_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nib.isin("0", "1"), "test").otherwise("train").alias("split"),
         _tokens(F.col("text")).alias("ws"),
     )
-    sh = base.select(
-        "doc_id",
-        "split",
-        F.explode(F.array_distinct(_shingles("ws", N_GRAM))).alias("s"),
-    )
+    # materialize-before-explode (round 6, the n36 lesson): checkpoint the
+    # computed shingle array so the Generate iterates a bound column — and
+    # the barrier also pins the frame for the train/test branches below
+    sharr = base.select(
+        "doc_id", "split", F.array_distinct(_shingles("ws", N_GRAM)).alias("sa")
+    ).localCheckpoint(eager=False)
+    sh = sharr.select("doc_id", "split", F.explode("sa").alias("s"))
     train_sh = (
         sh.filter(F.col("split") == "train")
         .select("s")

@@ -811,14 +811,15 @@ def n14_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda t: F.length(t) > 0,
     )
-    sh = (
+    # materialize-before-explode (round 6, the n36 lesson) — and the
+    # checkpoint pins the frame for BOTH the benchmark and corpus branches
+    sharr = (
         d.select("doc_id", ws.alias("ws"))
         .filter(F.size("ws") >= 4)
-        .select(
-            "doc_id",
-            F.explode(_shingles("ws", 4)).alias("shingle"),
-        )
+        .select("doc_id", _shingles("ws", 4).alias("sa"))
+        .localCheckpoint(eager=False)
     )
+    sh = sharr.select("doc_id", F.explode("sa").alias("shingle"))
     bench = sh.filter(F.col("doc_id") < 20).select("shingle").distinct()
     corpus = sh.filter(F.col("doc_id") >= 20)
     return (

@@ -376,7 +376,11 @@ def test_split_leakage_single_pass_no_multiplication(spark, oracle_sf_dir):
     # feeding a separate totals branch)
     p = _plan(spark, oracle_sf_dir, "n33_split_leakage")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    plan_count(p, "FileScan parquet", 2)  # one per split side
+    # r6: both split sides read the ONE checkpointed shingle frame (the
+    # materialize-before-explode barrier) — the parquet is scanned once at
+    # materialization, not once per side
+    plan_count(p, "FileScan parquet", 0)
+    assert p.count("Scan ExistingRDD") >= 2
 
 
 def test_sequence_packing_windows_partition_on_shard(spark, oracle_sf_dir):
