@@ -179,6 +179,7 @@ _MODULES = [
     "matryoshka",
     "profiling",
     "banded_lsh",
+    "embed_clusters",
 ]
 
 

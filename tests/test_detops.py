@@ -402,3 +402,38 @@ def test_banded_lsh_known_corpus(spark, tmp_path):
         assert 1 <= row.n_bands_hit <= 8
         assert row.is_near_dup == (1 if row.jaccard >= 0.35 else 0)
         assert 3 not in (da, db)  # nothing shared -> no bucket collision
+
+
+def test_embedding_dedup_clusters_transitive_bridge(spark, tmp_path):
+    """n43 semantics on constructed vectors: a bridge vector merges two
+    pairs into one transitive cluster even though the endpoints are below
+    the threshold themselves; an opposite-direction vector stays a
+    canonical singleton."""
+    import math
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [float(math.cos(r)), float(math.sin(r))] + [0.0] * 6
+
+    rows = [
+        (1, vec(0), 0),     # -- edge to 2 (cos 35deg = .819)
+        (2, vec(35), 0),    # bridge: edges to 1 and 4
+        (3, vec(160), 0),   # cos negative vs all -> singleton
+        (4, vec(70), 0),    # cos(0,70)=.342 < .35: NO direct edge to 1
+    ]
+    d = str(tmp_path / "fix43")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    from etl_bom_radiation_spark.queries import load_all
+
+    got = {
+        r.vec_id: (r.cluster, r.is_canonical)
+        for r in load_all()["n43_embedding_dedup_clusters"].fn(spark, d).collect()
+    }
+    assert got == {
+        1: (1, True),
+        2: (1, False),
+        4: (1, False),  # transitively clustered through the bridge
+        3: (3, True),
+    }
