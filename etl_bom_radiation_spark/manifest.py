@@ -66,6 +66,51 @@ def build_manifest(
     return spark.read.parquet(out)
 
 
+def refresh_manifest(
+    spark: SparkSession, data_dir: str, cols: list[str]
+) -> DataFrame:
+    """Incremental manifest maintenance: recompute stats ONLY for data
+    files not yet in the manifest (new appends), drop rows for files that
+    no longer exist (compaction/retirement), keep everything else as-is.
+
+    At 100 TB a full :func:`build_manifest` re-reads the whole table per
+    batch; a refresh reads just the appended files — the same
+    incremental-commit discipline as Iceberg's per-snapshot manifests,
+    with the append set discovered by diffing the table listing against
+    the manifest (no transaction log needed for an append-only sink like
+    ``ingest.write_points``). Falls back to a full build when no manifest
+    exists yet."""
+    out = os.path.join(data_dir, MANIFEST_DIR)
+    current = set(spark.read.parquet(data_dir).inputFiles())
+    try:
+        old = spark.read.parquet(out)
+    except Exception:
+        return build_manifest(spark, data_dir, cols)
+    old_keep = old.filter(F.col("file").isin(list(current)))
+    known = {r.file for r in old.select("file").collect()}
+    new_files = sorted(current - known)
+    if new_files:
+        df = spark.read.option("basePath", data_dir).parquet(*new_files)
+        aggs = [F.count(F.lit(1)).alias("row_count")]
+        for c in cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        adds = df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+        merged = old_keep.unionByName(adds.select(*old.columns))
+    else:
+        merged = old_keep
+    # write via a temp prefix then swap: the manifest itself must never be
+    # half-written under a concurrent pruned_read
+    tmp = os.path.join(data_dir, "_manifest_tmp")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.coalesce(1).write.mode("overwrite").parquet(out)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(out)
+
+
 def pruned_read(
     spark: SparkSession,
     data_dir: str,

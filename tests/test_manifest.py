@@ -112,3 +112,42 @@ def test_manifest_on_partitioned_sink_keeps_partition_columns(spark, tmp_path):
     full = spark.read.parquet(d).filter(F.col("Longitude").between(111.0, 112.0))
     got = out.filter(F.col("Longitude").between(111.0, 112.0))
     assert got.count() == full.count() > 0
+
+
+def test_refresh_manifest_incremental_append_and_retire(spark, tmp_path):
+    """refresh_manifest computes stats only for appended files, drops rows
+    for retired files, and converges to exactly what a full rebuild says."""
+    d = str(tmp_path / "inc")
+    spark.range(1000).selectExpr(
+        "CAST(id AS DOUBLE)/10 AS lon", "CAST(id AS DOUBLE)/20 AS lat", "id AS val"
+    ).coalesce(2).write.parquet(d)
+    first = mf.build_manifest(spark, d, ["lon", "lat"])
+    n_first = first.count()
+
+    # append a batch -> refresh picks up only the new files
+    spark.range(1000, 1500).selectExpr(
+        "CAST(id AS DOUBLE)/10 AS lon", "CAST(id AS DOUBLE)/20 AS lat", "id AS val"
+    ).coalesce(1).write.mode("append").parquet(d)
+    refreshed = mf.refresh_manifest(spark, d, ["lon", "lat"])
+    assert refreshed.count() == n_first + 1
+    assert (
+        refreshed.agg(F.sum("row_count")).collect()[0][0]
+        == spark.read.parquet(d).count()
+        == 1500
+    )
+    # refresh result == full rebuild (order-insensitive)
+    rows_ref = {tuple(r) for r in refreshed.collect()}
+    rebuilt = mf.build_manifest(spark, d, ["lon", "lat"])
+    assert {tuple(r) for r in rebuilt.collect()} == rows_ref
+
+    # retire a data file -> refresh drops its row
+    victim = spark.read.parquet(d).inputFiles()[0].removeprefix("file:")
+    os.remove(victim)
+    after = mf.refresh_manifest(spark, d, ["lon", "lat"])
+    assert after.count() == n_first  # one file gone, none added
+    assert (
+        after.agg(F.sum("row_count")).collect()[0][0]
+        == spark.read.parquet(d).count()
+    )
+    # and pruned_read over the refreshed manifest no longer raises
+    assert mf.pruned_read(spark, d, {"lon": (0.0, 1000.0)}).count() == spark.read.parquet(d).count()
