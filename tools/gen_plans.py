@@ -46,13 +46,14 @@ NOTES = {
         "no lever: its distinct-collapse bounds every digest bucket to "
         "|sources| rows before the pair join"
     ),
-    "n33_split_leakage": "LEFT JOIN against the deduped train shingle set (unique right key — no row multiplication); totals + leaked counts from ONE aggregation (conditional sum), one scan per split side",
+    "n33_split_leakage": "LEFT JOIN against the deduped train shingle set (unique right key — no row multiplication); totals + leaked counts from ONE aggregation (conditional sum); r6: both split sides read the ONE checkpointed shingle frame (materialize-before-explode barrier) so the parquet is scanned once at materialization, not once per side",
     "n34_sequence_packing": "running token offsets via a window PARTITIONED on shard_id (distributed packing — no global running sum / SinglePartition anywhere); one shuffle to shards, one agg to packs",
     "g_regrid_bilinear": "MIXED-RESOLUTION corpus (0.5 + 0.25 deg): the per-file lattice step is the decoded header cellsize carried IN-ROW through the narrow decode — no join back to a header extract, so generalizing over resolution added ZERO Exchanges: still one narrow 4x contribution explode + ONE aggregation shuffle on (grid-hour, lattice, target-cell); all-corners gate drops edge/nodata targets",
     "g_gradient": "same contribution-explode shape as the regrid on the mixed-resolution corpus: per-file cellsize is in-row (no header join, no extra shuffle), one narrow generate with signed per-axis contributions, one shuffle, 4-contribution gate; integer sums keep both engines exact",
     "x06_scd2_intervals": "change-detect (lag) -> running version -> close (lead): every window partitioned on user_id, ts ties broken by event_id; shuffle-once-then-narrow",
     "n35_source_dup_matrix": "distinct (fingerprint, source) collapse BELOW the self-join bounds per-key fan-out by |sources|; equi-join on the digest, output bounded by |sources|^2",
-    "n36_minhash_estimate": "signature frame checkpoint-pinned (both pair branches read 16-row-per-doc sketches, one shingle explode); seed fan-out is the only broadcast nested loop; pair compares are equi-joins",
+    "n36_minhash_estimate": "r6 sketch: ONE polyhash per distinct shingle + 16 affine permutations as broadcast codegen arithmetic (the only nested loop is that 16-row broadcast); shingle frame checkpointed BEFORE the explode (computed-HOF-array-under-Generate re-evaluates per output row — measured 90x) and pinned for sketch + both exact-Jaccard branches; pair compares are equi-joins",
+    "n42_minhash_banded_lsh": "full banded-LSH pipeline: shared affine sketch (checkpointed band frame — built once, not once per join side), bucket candidate stage is an equi self-join on (band, key) — O(colliding pairs), never all-pairs — and the verify stage compares HASHED shingle sets (BIGINT array ops, ~4x cheaper than string sets) over only the candidates",
     "g_zonal_stats": "zone catalog broadcast for the range join (q10 tiny-side pattern) — the point cloud never shuffles for the join; single aggregation Exchange",
     "n39_substring_dup_spans": "SINGLE corpus scan (the naive dup-set join-back scans the text twice): one narrow window-fingerprint explode, then digest-only shuffles over progressively collapsed sets — (digest, doc) partial+final HashAggregate, digest-partitioned window for the distinct-doc gate, per-doc fold; digests shuffle as unhex(md5)'s 16 raw bytes (measured 18.3 -> 11.8 MB at sf0.1), never text, no Join anywhere",
     "n40_mixture_temperature": "corpus never shuffles for the rates: per-source counts aggregate on the |sources|-ary key (partial combine), then the tiny rate table and 1-row normalizer BROADCAST back onto the doc rows for the pure-BIGINT keep predicate; no SortMergeJoin/ShuffledHashJoin in the plan",
