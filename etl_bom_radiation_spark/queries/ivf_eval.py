@@ -193,7 +193,11 @@ def n37_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("candidates"),
             F.col("corpus"),
             F.round(
-                F.col("candidates").cast("double") / F.col("corpus"), 6
+                # try_divide: an empty corpus yields NULL scan_frac instead
+                # of an ANSI DIVIDE_BY_ZERO abort (degenerate-data contract;
+                # DuckDB's x/0 is NULL, so the oracle agrees)
+                F.try_divide(F.col("candidates").cast("double"), F.col("corpus")),
+                6,
             ).alias("scan_frac"),
         )
     )

@@ -96,8 +96,14 @@ def x07_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(col).alias("col_name"),
             F.col(f"{col}__rows").alias("n_rows"),
             F.col(f"{col}__null").alias("n_null"),
+            # try_divide: an empty feed yields NULL null_frac instead of an
+            # ANSI abort (degenerate-data contract; non-empty tables divide
+            # by a positive count, so the oracle is unaffected)
             F.round(
-                F.col(f"{col}__null").cast("double") / F.col(f"{col}__rows"), 6
+                F.try_divide(
+                    F.col(f"{col}__null").cast("double"), F.col(f"{col}__rows")
+                ),
+                6,
             ).alias("null_frac"),
             F.col(f"{col}__dist").alias("n_distinct"),
             F.col(f"{col}__min").alias("min_num"),

@@ -45,6 +45,11 @@ DOC_QUERIES = [
     "n33_split_leakage",
     "n34_sequence_packing",
     "n35_source_dup_matrix",
+    # round-6 doc operators
+    "n36_minhash_estimate",
+    "n39_substring_dup_spans",
+    "n40_mixture_temperature",
+    "n42_minhash_banded_lsh",
 ]
 
 EVENT_ORDER_QUERIES = [
@@ -55,6 +60,7 @@ EVENT_ORDER_QUERIES = [
     "x01_funnel_conversion",
     "x02_gapfill",
     "x03_cohort_retention",
+    "x07_table_profile",
     "t02_tumbling_window",
     "t04_session_window",
     "t06_dedup",
@@ -152,7 +158,14 @@ def test_embedding_queries_tolerate_zero_vectors(spark, weird_dir):
     _run_all(
         spark,
         weird_dir,
-        ["n03_topk_cosine", "n04_similarity_selfjoin", "n23_label_centroids", "n28_embedding_quantize"],
+        [
+            "n03_topk_cosine", "n04_similarity_selfjoin",
+            "n23_label_centroids", "n28_embedding_quantize",
+            # round-6: recall gates + semantic clustering must also degrade
+            # (2-dim / zero vectors, truncation dim > vector length)
+            "n37_ivf_recall", "n38_lsh_recall", "n41_matryoshka_recall",
+            "n43_embedding_dedup_clusters",
+        ],
     )
 
 
@@ -198,5 +211,9 @@ def test_everything_tolerates_empty_tables(spark, empty_dir):
         empty_dir,
         DOC_QUERIES
         + EVENT_ORDER_QUERIES
-        + ["n03_topk_cosine", "n23_label_centroids", "u02_pandas_udf", "u04_grouped_udaf"],
+        + [
+            "n03_topk_cosine", "n23_label_centroids", "u02_pandas_udf",
+            "u04_grouped_udaf", "n37_ivf_recall", "n41_matryoshka_recall",
+            "n43_embedding_dedup_clusters",
+        ],
     )
