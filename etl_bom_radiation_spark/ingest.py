@@ -240,6 +240,8 @@ def ingest_batch(
     fq_table: str | None = None,
     move_files: bool = True,
     max_file_bytes: int = DEFAULT_MAX_FILE_BYTES,
+    cluster_spatial: bool = False,
+    stats_manifest_cols: list[str] | None = None,
 ) -> IngestResult:
     """One batch drain of ``in/``: decode, write good points partitioned,
     move good files to ``done/`` and bad files to ``quarantine/``, register
@@ -281,7 +283,7 @@ def ingest_batch(
             F.count(F.lit(1)).alias("rows"),
             F.collect_set(F.struct(*PARTITION_COLS)).alias("parts"),
         )
-        write_points(points, ws.data_dir)
+        write_points(points, ws.data_dir, cluster_spatial=cluster_spatial)
         metrics = obs.get
         res.rows_written = metrics["rows"]
         res.partitions = sorted(
@@ -290,6 +292,16 @@ def ingest_batch(
         )
         if fq_table is not None:
             register_batch_partitions(spark, fq_table, ws, res.partitions)
+        if stats_manifest_cols:
+            # maintained file-skipping stats (the MSCK-analog for file
+            # envelopes): refresh is incremental — only the files this
+            # batch appended are read back. Ordered AFTER the data write
+            # and partition registration; a crash in between just leaves
+            # the manifest one batch stale, which the next refresh heals
+            # and pruned_read surfaces loudly rather than mis-serving.
+            from .manifest import refresh_manifest
+
+            refresh_manifest(spark, ws.data_dir, stats_manifest_cols)
 
     if move_files:
         res.move_failures = {

@@ -617,3 +617,47 @@ def test_write_points_cluster_spatial_sorts_by_morton_key(spark, tmp_path):
     write_points(pts, plain_dir)
     a, b = spark.read.parquet(clus_dir), spark.read.parquet(plain_dir)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ingest_batch_maintains_stats_manifest(spark, ws, tmp_path):
+    """ingest_batch(stats_manifest_cols=...) keeps the file-skipping
+    manifest current across batches (incremental refresh per batch, exact
+    agreement with a from-scratch rebuild) and composes with the clustered
+    write option."""
+    from etl_bom_radiation_spark import manifest as mf
+    from etl_bom_radiation_spark.ingest import ingest_batch
+
+    cols = ["Longitude", "Latitude"]
+    _stage_inputs(ws.base, include_bad=False)
+    res1 = ingest_batch(
+        spark, ws, cluster_spatial=True, stats_manifest_cols=cols
+    )
+    assert res1.rows_written > 0
+    man1 = spark.read.parquet(os.path.join(ws.data_dir, mf.MANIFEST_DIR))
+    assert (
+        man1.agg({"row_count": "sum"}).collect()[0][0] == res1.rows_written
+    )
+
+    # second batch: same fixtures re-staged under new names -> new files
+    for f in GOOD_FILES:
+        shutil.copy(
+            os.path.join(FIXTURES, f),
+            os.path.join(ws.base, "in", f.replace("2018", "2019")),
+        )
+    res2 = ingest_batch(
+        spark, ws, cluster_spatial=True, stats_manifest_cols=cols
+    )
+    man2 = spark.read.parquet(os.path.join(ws.data_dir, mf.MANIFEST_DIR))
+    total = res1.rows_written + res2.rows_written
+    assert man2.agg({"row_count": "sum"}).collect()[0][0] == total
+    # incremental result == full rebuild
+    got = {tuple(r) for r in man2.collect()}
+    rebuilt = {tuple(r) for r in mf.build_manifest(spark, ws.data_dir, cols).collect()}
+    assert got == rebuilt
+    # and the maintained manifest serves a pruned bbox read correctly
+    out = mf.pruned_read(spark, ws.data_dir, {"Longitude": (112.0, 113.0)})
+    full = spark.read.parquet(ws.data_dir)
+    import pyspark.sql.functions as F
+
+    pred = F.col("Longitude").between(112.0, 113.0)
+    assert out.filter(pred).count() == full.filter(pred).count() > 0
