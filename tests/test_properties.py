@@ -204,3 +204,59 @@ def test_sq8_quantization_error_bound(spark, sf_dir):
         for c, x in zip(codes, orig[vid]):
             assert abs(row.v_min + c * span / 255 - x) <= tol
         assert abs(row.mean_abs_err) <= tol
+
+
+def _py_morton(xi: int, yi: int, bits: int = 16) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((xi >> b) & 1) << (2 * b)
+        z |= ((yi >> b) & 1) << (2 * b + 1)
+    return z
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    xi=st.integers(min_value=0, max_value=(1 << 16) - 1),
+    yi=st.integers(min_value=0, max_value=(1 << 16) - 1),
+)
+def test_morton_key_bijective_and_orders_quads(xi, yi):
+    """Pure-Python model of scale.zorder_key's bit interleave (the Spark
+    parity is pinned in tests/test_scale.py): the map is a bijection on the
+    16-bit lattice (invertible by de-interleave), and any two points in the
+    same 2^k-aligned quad sort before/after points of a disjoint later
+    quad — the locality property row-group pruning rides on."""
+    z = _py_morton(xi, yi)
+    # invertibility: de-interleave recovers the inputs exactly
+    rx = sum(((z >> (2 * b)) & 1) << b for b in range(16))
+    ry = sum(((z >> (2 * b + 1)) & 1) << b for b in range(16))
+    assert (rx, ry) == (xi, yi)
+    # quad ordering: the top 2k bits of z are exactly the interleave of the
+    # top k bits of xi/yi, so z // 4^j groups points by their 2^j-quad
+    for j in (4, 8):
+        assert z >> (2 * j) == _py_morton(xi >> j, yi >> j)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=100_000), min_size=1, max_size=8
+    ),
+    u24=st.integers(min_value=0, max_value=(1 << 24) - 1),
+)
+def test_tempering_integer_inequality_matches_rational_rate(counts, u24):
+    """n40's pure-BIGINT keep decision `2*u24*S*c < 2^24*T*s` is exactly
+    the rational comparison u < rate with rate = (T/2)*(s/S)/c — verified
+    with exact Fraction arithmetic over arbitrary source profiles, and
+    rates >= 1 always keep (the cap) since u24 < 2^24."""
+    import math
+    from fractions import Fraction
+
+    s = [round(math.sqrt(c)) for c in counts]
+    S, T = sum(s), sum(counts)
+    for c_i, s_i in zip(counts, s):
+        rate = Fraction(T, 2) * Fraction(s_i, S) / c_i
+        keep_int = 2 * u24 * S * c_i < (1 << 24) * T * s_i
+        keep_rational = Fraction(u24, 1 << 24) < rate
+        assert keep_int == keep_rational
+        if rate >= 1:
+            assert keep_int  # the cap: rare sources keep everything
