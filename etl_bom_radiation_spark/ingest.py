@@ -184,7 +184,22 @@ def write_points(
             F.col("Longitude"), F.col("Latitude"), -180.0, -90.0, 0.001953125,
             bits=18,
         )
-        repartitioned = repartitioned.sortWithinPartitions(zk)
+        # the partition columns MUST lead the sort: the partitioned V1
+        # writer requires an ordering on them and inserts its own Sort if
+        # unsatisfied — and Catalyst's EliminateSorts then removes this one
+        # entirely, silently writing un-clustered files (code-review r6,
+        # verified on a two-hour batch). Leading with the partition cols
+        # makes this sort satisfy the writer's requirement, so the Morton
+        # key survives as the intra-partition order. Caveat: the satisfies
+        # check compares post-folding orderings, so it holds when the
+        # partition columns are data-derived (the decode output always is);
+        # a synthetic frame mixing LITERAL partition values with derived
+        # ones folds the literals out of this sort, fails the writer's
+        # prefix check, and loses the clustering — keep partition columns
+        # non-foldable (tests/test_ingest.py pins the production shape).
+        repartitioned = repartitioned.sortWithinPartitions(
+            *PARTITION_COLS, zk
+        )
     (
         repartitioned.write.mode(mode)
         .partitionBy(*PARTITION_COLS)

@@ -12,6 +12,7 @@ module is that lever for the engine's parquet sinks:
   min/max for the requested columns — with a single distributed pass
   (``groupBy(input_file_name())``; no driver-side footer reading, so
   building scales with executors, not driver cores).
+* :func:`refresh_manifest` maintains it incrementally on append/retire.
 * :func:`pruned_read` consults the manifest with interval predicates and
   returns a DataFrame over ONLY the overlapping files.  Combined with a
   clustered layout (``ingest.write_points(cluster_spatial=True)`` /
@@ -39,9 +40,38 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 #: manifest location inside a table dir (underscore = ignored by readers)
 MANIFEST_DIR = "_manifest"
+
+
+def _stats_aggs(cols: list[str]):
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return aggs
+
+
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _swap_in(spark: SparkSession, tmp: str, out: str) -> None:
+    """Replace *out* with *tmp* via the filesystem's rename — the manifest
+    is re-written as a unit, never patched in place, so a concurrent
+    pruned_read sees either the old or the new manifest; the unreadable
+    window is the delete+rename instant, not a full re-write (and a crash
+    inside it leaves the complete new manifest at the tmp path, healed by
+    the next refresh's fallback rebuild)."""
+    fs, out_p, jvm = _fs_for(spark, out)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(out_p, True)
+    if not fs.rename(tmp_p, out_p):
+        raise OSError(f"manifest swap failed: rename {tmp} -> {out}")
 
 
 def build_manifest(
@@ -49,20 +79,17 @@ def build_manifest(
 ) -> DataFrame:
     """One distributed pass over *data_dir*: per data file, row count and
     min/max of each of *cols*. Writes the manifest under
-    ``{data_dir}/_manifest`` (overwrite — a manifest is a snapshot, not a
-    log) and returns it."""
+    ``{data_dir}/_manifest`` (staged + renamed — a manifest is a snapshot,
+    not a log) and returns it."""
     df = spark.read.parquet(data_dir)
-    aggs = [F.count(F.lit(1)).alias("row_count")]
-    for c in cols:
-        aggs.append(F.min(c).alias(f"min_{c}"))
-        aggs.append(F.max(c).alias(f"max_{c}"))
-    manifest = (
-        df.groupBy(F.input_file_name().alias("file"))
-        .agg(*aggs)
+    manifest = df.groupBy(F.input_file_name().alias("file")).agg(
+        *_stats_aggs(cols)
     )
     out = os.path.join(data_dir, MANIFEST_DIR)
+    tmp = os.path.join(data_dir, "_manifest_tmp")
     # one file: the manifest is rows-per-file small by construction
-    manifest.coalesce(1).write.mode("overwrite").parquet(out)
+    manifest.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _swap_in(spark, tmp, out)
     return spark.read.parquet(out)
 
 
@@ -79,35 +106,43 @@ def refresh_manifest(
     with the append set discovered by diffing the table listing against
     the manifest (no transaction log needed for an append-only sink like
     ``ingest.write_points``). Falls back to a full build when no manifest
-    exists yet."""
+    exists yet (and ONLY then — any other manifest read error propagates,
+    so a transient FS fault cannot silently trigger the full-table re-read
+    this function exists to avoid).
+
+    The table listing (``inputFiles``) is driver-resident by nature — the
+    same list any ``spark.read`` holds — but the manifest itself is only
+    touched through joins: the kept rows come from a semi-join against the
+    current listing and the append set from an anti-join, so nothing
+    manifest-sized is collected and no million-element ``IN`` expression
+    is built."""
     out = os.path.join(data_dir, MANIFEST_DIR)
-    current = set(spark.read.parquet(data_dir).inputFiles())
+    current = spark.read.parquet(data_dir).inputFiles()
     try:
         old = spark.read.parquet(out)
-    except Exception:
-        return build_manifest(spark, data_dir, cols)
-    old_keep = old.filter(F.col("file").isin(list(current)))
-    known = {r.file for r in old.select("file").collect()}
-    new_files = sorted(current - known)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return build_manifest(spark, data_dir, cols)
+        raise
+    cur_df = spark.createDataFrame([(f,) for f in current], "file string")
+    old_keep = old.join(F.broadcast(cur_df), "file", "left_semi")
+    new_files = sorted(
+        r.file
+        for r in cur_df.join(old, "file", "left_anti").collect()
+    )
     if new_files:
         df = spark.read.option("basePath", data_dir).parquet(*new_files)
-        aggs = [F.count(F.lit(1)).alias("row_count")]
-        for c in cols:
-            aggs.append(F.min(c).alias(f"min_{c}"))
-            aggs.append(F.max(c).alias(f"max_{c}"))
-        adds = df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+        adds = df.groupBy(F.input_file_name().alias("file")).agg(
+            *_stats_aggs(cols)
+        )
         merged = old_keep.unionByName(adds.select(*old.columns))
     else:
         merged = old_keep
-    # write via a temp prefix then swap: the manifest itself must never be
-    # half-written under a concurrent pruned_read
     tmp = os.path.join(data_dir, "_manifest_tmp")
+    # materialize BEFORE touching `out`: `merged` reads the old manifest,
+    # so the staged write must complete while `out` still exists
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.coalesce(1).write.mode("overwrite").parquet(out)
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    _swap_in(spark, tmp, out)
     return spark.read.parquet(out)
 
 
@@ -123,8 +158,10 @@ def pruned_read(
     The returned DataFrame still carries NO implicit filter — callers
     apply their own predicate as usual; this only shrinks the file set the
     scan starts from, exactly like a format-native file-skipping index.
-    Raises ``FileNotFoundError`` if a manifest-listed file is gone (stale
-    manifest — rebuild after append/compact)."""
+    Raises ``FileNotFoundError`` if a manifest-listed selected file is
+    gone (stale manifest — rebuild/refresh after append/compact); the
+    check goes through the path's own Hadoop filesystem, so it holds on
+    any scheme, not just ``file:``."""
     man = spark.read.parquet(os.path.join(data_dir, MANIFEST_DIR))
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
@@ -135,12 +172,13 @@ def pruned_read(
             overlap | F.col(f"min_{c}").isNull() | F.col(f"max_{c}").isNull()
         )
     files = [r.file for r in man.filter(cond).select("file").collect()]
-    for f in files:
-        local = f.removeprefix("file:")
-        if f.startswith("file:") and not os.path.exists(local):
-            raise FileNotFoundError(
-                f"manifest lists missing file {f}; rebuild the manifest"
-            )
+    if files:
+        fs, _, jvm = _fs_for(spark, files[0])
+        for f in files:
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(f)):
+                raise FileNotFoundError(
+                    f"manifest lists missing file {f}; rebuild the manifest"
+                )
     if not files:
         # empty selection: preserve the schema without touching data files
         return spark.read.parquet(data_dir).limit(0)

@@ -214,8 +214,12 @@ def n38_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("hits").cast("double") / K, 6).alias("recall_at_k"),
             F.col("candidates"),
             F.col("corpus"),
+            # try_divide: an empty corpus yields NULL scan_frac instead of
+            # an ANSI DIVIDE_BY_ZERO abort (the n37 degenerate-data
+            # contract; DuckDB's x/0 is NULL, so the oracle agrees)
             F.round(
-                F.col("candidates").cast("double") / F.col("corpus"), 6
+                F.try_divide(F.col("candidates").cast("double"), F.col("corpus")),
+                6,
             ).alias("scan_frac"),
         )
     )

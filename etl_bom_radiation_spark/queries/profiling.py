@@ -39,18 +39,29 @@ from pyspark.sql import functions as F
 
 from . import load_events, register
 
-#: (column, numeric-ish expression for min/max or None)
+#: (column, kind) — kind drives BOTH engines' min/max expression:
+#: "num" -> plain double cast, "epoch" -> epoch-microseconds (exact in a
+#: double until ~year 2255), None -> no numeric min/max. An explicit
+#: marker instead of engine SQL text, so the Spark builder can never
+#: silently drift from the oracle over a string comparison
+#: (code-review r6).
 _COLS = [
-    ("event_id", "CAST(event_id AS DOUBLE)"),
-    ("ts", "CAST(epoch_us(ts) AS DOUBLE)"),
-    ("user_id", "CAST(user_id AS DOUBLE)"),
+    ("event_id", "num"),
+    ("ts", "epoch"),
+    ("user_id", "num"),
     ("event_type", None),
-    ("value", "value"),
+    ("value", "num"),
     ("props", None),
 ]
 
 
-def _duck_one(col: str, num: str | None) -> str:
+def _duck_one(col: str, kind: str | None) -> str:
+    if kind == "epoch":
+        num = f"CAST(epoch_us({col}) AS DOUBLE)"
+    elif kind == "num":
+        num = f"CAST({col} AS DOUBLE)"
+    else:
+        num = None
     num_min = f"MIN({num})" if num else "CAST(NULL AS DOUBLE)"
     num_max = f"MAX({num})" if num else "CAST(NULL AS DOUBLE)"
     return f"""
@@ -77,15 +88,15 @@ def x07_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle rows vs |columns|x table scans; the scan wins at scale)."""
     e = load_events(spark, sf_dir)
     aggs = []
-    for col, num in _COLS:
+    for col, kind in _COLS:
         c = F.col(col)
         aggs.append(F.count(F.lit(1)).alias(f"{col}__rows"))
         aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{col}__null"))
         aggs.append(F.count_distinct(c).alias(f"{col}__dist"))
-        if num == "CAST(epoch_us(ts) AS DOUBLE)":
+        if kind == "epoch":
             nexpr = F.unix_micros(c).cast("double")
-        elif num:
-            nexpr = F.expr(num)
+        elif kind == "num":
+            nexpr = c.cast("double")
         else:
             nexpr = F.lit(None).cast("double")
         aggs.append(F.round(F.min(nexpr), 6).alias(f"{col}__min"))

@@ -213,7 +213,7 @@ def test_everything_tolerates_empty_tables(spark, empty_dir):
         + EVENT_ORDER_QUERIES
         + [
             "n03_topk_cosine", "n23_label_centroids", "u02_pandas_udf",
-            "u04_grouped_udaf", "n37_ivf_recall", "n41_matryoshka_recall",
-            "n43_embedding_dedup_clusters",
+            "u04_grouped_udaf", "n37_ivf_recall", "n38_lsh_recall",
+            "n41_matryoshka_recall", "n43_embedding_dedup_clusters",
         ],
     )

@@ -581,13 +581,24 @@ def test_write_points_cluster_spatial_sorts_by_morton_key(spark, tmp_path):
     import pyarrow.parquet as pq
 
     n = 80
+    # PRODUCTION-SHAPED partition columns: every partition col is derived
+    # from data (non-foldable, like the decode output), and the batch spans
+    # two hour partitions. With literal partition values the check is
+    # vacuous (the writer's required sort folds away); with mixed
+    # literal/derived values the writer's requirement cannot be satisfied
+    # and clustering is lost — both documented in write_points. The
+    # regression this pins (code-review r6): the zk sort must LEAD with the
+    # partition cols or the writer's own Sort eliminates it entirely.
     pts = spark.range(n * n).selectExpr(
         "timestamp'2018-04-01 11:00:00' AS Date",
         "'G' AS RadiationType",
         f"110.0 + CAST(id % {n} AS DOUBLE) * 0.05 AS Longitude",
         f"-46.0 + CAST(id DIV {n} AS DOUBLE) * 0.05 AS Latitude",
         "CAST(id % 1000 AS INT) AS Radiation",
-        "2018 AS year", "4 AS month", "1 AS day", "11 AS hour",
+        "CAST(2018 + id % 1 AS INT) AS year",
+        "CAST(4 + id % 1 AS INT) AS month",
+        "CAST(1 + id % 1 AS INT) AS day",
+        "CAST(11 + id % 2 AS INT) AS hour",
     )
     from etl_bom_radiation_spark.ingest import write_points
 
@@ -596,9 +607,6 @@ def test_write_points_cluster_spatial_sorts_by_morton_key(spark, tmp_path):
     part = os.path.join(clus_dir, "year=2018", "month=4", "day=1", "hour=11")
     files = [f for f in os.listdir(part) if f.endswith(".parquet")]
     assert len(files) == 1  # the anti-small-file default is unchanged
-
-    t = pq.read_table(os.path.join(part, files[0]))
-    lons, lats = t.column("Longitude").to_pylist(), t.column("Latitude").to_pylist()
 
     def morton(lon, lat):
         xi = int(round((lon + 180.0) / 0.001953125))
@@ -609,9 +617,19 @@ def test_write_points_cluster_spatial_sorts_by_morton_key(spark, tmp_path):
             z |= ((yi >> b) & 1) << (2 * b + 1)
         return z
 
-    keys = [morton(lo, la) for lo, la in zip(lons, lats)]
-    assert keys == sorted(keys)  # physically Z-ordered on disk
-    assert len(set(keys)) == n * n  # 18-bit domain: no aliasing collisions
+    # BOTH hour partitions must come out Z-ordered
+    for hour in (11, 12):
+        p = os.path.join(clus_dir, "year=2018", "month=4", "day=1", f"hour={hour}")
+        f = [x for x in os.listdir(p) if x.endswith(".parquet")][0]
+        th = pq.read_table(os.path.join(p, f))
+        ks = [
+            morton(lo, la)
+            for lo, la in zip(
+                th.column("Longitude").to_pylist(), th.column("Latitude").to_pylist()
+            )
+        ]
+        assert ks == sorted(ks), hour  # physically Z-ordered on disk
+        assert len(set(ks)) == len(ks)  # 18-bit domain: no aliasing collisions
 
     plain_dir = str(tmp_path / "plain")
     write_points(pts, plain_dir)
