@@ -26,8 +26,19 @@ materializes). Convergence is detected with a 1-row aggregate
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: serializes the reliable-checkpoint path: setCheckpointDir is global
+#: SparkContext state, and even per-call namespaces cannot stop call A's
+#: round from being misrouted into call B's namespace (where B's round
+#: cleanup would delete it) if their setCheckpointDir/checkpoint windows
+#: interleave — so concurrent driver-thread calls simply take turns
+#: (code-review r6; the localCheckpoint path has no global state and
+#: does not lock)
+_RELIABLE_CKPT_LOCK = threading.Lock()
 
 
 def connected_components(
@@ -49,6 +60,18 @@ def connected_components(
     Deterministic: the label is a pure function of the graph (min reachable
     id), independent of partitioning or iteration order.
 
+    *id_col* (and the edge endpoints) must be an INTEGRAL type: the label
+    min/fixpoint arithmetic is defined over integer ids, and the
+    convergence check sums labels (as DECIMAL(38,0), so any long magnitude
+    is overflow-safe). A non-integral id column raises ``TypeError`` up
+    front — with strings the sum would abort under ANSI (or silently
+    null-converge with ANSI off), both worse than a loud contract
+    (code-review r6). Hash ids fit: map them to BIGINT (e.g. xxhash64)
+    first. Every edge endpoint must also appear in ``vertices`` — an
+    endpoint missing from the vertex set is silently dropped by the
+    propagation join and can SPLIT a component (the in-repo callers build
+    vertices from the edge list, which satisfies this by construction).
+
     ``checkpoint_dir`` switches the per-round lineage truncation from
     ``localCheckpoint`` (executor-local blocks — fast, but an executor
     loss mid-iteration aborts the job) to RELIABLE ``checkpoint`` into
@@ -69,6 +92,11 @@ def connected_components(
     rather than a round directory this function may delete. Single-machine
     runs keep the local default.
 
+    Concurrency: reliable-checkpoint calls on one SparkContext are
+    serialized by a module lock (`setCheckpointDir` is global context
+    state; interleaved calls could misroute a live round into a namespace
+    another call deletes). localCheckpoint calls run unlocked.
+
     ``max_iterations`` bounds the LABEL-CHANGING rounds (= graph diameter);
     the fixpoint confirmation round is extra and not counted, so
     ``max_iterations=d`` suffices for a diameter-``d`` graph. Raises
@@ -78,6 +106,16 @@ def connected_components(
     """
     from uuid import uuid4
 
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = vertices.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"connected_components requires an integral {id_col!r} column, "
+            f"got {id_type.simpleString()}; map hash/string ids to BIGINT "
+            "(e.g. xxhash64) first"
+        )
+
     spark = vertices.sparkSession
     sc = spark.sparkContext
     prev_ckpt_dir = None
@@ -86,9 +124,9 @@ def connected_components(
     if checkpoint_dir is not None:
         opt = sc._jsc.sc().getCheckpointDir()
         prev_ckpt_dir = opt.get() if opt.isDefined() else None
-        jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
-        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        from .workspace import _fs as _ws_fs
+
+        fs, _, jvm = _ws_fs(spark, checkpoint_dir)
         # per-call namespace (ADVICE r5): concurrent calls on one context
         # each round-checkpoint under their own uuid dir, so interleaved
         # setCheckpointDir calls can misroute a round into the OTHER
@@ -111,6 +149,8 @@ def connected_components(
                 True,
             )
 
+    if checkpoint_dir is not None:
+        _RELIABLE_CKPT_LOCK.acquire()
     try:
         # Checkpoint the symmetrized edge set once: it is re-joined every
         # round, and recomputing its lineage (often an expensive
@@ -126,7 +166,8 @@ def connected_components(
             vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component")),
             "round0",
         )
-        prev_sum = comp.agg(F.sum("component")).first()[0]
+        _label_sum = F.sum(F.col("component").cast("decimal(38,0)"))
+        prev_sum = comp.agg(_label_sum).first()[0]
 
         # max_iterations label-changing rounds + 1 fixpoint-confirmation
         # round (the round whose sum matches the previous one): a
@@ -151,7 +192,7 @@ def connected_components(
             )
             _drop_round(f"round{i - 1}")
             # labels only ever decrease, so an unchanged sum is a fixpoint
-            cur_sum = comp.agg(F.sum("component")).first()[0]
+            cur_sum = comp.agg(_label_sum).first()[0]
             if cur_sum == prev_sum:
                 return comp
             prev_sum = cur_sum
@@ -172,3 +213,4 @@ def connected_components(
             sc.setCheckpointDir(
                 prev_ckpt_dir if prev_ckpt_dir is not None else checkpoint_dir
             )
+            _RELIABLE_CKPT_LOCK.release()

@@ -92,3 +92,18 @@ def parse_run_timestamp(filename: Column | str) -> Column:
     )
     minutes = F.substring(run, 9, 3).cast("int") * 5  # :23, :25
     return base + F.make_interval(mins=minutes)
+
+
+def parse_run_timestamp_py(filename: str) -> datetime | None:
+    """Driver-side twin of :func:`parse_run_timestamp` (grammar 2): the
+    same 11-digit run -> 04:00-base + 5-minute-step arithmetic in plain
+    Python, for per-file flows (partition registration) where launching a
+    Spark job to parse one filename would be job-scheduling-bound
+    (code-review r6). Parity with the Column expression is pinned in
+    tests/test_ingest.py. Returns None when no 11-digit run is present."""
+    m = re.search(r"(\d{11})", filename)
+    if not m:
+        return None
+    run = m.group(1)
+    base = datetime(int(run[0:4]), int(run[4:6]), int(run[6:8]), 4, 0, 0)
+    return base + timedelta(minutes=int(run[8:11]) * 5)

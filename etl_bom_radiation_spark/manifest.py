@@ -55,9 +55,9 @@ def _stats_aggs(cols: list[str]):
 
 
 def _fs_for(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+    from .workspace import _fs
+
+    return _fs(spark, path)
 
 
 def _swap_in(spark: SparkSession, tmp: str, out: str) -> None:

@@ -108,10 +108,21 @@ class _heartbeat:
 
 
 def _swap_paths(spark: SparkSession, rollup_dir: str):
-    """(fs, root, tmp, old, marker) for the compaction swap of *rollup_dir*."""
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(rollup_dir)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    """(fs, root, tmp, old, marker) for the compaction swap of *rollup_dir*.
+
+    ATOMICITY RESTRICTION (code-review r6): the fence/lease/swap protocol
+    relies on atomic ``createNewFile`` (the compaction fence) and atomic,
+    O(1) directory ``rename`` (the generation swap). Both hold on HDFS and
+    local/posix filesystems; NEITHER holds on s3a (create is HEAD-then-PUT,
+    rename is a copy+delete of every object), where two compactors can
+    both win the fence and the "milliseconds swap window" becomes minutes.
+    Run the rollup directory on HDFS-semantics storage, or front object
+    stores with an external lock service / a table format with commit
+    semantics.
+    """
+    from ..workspace import _fs
+
+    fs, root, jvm = _fs(spark, rollup_dir)
     parent, name = root.getParent().toString(), root.getName()
     tmp = jvm.org.apache.hadoop.fs.Path(f"{parent}/.{name}.compact_tmp")
     old = jvm.org.apache.hadoop.fs.Path(f"{parent}/.{name}.compact_old")

@@ -107,25 +107,38 @@ def register_table(spark: SparkSession, db: str, table: str, ws: Workspace) -> s
     return fq
 
 
-def _marker_path(spark: SparkSession, ws: Workspace):
+def _marker_path(spark: SparkSession, ws: Workspace, fq_table: str | None):
+    # the run-once marker is keyed PER TABLE (code-review r6): the
+    # reference has exactly one table per stack so a workspace-wide marker
+    # sufficed there (bom_partition.py:39-49), but a second table
+    # registered over the same workspace must still get ITS first-run
+    # MSCK, or its pre-existing partitions are never discovered. A
+    # table-less call keys the workspace-wide legacy marker.
     fs, _, jvm = _fs(spark, ws.base)
-    return fs, jvm.org.apache.hadoop.fs.Path(f"{ws.base}/{MSCK_MARKER}")
+    suffix = f".{fq_table.replace('.', '_')}" if fq_table else ""
+    return fs, jvm.org.apache.hadoop.fs.Path(f"{ws.base}/{MSCK_MARKER}{suffix}")
 
 
-def msck_completed(spark: SparkSession, ws: Workspace) -> bool:
-    """D4: run-once idempotence check (bom_partition.py:29-49)."""
-    fs, marker = _marker_path(spark, ws)
+def msck_completed(
+    spark: SparkSession, ws: Workspace, fq_table: str | None = None
+) -> bool:
+    """D4: run-once idempotence check (bom_partition.py:29-49), keyed per
+    table when one is given (see ``_marker_path``)."""
+    fs, marker = _marker_path(spark, ws, fq_table)
     return fs.exists(marker)
 
 
 def repair_table(spark: SparkSession, fq_table: str, ws: Workspace) -> None:
     """D2: MSCK REPAIR TABLE — bulk partition discovery on first run
     (bom_partition.py:52-81), then write the run-once marker
-    (bom_partition.py:84-89)."""
+    (bom_partition.py:84-89) — both the per-table marker and the legacy
+    workspace-wide one (so existing table-less checks keep reporting that
+    the workspace had its first-run discovery)."""
     spark.sql(f"MSCK REPAIR TABLE {fq_table}")
-    fs, marker = _marker_path(spark, ws)
-    out = fs.create(marker, True)
-    out.close()
+    for table_key in (fq_table, None):
+        fs, marker = _marker_path(spark, ws, table_key)
+        out = fs.create(marker, True)
+        out.close()
 
 
 def add_partitions(spark: SparkSession, fq_table: str, parts: list[dict]) -> int:
@@ -142,44 +155,46 @@ def add_partitions(spark: SparkSession, fq_table: str, parts: list[dict]) -> int
 def register_batch_partitions(spark: SparkSession, fq_table: str, ws: Workspace, parts) -> None:
     """T8/D2-D4 composed: the post-commit metadata hook — MSCK once (marker
     branch, bom_partition.py:152-163), ADD PARTITION afterwards."""
-    if not msck_completed(spark, ws):
+    if not msck_completed(spark, ws, fq_table):
         repair_table(spark, fq_table, ws)
     else:
         add_partitions(spark, fq_table, parts)
 
 
 def register_run_file_partition(
-    spark: SparkSession, fq_table: str, filename: str, with_minute: bool = True
+    spark: SparkSession, fq_table: str, filename: str, with_minute: bool = False
 ) -> dict | None:
     """The grammar-2 registration path — the full analog of the reference
     partition lambda's per-file flow (bom_partition.py:134-163, intended
     semantics): parse the 11-digit run from the filename, derive the
     partition tuple, submit ``ADD IF NOT EXISTS PARTITION`` synchronously.
 
-    The tas-hydro variant registers five keys including minute
-    (bom_partition.py:126); pass ``with_minute=False`` for the canonical
-    year/month/day/hour layout. Returns the partition dict, or None when the
+    The default matches the canonical year/month/day/hour layout this
+    module's ``register_table`` creates (code-review r6: minute-keyed was
+    the default and produced an AnalysisException against our own tables);
+    pass ``with_minute=True`` for the reference's 5-key tas-hydro variant
+    (bom_partition.py:126). Returns the partition dict, or None when the
     filename has no 11-digit run (the reference would raise AttributeError
-    on the failed regex — here it is a explicit no-op for the caller)."""
-    from pyspark.sql import functions as F
+    on the failed regex — here it is a explicit no-op for the caller).
 
-    from .grid.filenames import parse_run_timestamp
+    The parse runs ON THE DRIVER (a regex + date arithmetic on one
+    filename): the previous shape launched a full Spark job per file
+    (range(1) + head), paying job-scheduling latency for microseconds of
+    work at a many-files-per-hour cadence (code-review r6). The Python
+    parse mirrors grid/filenames.py's Column expression exactly and is
+    pinned to it by tests."""
+    from .grid.filenames import parse_run_timestamp_py
 
-    row = (
-        spark.range(1)
-        .select(parse_run_timestamp(F.lit(filename)).alias("ts"))
-        .select(
-            F.year("ts").alias("year"),
-            F.month("ts").alias("month"),
-            F.dayofmonth("ts").alias("day"),
-            F.hour("ts").alias("hour"),
-            F.minute("ts").alias("minute"),
-        )
-        .head()
-    )
-    if row is None or row["year"] is None:
+    ts = parse_run_timestamp_py(filename)
+    if ts is None:
         return None
-    part = row.asDict()
+    part = {
+        "year": ts.year,
+        "month": ts.month,
+        "day": ts.day,
+        "hour": ts.hour,
+        "minute": ts.minute,
+    }
     keys = PARTITION_COLS + (("minute",) if with_minute else ())
     spec = ", ".join(f"{k}={int(part[k])}" for k in keys)
     spark.sql(f"ALTER TABLE {fq_table} ADD IF NOT EXISTS PARTITION ({spec})")

@@ -127,3 +127,18 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     restored_parent = opt.get().rstrip("/").rsplit("/", 1)[0]
     assert restored_parent.endswith("ckpt_root"), opt.get()
     assert "/cc_" not in restored_parent, opt.get()  # not a round namespace
+
+
+def test_connected_components_rejects_non_integral_ids(spark):
+    """String ids would abort (ANSI) or silently null-converge in the
+    label-sum fixpoint check — the contract is a loud TypeError up front
+    (code-review r6); hash ids must be mapped to BIGINT first."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_bom_radiation_spark.graph import connected_components
+
+    v = spark.createDataFrame([("a",), ("b",)], "id string")
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(TypeError, match="integral"):
+        connected_components(v, e)

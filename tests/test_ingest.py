@@ -385,7 +385,9 @@ def test_register_run_file_partition(spark, ws, tmp_path):
         LOCATION '{loc}'
         """
     )
-    part = W.register_run_file_partition(spark, f"{db}.prices", "NEMPriceSetter_20171031123.csv")
+    part = W.register_run_file_partition(
+        spark, f"{db}.prices", "NEMPriceSetter_20171031123.csv", with_minute=True
+    )
     # 2017-10-31 04:00 + 123*5min = 14:15
     assert part == {"year": 2017, "month": 10, "day": 31, "hour": 14, "minute": 15}
     parts = {r[0] for r in spark.sql(f"SHOW PARTITIONS {db}.prices").collect()}
@@ -679,3 +681,56 @@ def test_ingest_batch_maintains_stats_manifest(spark, ws, tmp_path):
 
     pred = F.col("Longitude").between(112.0, 113.0)
     assert out.filter(pred).count() == full.filter(pred).count() > 0
+
+
+def test_parse_run_timestamp_py_matches_column_expression(spark):
+    """The driver-side grammar-2 parse must mirror the Column expression
+    exactly (code-review r6: per-file registration no longer launches a
+    Spark job, so the two parsers must be pinned to each other)."""
+    import pyspark.sql.functions as F
+
+    from etl_bom_radiation_spark.grid.filenames import (
+        parse_run_timestamp,
+        parse_run_timestamp_py,
+    )
+
+    cases = [
+        "NEMPriceSetter_20171031123.csv",
+        "x_20240101000_y.dat",
+        "20001231287suffix",
+        "no_digits.csv",
+        "short_123456789.csv",  # only 9 digits: no run
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "fname string")
+    spark_side = {
+        r.fname: r.ts
+        for r in df.select(
+            "fname", parse_run_timestamp(F.col("fname")).alias("ts")
+        ).collect()
+    }
+    for c in cases:
+        assert spark_side[c] == parse_run_timestamp_py(c), c
+
+
+def test_msck_marker_is_per_table(spark, ws):
+    """A second table registered over the same workspace must still get
+    its own first-run MSCK (code-review r6): the run-once marker is keyed
+    per table, so t2's pre-existing partitions are discovered even after
+    t1's marker exists."""
+    _stage_inputs(ws.base, include_bad=False)
+    db = W.create_database(spark, "marker-test")
+    t1 = W.register_table(spark, db, "rad_a", ws)
+    res = ingest_batch(spark, ws, fq_table=t1)
+    assert res.rows_written > 0
+    assert W.msck_completed(spark, ws, t1)
+    # legacy workspace-wide check still reports the first-run discovery
+    assert W.msck_completed(spark, ws)
+
+    # second table over the SAME existing data: its own MSCK must run and
+    # discover the partitions t1's batch wrote
+    t2 = W.register_table(spark, db, "rad_b", ws)
+    assert not W.msck_completed(spark, ws, t2)
+    W.register_batch_partitions(spark, t2, ws, [])
+    assert W.msck_completed(spark, ws, t2)
+    parts = spark.sql(f"SHOW PARTITIONS {t2}").count()
+    assert parts == spark.sql(f"SHOW PARTITIONS {t1}").count() > 0
