@@ -110,18 +110,20 @@ def n39_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.size("ws"))
         .filter(F.col("n") >= L)
     )
-    # per-position window hashes: one narrow generate (transform+explode),
-    # then ONLY (doc_id, digest) survives the projection — the single text
-    # pass
-    wins = m.select(
+    # per-position window hashes: one narrow transform, then ONLY
+    # (doc_id, digest-array) survives — the single text pass. The array is
+    # MATERIALIZED before the explode (the round-6 Generate hazard: a
+    # computed HOF array under Generate re-evaluates per OUTPUT row —
+    # measured 0.77 s vs 0.09 s for this explode at sf0.1); the
+    # checkpointed frame is 16 bytes per window, not text.
+    warr = m.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n") - L + 1, F.lit(STRIDE)),
-                lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice("ws", i, L)))),
-            )
-        ).alias("wh"),
-    )
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - L + 1, F.lit(STRIDE)),
+            lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice("ws", i, L)))),
+        ).alias("wa"),
+    ).localCheckpoint(eager=False)
+    wins = warr.select("doc_id", F.explode("wa").alias("wh"))
     # collapse within-doc repeats (rows become unique per (wh, doc_id)),
     # keeping the position count for the final fold
     per_pair = wins.groupBy("wh", "doc_id").agg(F.count(F.lit(1)).alias("c"))

@@ -436,7 +436,11 @@ def test_substring_dup_spans_single_scan_no_join(spark, oracle_sf_dir):
     # The naive shape (dup-hash set joined back to window rows) scans the
     # corpus twice — at 100 TB that doubles the dominant cost.
     p = _plan(spark, oracle_sf_dir, "n39_substring_dup_spans")
-    plan_count(p, "FileScan parquet", 1)
+    # r6: the window-digest array is checkpointed before the explode (the
+    # Generate re-eval hazard), so the plan reads the ONE materialized
+    # frame — the parquet text was scanned exactly once at materialization
+    plan_count(p, "FileScan parquet", 0)
+    assert "Scan ExistingRDD" in p
     assert "Join" not in p
     assert "wh" in p and "SinglePartition" not in p
 
