@@ -496,3 +496,27 @@ def test_banded_lsh_bucket_join_is_equi_single_sketch(spark, oracle_sf_dir):
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 1
     assert "Scan ExistingRDD" in p  # the checkpointed shingle/band frames
+
+
+def test_no_declared_query_explodes_interpreted_hof_arrays(spark, oracle_sf_dir):
+    """Registry-wide lint (round 6): a computed higher-order-function array
+    directly under a Generate re-evaluates per OUTPUT row once Catalyst
+    collapses the projection into it — measured 90x on the n36 shingle
+    explode and 8.5x on the n39 window explode. The fix is the
+    materialize-before-explode barrier (localCheckpoint the array frame);
+    this lint keeps the hazard from creeping back in. Cheap computed
+    arrays (array(), sequence() of arithmetic) are allowed — the cost is
+    re-running interpreted HOF stacks, not tiny codegen expressions."""
+    import re
+
+    pat = re.compile(
+        r"Generate (?:pos)?explode\((transform|filter|aggregate|array_distinct)\("
+    )
+    offenders = []
+    for name, q in QS.items():
+        if q.streaming:
+            continue  # same exclusion as the window lint
+        p = q.fn(spark, oracle_sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if pat.search(p):
+            offenders.append(name)
+    assert offenders == [], f"interpreted HOF array under Generate in: {offenders}"
