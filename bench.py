@@ -72,6 +72,9 @@ HEADLINE = [
     # new physical-plan shapes (bucket self-join; wide multi-distinct)
     "n42_minhash_banded_lsh",
     "x07_table_profile",
+    # the composed keep-list: three dedup modalities staged into one
+    # decision — the correctness-gated sibling of pipeline_corpus_prep
+    "n44_corpus_keep_list",
 ]
 
 # Fixed cross-round comparison set (VERDICT r5 #6): the full total grows

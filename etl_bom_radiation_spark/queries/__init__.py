@@ -180,6 +180,7 @@ _MODULES = [
     "profiling",
     "banded_lsh",
     "embed_clusters",
+    "keeplist",
 ]
 
 

@@ -437,3 +437,39 @@ def test_embedding_dedup_clusters_transitive_bridge(spark, tmp_path):
         4: (1, False),  # transitively clustered through the bridge
         3: (3, True),
     }
+
+
+def test_corpus_keep_list_reasons_and_precedence(spark, tmp_path):
+    """n44 semantics on a constructed corpus: each drop reason fires on its
+    own case, an identical copy reports exact_dup (precedence over the
+    same-length truncation tie), and short/unique docs keep."""
+    base = " ".join(f"a{i}" for i in range(12))           # doc 1: keeper
+    span = " ".join(f"x{i}" for i in range(8))            # shared 8-token span
+    rows = [
+        (1, base, "en", "s", 0),
+        (2, base, "en", "s", 0),                          # identical -> exact_dup
+        (3, " ".join(base.split()[:10]), "en", "s", 0),   # prefix -> truncation
+        (4, span + " t4", "en", "s", 0),                  # 2 windows, 1 dup -> substring_dup
+        (5, "z1 z2 " + span, "en", "s", 0),               # 3 windows, 1 dup -> keep
+        (6, " ".join(f"u{i}" for i in range(9)), "en", "s", 0),  # unique -> keep
+        (7, "w0 w1 w2", "en", "s", 0),                    # short: out of contract -> keep
+    ]
+    d = str(tmp_path / "fix44")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    from etl_bom_radiation_spark.queries import load_all
+
+    got = {
+        r.doc_id: (r.keep, r.reason)
+        for r in load_all()["n44_corpus_keep_list"].fn(spark, d).collect()
+    }
+    assert got == {
+        1: (1, None),
+        2: (0, "exact_dup"),
+        3: (0, "truncation"),
+        4: (0, "substring_dup"),
+        5: (1, None),
+        6: (1, None),
+        7: (1, None),
+    }
