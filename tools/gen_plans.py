@@ -59,6 +59,7 @@ NOTES = {
     "n40_mixture_temperature": "corpus never shuffles for the rates: per-source counts aggregate on the |sources|-ary key (partial combine), then the tiny rate table and 1-row normalizer BROADCAST back onto the doc rows for the pure-BIGINT keep predicate; no SortMergeJoin/ShuffledHashJoin in the plan",
     "g_zorder_cluster": "ZERO Exchange: the Morton key is 32 bit-interleave terms of codegen integer arithmetic appended to the narrow decode projection — no join, no UDF, no shuffle; the key exists to be a clustered-write sort key, so anything heavier here would be paid again by the writer's repartitionByRange",
     "n41_matryoshka_recall": "one corpus pass computes truncated and full cosine against a 1-row broadcast query vector; shortlist and rerank are TakeOrderedAndProject per-partition heaps (never a global sort/rangepartitioning of the corpus); final scalars are 1-row broadcast cross joins",
+    "n44_corpus_keep_list": "the composed keep-list: ONE checkpoint-pinned tokenization frame feeds all three staged dedup branches (digest-window survivor pick, prefix-bucket truncation join among exact survivors, window-fingerprint fraction among docs surviving both); verdict assembly is three doc-id-keyed left joins back onto the corpus ids — uniform keys, no text in any shuffle after the fingerprint projections",
 }
 
 
