@@ -108,13 +108,15 @@ def connected_components(
 
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-    id_type = vertices.schema[id_col].dataType
-    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
-        raise TypeError(
-            f"connected_components requires an integral {id_col!r} column, "
-            f"got {id_type.simpleString()}; map hash/string ids to BIGINT "
-            "(e.g. xxhash64) first"
-        )
+    _integral = (ByteType, ShortType, IntegerType, LongType)
+    for df, col in ((vertices, id_col), (edges, src_col), (edges, dst_col)):
+        t = df.schema[col].dataType
+        if not isinstance(t, _integral):
+            raise TypeError(
+                f"connected_components requires integral id columns, but "
+                f"{col!r} is {t.simpleString()}; map hash/string ids to "
+                "BIGINT (e.g. xxhash64) first"
+            )
 
     spark = vertices.sparkSession
     sc = spark.sparkContext
@@ -122,16 +124,13 @@ def connected_components(
     fs = None
     call_ns = None
     if checkpoint_dir is not None:
-        opt = sc._jsc.sc().getCheckpointDir()
-        prev_ckpt_dir = opt.get() if opt.isDefined() else None
-        from .workspace import _fs as _ws_fs
-
-        fs, _, jvm = _ws_fs(spark, checkpoint_dir)
-        # per-call namespace (ADVICE r5): concurrent calls on one context
-        # each round-checkpoint under their own uuid dir, so interleaved
-        # setCheckpointDir calls can misroute a round into the OTHER
-        # call's namespace at worst — never into a dir that call deletes
-        call_ns = f"{checkpoint_dir}/cc_{uuid4().hex}"
+        # acquire BEFORE snapshotting the global dir (code-review r6 #2):
+        # snapshotting outside the lock can capture another call's live
+        # round namespace and later "restore" the context to a directory
+        # that call has already deleted. All further setup happens inside
+        # the try so any failure still releases the lock and restores the
+        # dir via the finally.
+        _RELIABLE_CKPT_LOCK.acquire()
 
     def _pin(df: DataFrame, tag: str) -> DataFrame:
         if checkpoint_dir is None:
@@ -149,9 +148,18 @@ def connected_components(
                 True,
             )
 
-    if checkpoint_dir is not None:
-        _RELIABLE_CKPT_LOCK.acquire()
     try:
+        if checkpoint_dir is not None:
+            opt = sc._jsc.sc().getCheckpointDir()
+            prev_ckpt_dir = opt.get() if opt.isDefined() else None
+            from .workspace import _fs as _ws_fs
+
+            fs, _, jvm = _ws_fs(spark, checkpoint_dir)
+            # per-call namespace (ADVICE r5): each call round-checkpoints
+            # under its own uuid dir; with the lock serializing the whole
+            # reliable path, no other call can interleave a
+            # setCheckpointDir between this call's rounds
+            call_ns = f"{checkpoint_dir}/cc_{uuid4().hex}"
         # Checkpoint the symmetrized edge set once: it is re-joined every
         # round, and recomputing its lineage (often an expensive
         # candidate-pair generation, e.g. a SimHash self-join) per round

@@ -76,13 +76,18 @@ def utc_hours_for_sydney_partition(
 def parse_run_timestamp(filename: Column | str) -> Column:
     """Column expression: filename -> event timestamp (grammar 2).
 
-    Pure built-ins (regexp_extract + substring + make_timestamp + interval
-    arithmetic) so it stays JVM-side; NULL when no 11-digit run is present.
+    Pure built-ins (regexp_extract + substring + try_make_timestamp +
+    interval arithmetic) so it stays JVM-side; NULL when no 11-digit run
+    is present OR when the run encodes an invalid calendar date (month 13,
+    Feb 29 off-leap — try_make_timestamp instead of make_timestamp, which
+    would abort under ANSI; the reference would have crashed on such a
+    filename, here it is the same graceful no-op as a missing run, and the
+    driver-side twin returns None identically — code-review r6).
     """
     col = F.col(filename) if isinstance(filename, str) else filename
     run = F.regexp_extract(col, r"(\d{11})", 1)  # bom_partition.py:19
     run = F.when(run == "", None).otherwise(run)
-    base = F.make_timestamp(
+    base = F.try_make_timestamp(
         F.substring(run, 1, 4).cast("int"),   # bom_partition.py:20
         F.substring(run, 5, 2).cast("int"),   # :21
         F.substring(run, 7, 2).cast("int"),   # :22
@@ -100,10 +105,15 @@ def parse_run_timestamp_py(filename: str) -> datetime | None:
     Python, for per-file flows (partition registration) where launching a
     Spark job to parse one filename would be job-scheduling-bound
     (code-review r6). Parity with the Column expression is pinned in
-    tests/test_ingest.py. Returns None when no 11-digit run is present."""
+    tests/test_ingest.py. Returns None when no 11-digit run is present or
+    the run encodes an invalid calendar date (the Column twin's
+    try_make_timestamp NULL)."""
     m = re.search(r"(\d{11})", filename)
     if not m:
         return None
     run = m.group(1)
-    base = datetime(int(run[0:4]), int(run[4:6]), int(run[6:8]), 4, 0, 0)
+    try:
+        base = datetime(int(run[0:4]), int(run[4:6]), int(run[6:8]), 4, 0, 0)
+    except ValueError:
+        return None
     return base + timedelta(minutes=int(run[8:11]) * 5)

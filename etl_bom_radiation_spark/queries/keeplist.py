@@ -48,8 +48,8 @@ from pyspark.sql import functions as F
 
 from . import load_tables, register
 from .llm_queries import _DUCK_TOKENS, _tokens
-from .substring_dedup import L, STRIDE
-from .truncation import K
+from .substring_dedup import L, STRIDE  # noqa: F401 (oracle f-string uses them)
+from .truncation import K  # noqa: F401 (oracle f-string)
 
 #: substring-duplication drop threshold (fraction of duplicated windows)
 DUP_FRAC = 0.5
@@ -119,12 +119,19 @@ def n44_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact_dup > truncation > substring_dup) into one hash-checked
     decision table. One tokenization pass, checkpoint-pinned, feeds all
     three flag branches."""
+    from .substring_dedup import window_dup_counts
+    from .truncation import containment_pairs
+
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")  # n32 posture
     d = load_tables(spark, sf_dir, "documents")["documents"]
     m = d.select(
         "doc_id", F.md5("text").alias("h"), _tokens(F.col("text")).alias("ws")
     ).withColumn("n", F.size("ws")).localCheckpoint(eager=False)
 
+    # each flag frame is checkpoint-pinned: the verdict assembly joins
+    # them back onto the corpus ids, and without the barrier Spark would
+    # re-run the window/bucket-join/fingerprint subtrees once per consumer
+    # (code-review r6 — the frames are doc-id-keyed and tiny)
     exact_dup = (
         m.withColumn(
             "rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
@@ -132,63 +139,30 @@ def n44_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") > 1)
         .select("doc_id")
         .withColumn("f_exact", F.lit(1))
-    )
-
-    surv1 = m.join(exact_dup.select("doc_id"), "doc_id", "left_anti")
-    pm = surv1.filter(F.col("n") >= K).select(
-        "doc_id", "ws", "n", F.md5(F.concat_ws(" ", F.slice("ws", 1, K))).alias("pk")
-    )
-    a = pm.select(
-        F.col("pk"), F.col("doc_id").alias("da"), F.col("n").alias("na"),
-        F.col("ws").alias("wa"),
-    )
-    b = pm.select(
-        F.col("pk"), F.col("doc_id").alias("db"), F.col("n").alias("nb"),
-        F.col("ws").alias("wb"),
-    )
-    contained = (
-        a.join(b, "pk")
-        .filter(
-            (
-                (F.col("na") < F.col("nb"))
-                | ((F.col("na") == F.col("nb")) & (F.col("da") > F.col("db")))
-            )
-            & (F.slice("wb", F.lit(1), F.col("na")) == F.col("wa"))
-        )
-        .select(F.col("da").alias("doc_id"))
-        .distinct()
-        .withColumn("f_trunc", F.lit(1))
-    )
-
-    surv2 = surv1.join(contained.select("doc_id"), "doc_id", "left_anti")
-    warr = (
-        surv2.filter(F.col("n") >= L)
-        .select(
-            "doc_id",
-            F.transform(
-                F.sequence(F.lit(1), F.col("n") - L + 1, F.lit(STRIDE)),
-                lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice("ws", i, L)))),
-            ).alias("wa"),
-        )
         .localCheckpoint(eager=False)
     )
-    wins = warr.select("doc_id", F.explode("wa").alias("wh"))
-    per_pair = wins.groupBy("wh", "doc_id").agg(F.count(F.lit(1)).alias("c"))
-    nd = F.count(F.lit(1)).over(Window.partitionBy("wh"))
+
+    # stage 2 among exact survivors: the SHARED n32 core (containment_pairs)
+    surv1 = m.join(exact_dup.select("doc_id"), "doc_id", "left_anti")
+    contained = (
+        containment_pairs(surv1)
+        .select(F.col("contained").alias("doc_id"))
+        .distinct()
+        .withColumn("f_trunc", F.lit(1))
+        .localCheckpoint(eager=False)
+    )
+
+    # stage 3 among docs surviving both: the SHARED n39 core
+    surv2 = surv1.join(contained.select("doc_id"), "doc_id", "left_anti")
     sub_dup = (
-        per_pair.withColumn("nd", nd)
-        .groupBy("doc_id")
-        .agg(
-            (
-                F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).cast(
-                    "double"
-                )
-                / F.sum("c")
-            ).alias("f")
+        window_dup_counts(surv2)
+        .filter(
+            F.col("n_dup_windows").cast("double") / F.col("n_windows")
+            >= DUP_FRAC
         )
-        .filter(F.col("f") >= DUP_FRAC)
         .select("doc_id")
         .withColumn("f_sub", F.lit(1))
+        .localCheckpoint(eager=False)
     )
 
     out = (

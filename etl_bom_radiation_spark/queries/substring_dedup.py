@@ -70,6 +70,42 @@ L = 8
 STRIDE = 1
 
 
+def window_dup_counts(m: DataFrame) -> DataFrame:
+    """The n39 core as a reusable stage: given ``(doc_id, ws, n)``, return
+    per-doc ``(doc_id, n_windows, n_dup_windows)`` — window fingerprints
+    (materialize-before-explode barrier), (digest, doc) collapse,
+    digest-partitioned distinct-doc gate, per-doc fold. Shared by the
+    standalone n39 query and the composed keep-list (n44), so the window
+    arithmetic, the barrier, and the cross-doc gate can never drift
+    between them (code-review r6)."""
+    from pyspark.sql.window import Window
+
+    warr = (
+        m.filter(F.col("n") >= L)
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - L + 1, F.lit(STRIDE)),
+                lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice("ws", i, L)))),
+            ).alias("wa"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wins = warr.select("doc_id", F.explode("wa").alias("wh"))
+    per_pair = wins.groupBy("wh", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("wh"))
+    return (
+        per_pair.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+
+
 @register(
     "n39_substring_dup_spans",
     oracle=f"""
@@ -102,43 +138,15 @@ def n39_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints (narrow explode) -> (digest, doc) collapse -> per-digest
     distinct-doc count via a digest-partitioned window -> per-doc fold.
     The text is read once and never shuffles; only digests do."""
-    from pyspark.sql.window import Window
-
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    m = (
-        d.select("doc_id", _tokens(F.col("text")).alias("ws"))
-        .withColumn("n", F.size("ws"))
-        .filter(F.col("n") >= L)
+    m = d.select("doc_id", _tokens(F.col("text")).alias("ws")).withColumn(
+        "n", F.size("ws")
     )
-    # per-position window hashes: one narrow transform, then ONLY
-    # (doc_id, digest-array) survives — the single text pass. The array is
-    # MATERIALIZED before the explode (the round-6 Generate hazard: a
-    # computed HOF array under Generate re-evaluates per OUTPUT row —
-    # measured 0.77 s vs 0.09 s for this explode at sf0.1); the
-    # checkpointed frame is 16 bytes per window, not text.
-    warr = m.select(
+    return window_dup_counts(m).select(
         "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.col("n") - L + 1, F.lit(STRIDE)),
-            lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice("ws", i, L)))),
-        ).alias("wa"),
-    ).localCheckpoint(eager=False)
-    wins = warr.select("doc_id", F.explode("wa").alias("wh"))
-    # collapse within-doc repeats (rows become unique per (wh, doc_id)),
-    # keeping the position count for the final fold
-    per_pair = wins.groupBy("wh", "doc_id").agg(F.count(F.lit(1)).alias("c"))
-    # cross-document gate over the collapsed set: row count per wh IS the
-    # distinct-doc count — no join back, no second corpus scan
-    nd = F.count(F.lit(1)).over(Window.partitionBy("wh"))
-    marked = per_pair.withColumn("nd", nd)
-    return marked.groupBy("doc_id").agg(
-        F.sum("c").alias("n_windows"),
-        F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).alias(
-            "n_dup_windows"
-        ),
+        "n_windows",
+        "n_dup_windows",
         F.round(
-            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).cast("double")
-            / F.sum("c"),
-            6,
+            F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6
         ).alias("dup_fraction"),
     )

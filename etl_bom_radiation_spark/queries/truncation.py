@@ -53,6 +53,44 @@ from .llm_queries import _DUCK_TOKENS, _tokens
 K = 8
 
 
+def containment_pairs(m: DataFrame) -> DataFrame:
+    """The n32 core as a reusable stage: given ``(doc_id, ws, n)`` (token
+    arrays + counts), return the ``(contained, n_tokens, container)``
+    pairs — prefix-K digest bucket join + in-bucket slice verify,
+    min-doc_id survivor tie-break. Shared by the standalone n32 query and
+    the composed keep-list (n44), so the bucket key, the verify, and the
+    tie-break can never drift between them (code-review r6)."""
+    pm = m.filter(F.col("n") >= K).withColumn(
+        "pk", F.md5(F.concat_ws(" ", F.slice("ws", 1, K)))
+    )
+    a = pm.select(
+        F.col("pk"),
+        F.col("doc_id").alias("contained"),
+        F.col("n").alias("na"),
+        F.col("ws").alias("wa"),
+    )
+    b = pm.select(
+        F.col("pk"),
+        F.col("doc_id").alias("container"),
+        F.col("n").alias("nb"),
+        F.col("ws").alias("wb"),
+    )
+    return (
+        a.join(b, "pk")
+        .filter(
+            (
+                (F.col("na") < F.col("nb"))
+                | (
+                    (F.col("na") == F.col("nb"))
+                    & (F.col("contained") > F.col("container"))
+                )
+            )
+            & (F.slice("wb", F.lit(1), F.col("na")) == F.col("wa"))
+        )
+        .select("contained", F.col("na").alias("n_tokens"), "container")
+    )
+
+
 @register(
     "n32_truncation_dedup",
     oracle=f"""
@@ -97,37 +135,12 @@ def n32_truncation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE skew handling would silently reintroduce the hot-bucket straggler
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    m = (
-        d.select("doc_id", _tokens(F.col("text")).alias("ws"))
-        .withColumn("n", F.size("ws").cast("long"))
-        .filter(F.col("n") >= K)
-        .withColumn(
-            "pk", F.md5(F.concat_ws(" ", F.slice("ws", 1, K)))
-        )
-    )
-    a = m.select(
-        F.col("pk"),
-        F.col("doc_id").alias("contained"),
-        F.col("n").alias("na"),
-        F.col("ws").alias("wa"),
-    )
-    b = m.select(
-        F.col("pk"),
-        F.col("doc_id").alias("container"),
-        F.col("n").alias("nb"),
-        F.col("ws").alias("wb"),
-    )
-    pairs = a.join(b, "pk").filter(
-        (
-            (F.col("na") < F.col("nb"))
-            | ((F.col("na") == F.col("nb")) & (F.col("contained") > F.col("container")))
-        )
-        & (F.slice("wb", F.lit(1), F.col("na")) == F.col("wa"))
+    m = d.select("doc_id", _tokens(F.col("text")).alias("ws")).withColumn(
+        "n", F.size("ws").cast("long")
     )
     return (
-        pairs.groupBy(
-            F.col("contained").alias("doc_id"), F.col("na").alias("n_tokens")
-        )
+        containment_pairs(m)
+        .groupBy(F.col("contained").alias("doc_id"), "n_tokens")
         .agg(
             F.count(F.lit(1)).alias("n_containers"),
             F.min("container").alias("min_container"),

@@ -115,7 +115,10 @@ def _marker_path(spark: SparkSession, ws: Workspace, fq_table: str | None):
     # MSCK, or its pre-existing partitions are never discovered. A
     # table-less call keys the workspace-wide legacy marker.
     fs, _, jvm = _fs(spark, ws.base)
-    suffix = f".{fq_table.replace('.', '_')}" if fq_table else ""
+    # the fq name is used VERBATIM (dots are legal in filenames): flattening
+    # '.' to '_' would collide 'rad_a.b' with 'rad.a_b' and silently skip
+    # the second table's first-run MSCK (code-review r6 #4)
+    suffix = f".{fq_table}" if fq_table else ""
     return fs, jvm.org.apache.hadoop.fs.Path(f"{ws.base}/{MSCK_MARKER}{suffix}")
 
 

@@ -700,6 +700,8 @@ def test_parse_run_timestamp_py_matches_column_expression(spark):
         "20001231287suffix",
         "no_digits.csv",
         "short_123456789.csv",  # only 9 digits: no run
+        "bad_20171331123.csv",  # month 13: invalid date -> None/NULL
+        "bad_20170229123.csv",  # Feb 29 off-leap -> None/NULL
     ]
     df = spark.createDataFrame([(c,) for c in cases], "fname string")
     spark_side = {
