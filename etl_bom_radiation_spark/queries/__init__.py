@@ -181,6 +181,9 @@ _MODULES = [
     "banded_lsh",
     "embed_clusters",
     "keeplist",
+    "sessionize",
+    "lateral",
+    "bloom",
 ]
 
 

@@ -209,3 +209,33 @@ def test_n38_lsh_recall_fence(spark, oracle_sf_dir):
     assert row["k"] == 10 and row["corpus"] > 0
     assert row["recall_at_k"] >= 0.6, row
     assert row["scan_frac"] <= 0.45, row
+
+
+def test_bloom_prefilter_no_false_negatives(spark, oracle_sf_dir):
+    """n45 soundness: bloom membership has no false negatives, so every
+    exact true dup must be flagged — and the three reported counts must
+    be consistent (flagged = true dups + false positives) per source."""
+    rows = QS["n45_bloom_prefilter"].fn(spark, oracle_sf_dir).collect()
+    assert rows
+    assert any(r.n_true_dup > 0 for r in rows)  # the truth path is exercised
+    assert any(r.n_false_pos > 0 for r in rows)  # m=1024 makes FPs observable
+    for r in rows:
+        assert r.n_flagged == r.n_true_dup + r.n_false_pos, r
+
+
+def test_bloom_helper_and_native_bloom_agree_on_soundness(spark):
+    """The engine-neutral k/m bloom (bloom_flagged) and Spark's native
+    DataFrameStatFunctions.bloomFilter both honour the no-false-negative
+    contract over the same membership set: a digest that IS in the corpus
+    can never be rejected by either filter."""
+    from etl_bom_radiation_spark.queries.bloom import bloom_flagged
+
+    corpus = spark.range(200).selectExpr("md5(cast(id AS string)) AS digest")
+    members = spark.range(50).selectExpr(
+        "id AS doc_id", "md5(cast(id AS string)) AS digest"
+    )
+    assert bloom_flagged(corpus, members).filter("bloom_hit = 0").count() == 0
+    # this PySpark build doesn't expose DataFrameStatFunctions.bloomFilter
+    # in Python; the JVM implementation is still there — call it directly
+    bf = corpus._jdf.stat().bloomFilter("digest", 200, 0.03)
+    assert all(bf.mightContain(r.digest) for r in members.collect())

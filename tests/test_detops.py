@@ -473,3 +473,38 @@ def test_corpus_keep_list_reasons_and_precedence(spark, tmp_path):
         6: (1, None),
         7: (1, None),
     }
+
+
+def test_sessionization_gap_semantics(spark, tmp_path):
+    """x04 on a constructed timeline: a >30-min gap opens a new session,
+    an exactly-30-min gap does NOT (strict inequality), users are
+    independent."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(mins):
+        return t0 + datetime.timedelta(minutes=mins)
+
+    rows = [
+        (1, ts(0), 7, "a", 1.0, "{}"),
+        (2, ts(10), 7, "a", 2.0, "{}"),
+        (3, ts(41), 7, "a", 4.0, "{}"),  # 31 min after #2 -> new session
+        (4, ts(71), 7, "a", 8.0, "{}"),  # exactly 30 min after #3 -> same
+        (5, ts(0), 8, "b", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "fix")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.sum_value, r.end_us - r.start_us)
+        for r in load_all()["x04_sessionization"].fn(spark, d).collect()
+    }
+    assert got == {
+        (7, 1): (2, 3.0, 10 * 60 * 1_000_000),
+        (7, 2): (2, 12.0, 30 * 60 * 1_000_000),
+        (8, 1): (1, 1.0, 0),
+    }

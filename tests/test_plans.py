@@ -520,3 +520,38 @@ def test_no_declared_query_explodes_interpreted_hof_arrays(spark, oracle_sf_dir)
         if pat.search(p):
             offenders.append(name)
     assert offenders == [], f"interpreted HOF array under Generate in: {offenders}"
+
+
+def test_sessionization_single_shuffle(spark, oracle_sf_dir):
+    """x04: the lag + running-sum windows share one Exchange/Sort (same
+    partitioning + ordering), and the final session aggregate is satisfied
+    by the existing user_id hash partitioning (grouping keys are a
+    superset) — one shuffle for the whole operator."""
+    p = _plan(spark, oracle_sf_dir, "x04_sessionization")
+    plan_count(p, "Exchange", 1)
+    plan_count(p, "Window [", 2)
+    plan_count(p, "Sort [", 1)
+
+
+def test_lateral_topk_decorrelates(spark, oracle_sf_dir):
+    """q50: Catalyst must rewrite the correlated LIMIT subquery into a
+    windowed top-k + equi-join — NOT a per-outer-row nested loop. The
+    WindowGroupLimit push-down is the marker (rank evaluated map-side
+    before the shuffle)."""
+    p = _plan(spark, oracle_sf_dir, "q50_lateral_topk")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    plan_count(p, "BroadcastHashJoin", 1)
+
+
+def test_bloom_prefilter_single_corpus_scan(spark, oracle_sf_dir):
+    """n45: the probe side stays narrow through three broadcast hash
+    joins (build side <= m rows by construction), no sort-merge anywhere,
+    and the corpus parquet is scanned ONCE — the digest frame is pinned
+    and shared by the bloom build and the exact truth join."""
+    p = _plan(spark, oracle_sf_dir, "n45_bloom_prefilter")
+    assert p.count("BroadcastHashJoin") >= 4  # 3 position probes + truth
+    assert "SortMergeJoin" not in p
+    plan_count(p, "FileScan", 1)  # incoming probe only; corpus via checkpoint
+    assert "Scan ExistingRDD" in p
