@@ -75,6 +75,12 @@ HEADLINE = [
     # the composed keep-list: three dedup modalities staged into one
     # decision — the correctness-gated sibling of pipeline_corpus_prep
     "n44_corpus_keep_list",
+    # round-6 continuation: one-shuffle sessionization, decorrelated
+    # LATERAL top-k, and the bloom admission prefilter (broadcast
+    # position probes + exact FP accounting)
+    "x04_sessionization",
+    "q50_lateral_topk",
+    "n45_bloom_prefilter",
 ]
 
 # Fixed cross-round comparison set (VERDICT r5 #6): the full total grows

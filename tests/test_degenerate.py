@@ -50,6 +50,8 @@ DOC_QUERIES = [
     "n39_substring_dup_spans",
     "n40_mixture_temperature",
     "n42_minhash_banded_lsh",
+    "n44_corpus_keep_list",
+    "n45_bloom_prefilter",
 ]
 
 EVENT_ORDER_QUERIES = [
@@ -72,6 +74,7 @@ EVENT_ORDER_QUERIES = [
     "q48_struct_funcs",
     "t09_stream_stream_join",
     "x06_scd2_intervals",
+    "x04_sessionization",
 ]
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"

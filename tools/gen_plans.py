@@ -60,6 +60,9 @@ NOTES = {
     "g_zorder_cluster": "ZERO Exchange: the Morton key is 32 bit-interleave terms of codegen integer arithmetic appended to the narrow decode projection — no join, no UDF, no shuffle; the key exists to be a clustered-write sort key, so anything heavier here would be paid again by the writer's repartitionByRange",
     "n41_matryoshka_recall": "one corpus pass computes truncated and full cosine against a 1-row broadcast query vector; shortlist and rerank are TakeOrderedAndProject per-partition heaps (never a global sort/rangepartitioning of the corpus); final scalars are 1-row broadcast cross joins",
     "n44_corpus_keep_list": "the composed keep-list: ONE checkpoint-pinned tokenization frame feeds all three staged dedup branches (digest-window survivor pick, prefix-bucket truncation join among exact survivors, window-fingerprint fraction among docs surviving both); verdict assembly is three doc-id-keyed left joins back onto the corpus ids — uniform keys, no text in any shuffle after the fingerprint projections",
+    "x04_sessionization": "ONE shuffle for the whole operator: the lag and running-sum windows share one Exchange+Sort on (user_id)(ts, event_id), and the session aggregate's grouping keys are a superset of the hash partitioning, so HashAggregate runs on the window output with no second Exchange",
+    "q50_lateral_topk": "the correlated LATERAL LIMIT is DECORRELATED by Catalyst into a windowed rank — with WindowGroupLimit partial+final so each partition keeps only k rows through the sort — then a broadcast equi-join to the outer; never |outer| inner scans, no nested loop",
+    "n45_bloom_prefilter": "probe stays narrow through THREE broadcast position joins (build side <= m=1024 rows by construction, so it broadcasts at ANY corpus size); corpus parquet scanned once — the digest frame is checkpoint-pinned and shared by the bloom build and the exact truth join; one final aggregation Exchange on source",
 }
 
 
