@@ -665,6 +665,55 @@ def main() -> int:
     finally:
         shutil.rmtree(clus_dir, ignore_errors=True)
 
+    # IVF-partitioned ANN storage lever (round 6): the embeddings table
+    # persisted as hive partitions cell=N/ keyed by the n37 engine-neutral
+    # coarse quantizer, then the same exact-cosine top-k asked two ways —
+    # a full scan of the layout vs a probe whose nprobe-cell restriction
+    # is applied by Catalyst DYNAMIC PARTITION PRUNING (the probe-cell
+    # frame is never collected; the index listing is pruned at runtime).
+    # records-read is the 100-TB signal: the probe touches ~nprobe/cells
+    # of the corpus at the file-listing level, before any row group IO.
+    from etl_bom_radiation_spark.queries.llm_queries import _cosine
+    from etl_bom_radiation_spark.scale import ivf_probe_topk, write_ivf_index
+
+    ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    try:
+        write_ivf_index(spark, SF_DIR, f"{ivf_dir}/idx")
+
+        def _ann_full():
+            idx = spark.read.parquet(f"{ivf_dir}/idx")
+            q0 = idx.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv0"))
+            return (
+                idx.crossJoin(F.broadcast(q0))
+                .select(
+                    "vec_id",
+                    F.round(_cosine(F.col("v"), F.col("qv0")), 6).alias("sim"),
+                )
+                .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+                .limit(10)
+            )
+
+        def _ann_dpp():
+            return ivf_probe_topk(spark, f"{ivf_dir}/idx", SF_DIR)
+
+        timings["ann_scan_full"] = _timed_noop(_ann_full, io_name="ann_scan_full")
+        timings["ann_scan_ivf_dpp"] = _timed_noop(
+            _ann_dpp, io_name="ann_scan_ivf_dpp"
+        )
+        # the stage-delta input_records above are contaminated by AQE
+        # stage/broadcast reuse across the best-of-3 runs; record the
+        # deterministic pruning evidence instead — rows inside the probed
+        # partitions vs the whole layout (the nprobe/cells IO bound that
+        # is the lever's 100-TB payoff)
+        from etl_bom_radiation_spark.scale import ivf_probe_candidates
+
+        idx_df = spark.read.parquet(f"{ivf_dir}/idx")
+        cand_df, _ = ivf_probe_candidates(spark, f"{ivf_dir}/idx", SF_DIR)
+        io.setdefault("ann_scan_full", {})["rows_scanned"] = idx_df.count()
+        io.setdefault("ann_scan_ivf_dpp", {})["rows_scanned"] = cand_df.count()
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+
     # composed corpus-prep pipeline: the operators a training-data pipeline
     # chains (exact dedup -> token-count quality gate -> sequence packing)
     # expressed as ONE plan over ONE scan of the documents table — no

@@ -68,6 +68,59 @@ _DUCK_IDOT = (
 )
 
 
+# -- reusable quantizer stages (shared with scale.write_ivf_index /
+# scale.ivf_probe_topk, which persist the same assignment as a
+# hive-partitioned layout for dynamic-partition-pruned probes) --------------
+
+
+def base_vectors(e: DataFrame) -> DataFrame:
+    """(vec_id, v: array<double>) with NULL/empty embeddings dropped."""
+    return e.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def quantize(base: DataFrame) -> DataFrame:
+    """Integer-quantized copy: (vec_id, qv: array<bigint>), round(x*SCALE)."""
+    return base.select(
+        "vec_id",
+        F.transform("v", lambda x: F.round(x * SCALE).cast("long")).alias("qv"),
+    )
+
+
+def centroid_frame(quant: DataFrame) -> DataFrame:
+    """First-CELLS vectors as the coarse centroids: (cell, cv)."""
+    return quant.filter(F.col("vec_id") < CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("qv").alias("cv")
+    )
+
+
+def cell_scores(quant: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cell, dp): exact BIGINT inner product of every vector
+    against every centroid (the |rows| x CELLS fan-out vs a broadcast)."""
+    idot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return quant.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cell", idot.alias("dp")
+    )
+
+
+def assign_cells(scored: DataFrame) -> DataFrame:
+    """(vec_id, cell): argmax-dp assignment, ties to the lowest cell id."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("dp").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
 @register(
     "n37_ivf_recall",
     oracle=f"""
@@ -127,34 +180,11 @@ def n37_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact hash gate, plus the scanned-candidate fraction that is IVF's
     whole point at scale."""
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    base = (
-        e.filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
-        .select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        )
-    )
-    quant = base.select(
-        "vec_id",
-        F.transform("v", lambda x: F.round(x * SCALE).cast("long")).alias("qv"),
-    )
-    cent = quant.filter(F.col("vec_id") < CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("qv").alias("cv")
-    )
-    idot = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = quant.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cell", idot.alias("dp")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dp").desc(), F.col("cell").asc())
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
-    )
+    base = base_vectors(e)
+    quant = quantize(base)
+    cent = centroid_frame(quant)
+    scored = cell_scores(quant, cent)
+    assign = assign_cells(scored)
     # the probe set stays a DataFrame (4-row broadcast) — no collect()
     probe = (
         scored.filter(F.col("vec_id") == 0)

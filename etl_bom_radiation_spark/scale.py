@@ -274,3 +274,109 @@ def zorder_key_sql(
         terms.append(f"((({xi} >> {b}) & 1) << {2 * b})")
         terms.append(f"((({yi} >> {b}) & 1) << {2 * b + 1})")
     return "(" + " + ".join(terms) + ")"
+
+
+def write_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Persist the embeddings table as an IVF-partitioned layout:
+    hive partition directories ``cell=N/`` keyed by the n37 engine-neutral
+    coarse quantizer (first-CELLS centroids, exact BIGINT max-inner-product
+    assignment).
+
+    This is ANN at the STORAGE layer — the piece that makes similarity
+    search a 100-TB operation: once vectors are laid out by coarse cell, a
+    probe query's IO is bounded by the nprobe/cells fraction *at the file
+    listing level* (partition pruning), before a single row group is
+    read.  The brute-force scan (n03) stays the correctness oracle; this
+    layout is how the production query avoids reading the corpus.
+    """
+    from .queries.ivf_eval import (
+        assign_cells,
+        base_vectors,
+        cell_scores,
+        centroid_frame,
+        quantize,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = base_vectors(e)
+    quant = quantize(base)
+    scored = cell_scores(quant, centroid_frame(quant))
+    assign = assign_cells(scored)
+    base.join(assign, "vec_id").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(out_dir)
+
+
+def ivf_probe_topk(
+    spark: SparkSession,
+    index_dir: str,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    nprobe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k cosine neighbours of ``query_vec_id`` probing only its
+    ``nprobe`` best cells of an IVF-partitioned index
+    (:func:`write_ivf_index`) — with the partition restriction applied by
+    Catalyst's DYNAMIC PARTITION PRUNING, not a driver-side collect.
+
+    The probe-cell set is computed as a 1 x CELLS scoring of the query
+    vector against the centroid frame (a DataFrame, never collected);
+    joining it to the index on the partition column makes Catalyst insert
+    a ``dynamicpruning`` subquery on the index scan: the probe side runs
+    first, and the index listing is pruned to the nprobe directories at
+    runtime.  At 100 TB this is the difference between listing/reading
+    every partition and touching nprobe/cells of the corpus —
+    ``tests/test_scale.py`` asserts the pruning expression is in the plan
+    and that the pruned result equals the unpruned scan restricted to the
+    same cells.
+
+    Ranking within candidates is the exact n03 cosine (6 dp, vec_id
+    tiebreak), so pruned-vs-full disagreement can only come from cell
+    recall, never float drift.
+    """
+    from .queries.llm_queries import _cosine
+
+    cand, base = ivf_probe_candidates(
+        spark, index_dir, sf_dir, query_vec_id=query_vec_id, nprobe=nprobe
+    )
+    q0 = base.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv0")
+    )
+    ranked = cand.crossJoin(F.broadcast(q0)).select(
+        "vec_id", F.round(_cosine(F.col("v"), F.col("qv0")), 6).alias("sim")
+    )
+    return ranked.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def ivf_probe_candidates(
+    spark: SparkSession,
+    index_dir: str,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    nprobe: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """(candidates, base): the DPP-pruned index rows inside the query's
+    ``nprobe`` best cells, plus the source vector frame the probe was
+    scored from.  Split out of :func:`ivf_probe_topk` so the pruning
+    fraction itself is measurable (bench records candidate rows vs
+    layout rows)."""
+    from .queries.ivf_eval import (
+        base_vectors,
+        cell_scores,
+        centroid_frame,
+        quantize,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = base_vectors(e)
+    quant = quantize(base)
+    cent = centroid_frame(quant)
+    scored_q = cell_scores(quant.filter(F.col("vec_id") == query_vec_id), cent)
+    probe = (
+        scored_q.orderBy(F.col("dp").desc(), F.col("cell").asc())
+        .limit(nprobe)
+        .select("cell")
+    )
+    idx = spark.read.parquet(index_dir)
+    return idx.join(F.broadcast(probe), "cell"), base

@@ -333,3 +333,56 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
         F.count(F.lit(1)), F.sum("val")
     ).collect()[0]
     assert tuple(agg(lin_dir)) == tuple(agg(z_dir))
+
+
+def test_ivf_partitioned_probe_uses_dynamic_partition_pruning(spark, tmp_path, oracle_sf_dir):
+    """The IVF storage lever: probing an IVF-partitioned embedding layout
+    must (a) carry a Catalyst dynamic-partition-pruning subquery on the
+    index scan — the probe-cell frame is a DataFrame, never collected —
+    and (b) return exactly the full scan restricted to the same cells
+    (ranking is the shared exact cosine, so only the cell restriction can
+    differ)."""
+    from etl_bom_radiation_spark import scale
+    from etl_bom_radiation_spark.queries.ivf_eval import (
+        base_vectors,
+        cell_scores,
+        centroid_frame,
+        quantize,
+    )
+    from etl_bom_radiation_spark.queries.llm_queries import _cosine
+
+    idx_dir = str(tmp_path / "ivf_idx")
+    scale.write_ivf_index(spark, oracle_sf_dir, idx_dir)
+
+    pruned = scale.ivf_probe_topk(spark, idx_dir, oracle_sf_dir, nprobe=4, k=10)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+    # reference: static restriction to the SAME probe cells (test-side
+    # collect is fine here), same exact ranking expression
+    e = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet")
+    base = base_vectors(e)
+    quant = quantize(base)
+    scored_q = cell_scores(quant.filter(F.col("vec_id") == 0), centroid_frame(quant))
+    cells = [
+        r.cell
+        for r in scored_q.orderBy(F.col("dp").desc(), F.col("cell").asc())
+        .limit(4)
+        .collect()
+    ]
+    idx = spark.read.parquet(idx_dir)
+    q0 = base.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv0"))
+    want = (
+        idx.filter(F.col("cell").isin(cells))
+        .crossJoin(F.broadcast(q0))
+        .select("vec_id", F.round(_cosine(F.col("v"), F.col("qv0")), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    )
+    got = pruned.collect()
+    assert [(r.vec_id, r.sim) for r in got] == [(r.vec_id, r.sim) for r in want]
+    # the probe really is sub-linear: candidate cells hold less than half
+    # the corpus at nprobe=4 of 16 cells
+    n_cand = idx.filter(F.col("cell").isin(cells)).count()
+    assert 0 < n_cand < idx.count() / 2
