@@ -81,6 +81,9 @@ HEADLINE = [
     "x04_sessionization",
     "q50_lateral_topk",
     "n45_bloom_prefilter",
+    # recursive CTE: a regression that drags the fact scan inside the
+    # driver-coordinated loop must show as wall time (7 levels, sub-second)
+    "q51_recursive_cte",
 ]
 
 # Fixed cross-round comparison set (VERDICT r5 #6): the full total grows

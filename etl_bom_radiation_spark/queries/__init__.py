@@ -184,6 +184,7 @@ _MODULES = [
     "sessionize",
     "lateral",
     "bloom",
+    "recursive_cte",
 ]
 
 

@@ -555,3 +555,14 @@ def test_bloom_prefilter_single_corpus_scan(spark, oracle_sf_dir):
     assert "SortMergeJoin" not in p
     plan_count(p, "FileScan", 1)  # incoming probe only; corpus via checkpoint
     assert "Scan ExistingRDD" in p
+
+
+def test_recursive_cte_loops_spine_not_fact(spark, oracle_sf_dir):
+    """q51: the recursion executes as a UnionLoop whose working frame is
+    the 1-row-per-level spine; the orders fact is scanned ONCE outside
+    the loop and joined broadcast — a recursion that re-scanned the fact
+    per level would serialize the cluster behind the driver loop."""
+    p = _plan(spark, oracle_sf_dir, "q51_recursive_cte")
+    assert "UnionLoop" in p
+    plan_count(p, "FileScan", 1)
+    assert "SortMergeJoin" not in p
