@@ -174,6 +174,24 @@ SKEW_SPLIT_CONF = {
     "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
 }
 
+#: Runtime row-level Bloom join (the Catalyst sibling of the n45 admission
+#: bloom): for a shuffle join whose build side is small and SELECTIVELY
+#: FILTERED, the optimizer seeds a bloom_filter_agg subquery from the build
+#: side and pushes ``might_contain(bloom, xxhash64(key))`` onto the probe
+#: side's SCAN — probe rows that cannot join are dropped before the
+#: shuffle, which at 100 TB is the difference between shuffling the whole
+#: fact table and shuffling the matching sliver.  The defaults only arm
+#: the rewrite when the probe scan exceeds 10 GB
+#: (``applicationSideScanSizeThreshold``) — i.e. exactly the production
+#: regime; this bundle scales the decision down to fixture size so the
+#: mechanism is exercised, not assumed (``tests/test_scale.py`` asserts
+#: the might_contain filter is in the plan and the result is unchanged).
+RUNTIME_BLOOM_CONF = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",  # broadcast would bypass it
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+}
+
 
 def gen_skewed_documents(
     spark: SparkSession,

@@ -386,3 +386,38 @@ def test_ivf_partitioned_probe_uses_dynamic_partition_pruning(spark, tmp_path, o
     # the corpus at nprobe=4 of 16 cells
     n_cand = idx.filter(F.col("cell").isin(cells)).count()
     assert 0 < n_cand < idx.count() / 2
+
+
+def test_runtime_bloom_filter_join_lever(spark, oracle_sf_dir):
+    """RUNTIME_BLOOM_CONF makes Catalyst seed a bloom filter from the
+    selective build side of a shuffle join and push might_contain onto
+    the probe scan — probe rows that cannot join die before the shuffle.
+    Asserts the rewrite actually fires and does not change the result."""
+
+    def _join():
+        li = spark.read.parquet(f"{oracle_sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{oracle_sf_dir}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        return (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    want = {(r.o_orderpriority, r.n) for r in _join().collect()}
+    prev = {k: spark.conf.get(k, None) for k in scale.RUNTIME_BLOOM_CONF}
+    try:
+        for k, v in scale.RUNTIME_BLOOM_CONF.items():
+            spark.conf.set(k, v)
+        j = _join()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan
+        got = {(r.o_orderpriority, r.n) for r in j.collect()}
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got == want
