@@ -260,3 +260,79 @@ def test_tempering_integer_inequality_matches_rational_rate(counts, u24):
         assert keep_int == keep_rational
         if rate >= 1:
             assert keep_int  # the cap: rare sources keep everything
+
+
+# --------------------------------------------------- sessionization (x04)
+
+
+def _py_sessions(offsets_by_user):
+    """Independent Python fold of the x04 contract: per user, order events
+    by (minute offset, event id); a session break is a STRICTLY >30-min
+    gap; return {(user, seq): (n_events, start_min, end_min)}."""
+    out = {}
+    for user, offs in offsets_by_user.items():
+        ordered = sorted((m, i) for i, m in offs)
+        seq, prev = 0, None
+        for m, _ in ordered:
+            if prev is None or (m - prev) > 30:
+                seq += 1
+                out[(user, seq)] = [0, m, m]
+            row = out[(user, seq)]
+            row[0] += 1
+            row[2] = m
+            prev = m
+    return {k: tuple(v) for k, v in out.items()}
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.dictionaries(
+        keys=st.integers(min_value=1, max_value=4),  # users
+        values=st.lists(
+            st.integers(min_value=0, max_value=300),  # minute offsets
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_sessionization_matches_python_fold(spark, tmp_path_factory, data):
+    """x04 against an independent fold for ANY small timeline — including
+    duplicate timestamps (event_id tiebreak) and exact-30-min gaps
+    (strict inequality keeps them in-session)."""
+    import datetime
+
+    from etl_bom_radiation_spark.queries import load_all
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows, offsets_by_user = [], {}
+    eid = 0
+    for user, offs in sorted(data.items()):
+        per_user = []
+        for m in offs:
+            rows.append(
+                (eid, t0 + datetime.timedelta(minutes=m), user, "e", 1.0, "{}")
+            )
+            per_user.append((eid, m))
+            eid += 1
+        offsets_by_user[user] = per_user
+    d = str(tmp_path_factory.mktemp("sess"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    got = {
+        (r.user_id, r.session_seq): (
+            r.n_events,
+            (r.start_us - int(t0.timestamp()) * 1_000_000) // 60_000_000,
+            (r.end_us - int(t0.timestamp()) * 1_000_000) // 60_000_000,
+        )
+        for r in load_all()["x04_sessionization"].fn(spark, d).collect()
+    }
+    assert got == _py_sessions(offsets_by_user)

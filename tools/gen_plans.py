@@ -63,6 +63,7 @@ NOTES = {
     "x04_sessionization": "ONE shuffle for the whole operator: the lag and running-sum windows share one Exchange+Sort on (user_id)(ts, event_id), and the session aggregate's grouping keys are a superset of the hash partitioning, so HashAggregate runs on the window output with no second Exchange",
     "q50_lateral_topk": "the correlated LATERAL LIMIT is DECORRELATED by Catalyst into a windowed rank — with WindowGroupLimit partial+final so each partition keeps only k rows through the sort — then a broadcast equi-join to the outer; never |outer| inner scans, no nested loop",
     "n45_bloom_prefilter": "probe stays narrow through THREE broadcast position joins (build side <= m=1024 rows by construction, so it broadcasts at ANY corpus size); corpus parquet scanned once — the digest frame is checkpoint-pinned and shared by the bloom build and the exact truth join; one final aggregation Exchange on source",
+    "q51_recursive_cte": "Spark 4 UnionLoop: the recursion's working frame is ONE row per level (7 year levels), months expand non-recursively, and the orders fact is scanned ONCE outside the loop and joined broadcast — a recursion whose working set scaled with the fact would serialize the cluster behind the per-level driver loop",
 }
 
 
