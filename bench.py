@@ -676,25 +676,16 @@ def main() -> int:
     # frame is never collected; the index listing is pruned at runtime).
     # records-read is the 100-TB signal: the probe touches ~nprobe/cells
     # of the corpus at the file-listing level, before any row group IO.
-    from etl_bom_radiation_spark.queries.llm_queries import _cosine
     from etl_bom_radiation_spark.scale import ivf_probe_topk, write_ivf_index
 
     ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
     try:
         write_ivf_index(spark, SF_DIR, f"{ivf_dir}/idx")
 
+        # nprobe=None ranks the FULL layout through the same function, so
+        # both entries share one ranking expression by construction
         def _ann_full():
-            idx = spark.read.parquet(f"{ivf_dir}/idx")
-            q0 = idx.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv0"))
-            return (
-                idx.crossJoin(F.broadcast(q0))
-                .select(
-                    "vec_id",
-                    F.round(_cosine(F.col("v"), F.col("qv0")), 6).alias("sim"),
-                )
-                .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-                .limit(10)
-            )
+            return ivf_probe_topk(spark, f"{ivf_dir}/idx", SF_DIR, nprobe=None)
 
         def _ann_dpp():
             return ivf_probe_topk(spark, f"{ivf_dir}/idx", SF_DIR)

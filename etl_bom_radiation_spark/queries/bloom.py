@@ -160,7 +160,9 @@ def n45_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = bloom_flagged(corpus, incoming)
     # NOT broadcast-hinted: at corpus scale this truth join IS the n31
     # anti-join the bloom exists to prefilter — the measurement query
-    # keeps it a plain equi-join (AQE broadcasts it at fixture size).
+    # keeps it a plain equi-join (at fixture size Catalyst already
+    # broadcasts the checkpointed digest frame at static planning, which
+    # is what the >=4-BroadcastHashJoin plan assert observes).
     truth = corpus.select("digest").distinct().withColumn("tone", F.lit(1))
     verified = flagged.join(truth, "digest", "left").withColumn(
         "true_dup", F.col("tone").isNotNull().cast("int")

@@ -39,18 +39,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import register, register_views
 
-#: year levels 0..6 -> 1992 .. 1998 (the TPC-H order-date span).  Each
-#: recursion level is one driver-coordinated job, so the recursion runs
-#: at YEAR granularity (7 levels) and the 12 months per year expand
-#: non-recursively — same 84-row spine as an 84-level month ladder at
-#: ~1/8th the loop latency (measured 6.3 s -> sub-second per run).
-_LEVELS = 6
+#: maximum year-level INDEX: y runs 0..6 inclusive -> 7 recursion levels,
+#: 1992..1998 (the TPC-H order-date span).  Each recursion level is one
+#: driver-coordinated job, so the recursion runs at YEAR granularity and
+#: the 12 months per year expand non-recursively — same 84-row spine as
+#: an 84-level month ladder at ~1/8th the loop latency (measured 6.3 s
+#: -> sub-second per run).
+_MAX_LEVEL = 6
 
 _BODY = f"""
 WITH RECURSIVE yi(y) AS (
   SELECT 0
   UNION ALL
-  SELECT y + 1 FROM yi WHERE y < {_LEVELS}
+  SELECT y + 1 FROM yi WHERE y < {_MAX_LEVEL}
 ),
 months AS (
   SELECT make_date(1992 + y, mth, 1) AS ms

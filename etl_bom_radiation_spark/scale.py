@@ -318,11 +318,18 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     base = base_vectors(e)
     quant = quantize(base)
-    scored = cell_scores(quant, centroid_frame(quant))
+    cent = centroid_frame(quant)
+    scored = cell_scores(quant, cent)
     assign = assign_cells(scored)
     base.join(assign, "vec_id").write.partitionBy("cell").mode(
         "overwrite"
     ).parquet(out_dir)
+    # persist the <=CELLS-row centroid frame WITH the index (an
+    # underscore-prefixed path, so table readers of out_dir skip it):
+    # probes must not re-derive centroids from the raw corpus — that scan
+    # is exactly the IO the partitioned layout exists to avoid
+    # (code-review r6 continuation).
+    cent.write.mode("overwrite").parquet(f"{out_dir}/_centroids")
 
 
 def ivf_probe_topk(
@@ -330,7 +337,7 @@ def ivf_probe_topk(
     index_dir: str,
     sf_dir: str,
     query_vec_id: int = 0,
-    nprobe: int = 4,
+    nprobe: int | None = 4,
     k: int = 10,
 ) -> DataFrame:
     """Top-k cosine neighbours of ``query_vec_id`` probing only its
@@ -339,7 +346,9 @@ def ivf_probe_topk(
     Catalyst's DYNAMIC PARTITION PRUNING, not a driver-side collect.
 
     The probe-cell set is computed as a 1 x CELLS scoring of the query
-    vector against the centroid frame (a DataFrame, never collected);
+    vector against the PERSISTED centroid frame (``_centroids`` beside
+    the index — probes never re-derive centroids from the raw corpus;
+    the only source-table read is the one pushed-filter query row);
     joining it to the index on the partition column makes Catalyst insert
     a ``dynamicpruning`` subquery on the index scan: the probe side runs
     first, and the index listing is pruned to the nprobe directories at
@@ -349,18 +358,19 @@ def ivf_probe_topk(
     and that the pruned result equals the unpruned scan restricted to the
     same cells.
 
-    Ranking within candidates is the exact n03 cosine (6 dp, vec_id
-    tiebreak), so pruned-vs-full disagreement can only come from cell
-    recall, never float drift.
+    ``nprobe=None`` skips the pruning and ranks the FULL layout — the
+    brute-force baseline, kept in the same function so lever comparisons
+    (bench ``ann_scan_full`` vs ``ann_scan_ivf_dpp``) share one ranking
+    expression (the exact n03 cosine, 6 dp, vec_id tiebreak) and
+    pruned-vs-full disagreement can only come from cell recall, never
+    float drift.
     """
     from .queries.llm_queries import _cosine
 
-    cand, base = ivf_probe_candidates(
+    cand, q_row = ivf_probe_candidates(
         spark, index_dir, sf_dir, query_vec_id=query_vec_id, nprobe=nprobe
     )
-    q0 = base.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("v").alias("qv0")
-    )
+    q0 = q_row.select(F.col("v").alias("qv0"))
     ranked = cand.crossJoin(F.broadcast(q0)).select(
         "vec_id", F.round(_cosine(F.col("v"), F.col("qv0")), 6).alias("sim")
     )
@@ -372,29 +382,27 @@ def ivf_probe_candidates(
     index_dir: str,
     sf_dir: str,
     query_vec_id: int = 0,
-    nprobe: int = 4,
+    nprobe: int | None = 4,
 ) -> tuple[DataFrame, DataFrame]:
-    """(candidates, base): the DPP-pruned index rows inside the query's
-    ``nprobe`` best cells, plus the source vector frame the probe was
-    scored from.  Split out of :func:`ivf_probe_topk` so the pruning
+    """(candidates, query_row): the DPP-pruned index rows inside the
+    query's ``nprobe`` best cells (the whole layout when ``nprobe`` is
+    None), plus the single source query-vector row (vec_id, v) the probe
+    was scored from.  Split out of :func:`ivf_probe_topk` so the pruning
     fraction itself is measurable (bench records candidate rows vs
     layout rows)."""
-    from .queries.ivf_eval import (
-        base_vectors,
-        cell_scores,
-        centroid_frame,
-        quantize,
-    )
+    from .queries.ivf_eval import base_vectors, cell_scores, quantize
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    base = base_vectors(e)
-    quant = quantize(base)
-    cent = centroid_frame(quant)
-    scored_q = cell_scores(quant.filter(F.col("vec_id") == query_vec_id), cent)
+    # pushed-filter single-row read — NOT base_vectors over the corpus
+    q_row = base_vectors(e.filter(F.col("vec_id") == query_vec_id))
+    idx = spark.read.parquet(index_dir)
+    if nprobe is None:
+        return idx, q_row
+    cent = spark.read.parquet(f"{index_dir}/_centroids")
+    scored_q = cell_scores(quantize(q_row), cent)
     probe = (
         scored_q.orderBy(F.col("dp").desc(), F.col("cell").asc())
         .limit(nprobe)
         .select("cell")
     )
-    idx = spark.read.parquet(index_dir)
-    return idx.join(F.broadcast(probe), "cell"), base
+    return idx.join(F.broadcast(probe), "cell"), q_row

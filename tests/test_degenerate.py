@@ -75,6 +75,8 @@ EVENT_ORDER_QUERIES = [
     "t09_stream_stream_join",
     "x06_scd2_intervals",
     "x04_sessionization",
+    # NULL o_orderdate (weird) and a zero-row fact under UnionLoop (empty)
+    "q51_recursive_cte",
 ]
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
