@@ -84,6 +84,9 @@ HEADLINE = [
     # recursive CTE: a regression that drags the fact scan inside the
     # driver-coordinated loop must show as wall time (7 levels, sub-second)
     "q51_recursive_cte",
+    # rolling distinct actives: the contribute-then-dedup shape (a
+    # regression to a day x window self-join would multiply wall time)
+    "x08_rolling_dau",
 ]
 
 # Fixed cross-round comparison set (VERDICT r5 #6): the full total grows

@@ -185,6 +185,7 @@ _MODULES = [
     "lateral",
     "bloom",
     "recursive_cte",
+    "rolling",
 ]
 
 

@@ -77,6 +77,7 @@ EVENT_ORDER_QUERIES = [
     "x04_sessionization",
     # NULL o_orderdate (weird) and a zero-row fact under UnionLoop (empty)
     "q51_recursive_cte",
+    "x08_rolling_dau",
 ]
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"

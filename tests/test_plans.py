@@ -566,3 +566,15 @@ def test_recursive_cte_loops_spine_not_fact(spark, oracle_sf_dir):
     assert "UnionLoop" in p
     plan_count(p, "FileScan", 1)
     assert "SortMergeJoin" not in p
+
+
+def test_rolling_dau_single_fact_pass(spark, oracle_sf_dir):
+    """x08: contribute-then-dedup — the fact is read ONCE (the distinct
+    (user, day) frame is checkpoint-pinned and feeds both the explode
+    branch and the bounds aggregate), both big shuffles key on uniform
+    pairs, and there is no day x window self-join of the fact."""
+    p = _plan(spark, oracle_sf_dir, "x08_rolling_dau")
+    plan_count(p, "FileScan", 0)  # fact read inside the pinned frame
+    assert "Scan ExistingRDD" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
