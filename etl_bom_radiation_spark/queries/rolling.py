@@ -103,3 +103,52 @@ def x08_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("active_users_7d"),
         )
     )
+
+
+@register("x09_rolling_dau_hll", oracle=None)
+def x09_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 (extension): the PRODUCTION form of x08 for wide windows —
+    per-day HLL sketches (``hll_sketch_agg``) unioned across each 7-day
+    window (``hll_union_agg`` → ``hll_sketch_estimate``).
+
+    Why this exists next to the exact x08: x08's |window|x inflation is
+    of (user, day) PAIRS — fine at 7 days, punitive at 90-day MAU over
+    billions of users.  Sketches change the unit: the fact collapses to
+    ONE ~KB sketch per day in a single pass, and each window unions
+    |window| sketches — the rolled-up state is |days| x KB regardless of
+    user cardinality, and sketches are mergeable across any regrouping
+    (the q17 approximate contract, upgraded from a scalar estimate to a
+    mergeable aggregate).  Same contribute-explode shape as x08, applied
+    to day-sketches instead of pairs.
+
+    Rows-only by contract: the sketch binary and its estimate are
+    JVM-internal (DataSketches HLL), so no DuckDB oracle —
+    ``tests/test_approx_ops.py`` fences the estimate against x08's exact
+    counts per window-day instead.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+        .localCheckpoint(eager=False)  # feeds contrib AND the bounds agg
+    )
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), WINDOW_DAYS - 1))
+        ).alias("wday"),
+        "sk",
+    )
+    counts = contrib.groupBy("wday").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("bigint")
+        .alias("n")
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("wday")
+    )
+    return spine.join(counts, "wday", "left").select(
+        F.date_format("wday", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("approx_users_7d"),
+    )

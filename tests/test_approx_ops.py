@@ -239,3 +239,23 @@ def test_bloom_helper_and_native_bloom_agree_on_soundness(spark):
     # in Python; the JVM implementation is still there — call it directly
     bf = corpus._jdf.stat().bloomFilter("digest", 200, 0.03)
     assert all(bf.mightContain(r.digest) for r in members.collect())
+
+
+def test_rolling_dau_hll_tracks_exact(spark, oracle_sf_dir):
+    """x09's HLL rolling actives must track x08's exact counts within
+    HLL's standard-error envelope (lgK=12 default ≈ 1.6% σ; gate at 5%)
+    on every window-day."""
+    exact = {
+        r.day: r.active_users_7d
+        for r in QS["x08_rolling_dau"].fn(spark, oracle_sf_dir).collect()
+    }
+    approx = {
+        r.day: r.approx_users_7d
+        for r in QS["x09_rolling_dau_hll"].fn(spark, oracle_sf_dir).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for day, n in exact.items():
+        if n == 0:
+            assert approx[day] == 0, day
+        else:
+            assert abs(approx[day] - n) / n <= 0.05, (day, approx[day], n)

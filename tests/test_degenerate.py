@@ -78,6 +78,7 @@ EVENT_ORDER_QUERIES = [
     # NULL o_orderdate (weird) and a zero-row fact under UnionLoop (empty)
     "q51_recursive_cte",
     "x08_rolling_dau",
+    "x09_rolling_dau_hll",
 ]
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
