@@ -508,3 +508,18 @@ def test_sessionization_gap_semantics(spark, tmp_path):
         (7, 2): (2, 12.0, 30 * 60 * 1_000_000),
         (8, 1): (1, 1.0, 0),
     }
+
+
+def test_sessionization_batch_matches_native_session_window(spark, sf_dir):
+    """x04 (lag + running-sum windows) and t04 (native F.session_window)
+    define the SAME sessions — including the exactly-30-min gap, which
+    both keep in-session (native probed directly: two events 30 min
+    apart -> one session window). Per-user (session count, event-count
+    multiset) must agree on the real events fixture."""
+    from collections import Counter
+
+    x = load_all()["x04_sessionization"].fn(spark, sf_dir).collect()
+    t = load_all()["t04_session_window"].fn(spark, sf_dir).collect()
+    assert Counter((r.user_id, r.n_events) for r in x) == Counter(
+        (r.user_id, r.n_events) for r in t
+    )
