@@ -747,6 +747,31 @@ def main() -> int:
         _corpus_prep, io_name="pipeline_corpus_prep"
     )
 
+    # composed events pipeline: sessionization -> per-day session metrics
+    # as ONE plan (the x04 session aggregate rides its single user_id
+    # shuffle; the day rollup reshuffles only the collapsed session set,
+    # never the event fact) — the events-side sibling of
+    # pipeline_corpus_prep.
+    def _session_metrics():
+        s = qs["x04_sessionization"](spark, SF_DIR)
+        return (
+            s.withColumn(
+                "day", F.to_date(F.timestamp_micros(F.col("start_us")))
+            )
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n_sessions"),
+                F.round(F.avg("n_events"), 4).alias("avg_events"),
+                F.round(
+                    F.avg((F.col("end_us") - F.col("start_us")) / 1e6), 4
+                ).alias("avg_duration_s"),
+            )
+        )
+
+    timings["pipeline_session_metrics"] = _timed_noop(
+        _session_metrics, io_name="pipeline_session_metrics"
+    )
+
     total = round(sum(timings.values()), 3)
     # frozen 15-entry basket: the one number comparable across rounds
     common_total = round(sum(timings[n] for n in COMMON_SET if n in timings), 3)

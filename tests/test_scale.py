@@ -421,3 +421,30 @@ def test_runtime_bloom_filter_join_lever(spark, oracle_sf_dir):
             else:
                 spark.conf.set(k, v)
     assert got == want
+
+
+def test_concurrent_declared_queries_share_one_session(spark, oracle_sf_dir):
+    """Operational contract: one SparkSession serves concurrent declared
+    queries from multiple threads (the shared-driver reality of a
+    production cluster) with results identical to serial runs — catches
+    any hidden per-query global state (temp-view clobbering, conf races)
+    in the registry machinery."""
+    import concurrent.futures
+
+    from etl_bom_radiation_spark.queries import load_all
+
+    qs = load_all()
+    names = [
+        "q14_groupby_agg",
+        "q05_inner_join",
+        "n05_text_stats",
+        "x04_sessionization",
+    ]
+    serial = {n: qs[n].fn(spark, oracle_sf_dir).count() for n in names}
+    with concurrent.futures.ThreadPoolExecutor(len(names)) as ex:
+        futures = {
+            n: ex.submit(lambda n=n: qs[n].fn(spark, oracle_sf_dir).count())
+            for n in names
+        }
+        parallel = {n: f.result() for n, f in futures.items()}
+    assert parallel == serial
