@@ -224,3 +224,61 @@ def test_everything_tolerates_empty_tables(spark, empty_dir):
             "n41_matryoshka_recall", "n43_embedding_dedup_clusters",
         ],
     )
+
+
+def test_text_oracles_agree_on_unicode_corpus(spark, tmp_path_factory):
+    """Unicode parity net: the sf fixtures are ASCII, so the driver's
+    hash gate has never exercised multibyte text — but a future testdata
+    regeneration could. Pin Spark==DuckDB on accents, CJK, emoji and ß
+    for the text family (char-length semantics, lower(), regexp token
+    splits, md5-of-UTF8 — each a place the two engines could plausibly
+    diverge)."""
+    import math
+
+    import duckdb
+
+    d = str(tmp_path_factory.mktemp("unicode"))
+    rows = [
+        (1, "héllo wörld héllo wörld naïve café", "fr", "src1", 34),
+        (2, "日本語 テキスト 処理 日本語 テキスト", "ja", "src2", 18),
+        (3, "emoji 🙂 test 🙂🙂 done", "en", "src1", 20),
+        (4, "mixed ASCII and 中文 words 中文 again", "zh", "src2", 33),
+        (5, "ümlaut Über straße ß test", "de", "src1", 25),
+    ]
+    spark.createDataFrame(rows, DOC_SCHEMA).write.parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+
+    def _norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        if len(df):
+            df = df.sort_values(
+                by=list(df.columns), kind="mergesort", na_position="last"
+            )
+        return df.reset_index(drop=True)
+
+    names = [
+        "n05_text_stats", "n06_normalization", "n13_token_count",
+        "n10_fingerprint", "n09_lang_id", "n21_vocab_topk",
+        "n01_exact_dedup", "n45_bloom_prefilter",
+    ]
+    for name in names:
+        got = _norm(QS[name].fn(spark, d).toPandas())
+        want = _norm(con.execute(QS[name].oracle).df())
+        assert list(got.columns) == list(want.columns), name
+        assert len(got) == len(want), (name, len(got), len(want))
+        for c in got.columns:
+            for a, b in zip(got[c].tolist(), want[c].tolist()):
+                if a is None and b is None:
+                    continue
+                if (
+                    isinstance(a, float)
+                    and isinstance(b, float)
+                    and math.isnan(a)
+                    and math.isnan(b)
+                ):
+                    continue
+                assert a == b, (name, c, a, b)
