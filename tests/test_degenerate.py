@@ -244,6 +244,8 @@ def test_text_oracles_agree_on_unicode_corpus(spark, tmp_path_factory):
         (3, "emoji 🙂 test 🙂🙂 done", "en", "src1", 20),
         (4, "mixed ASCII and 中文 words 中文 again", "zh", "src2", 33),
         (5, "ümlaut Über straße ß test", "de", "src1", 25),
+        # exact duplicate of doc 1 so the dedup paths have real work
+        (6, "héllo wörld héllo wörld naïve café", "fr", "src2", 34),
     ]
     spark.createDataFrame(rows, DOC_SCHEMA).write.parquet(f"{d}/documents.parquet")
     con = duckdb.connect()
@@ -264,6 +266,12 @@ def test_text_oracles_agree_on_unicode_corpus(spark, tmp_path_factory):
         "n05_text_stats", "n06_normalization", "n13_token_count",
         "n10_fingerprint", "n09_lang_id", "n21_vocab_topk",
         "n01_exact_dedup", "n45_bloom_prefilter",
+        # the shingle/hash family: _tokens/_shingles/polyhash over
+        # multibyte text, verified to the same bit on both engines
+        "n12_ngram_jaccard", "n22_tfidf_topterms", "n29_boilerplate_share",
+        "n39_substring_dup_spans", "n44_corpus_keep_list",
+        "n36_minhash_estimate", "n42_minhash_banded_lsh", "n11_simhash",
+        "n19_repetition_stats", "n26_chunk_dedup",
     ]
     for name in names:
         got = _norm(QS[name].fn(spark, d).toPandas())
