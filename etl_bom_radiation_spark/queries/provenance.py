@@ -100,3 +100,49 @@ def n35_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared_prefixes"))
     )
+
+
+@register("n46_source_overlap_theta", oracle=None)
+def n46_source_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N46 (extension): the SKETCH form of n35 — per-source theta
+    sketches of the same prefix-K content fingerprints, pairwise
+    ``theta_intersection`` estimates of the shared-fingerprint counts.
+
+    Why it exists next to the exact n35: n35's distinct-collapse is one
+    corpus-scale shuffle, and every new source pair re-asks the join.
+    Theta sketches change the cost model — the fact collapses to ONE
+    bounded-size (KB) sketch per source in a single pass with map-side
+    partial sketches, and the overlap of ANY pair (or union of any
+    subset — theta supports set algebra, unlike HLL) is a post-hoc merge
+    of two sketches: |sources|^2 tiny merges instead of a corpus join.
+    At 100 TB that means provenance questions become metadata-sized
+    after one pass over the text.
+
+    Rows-only by contract (the DataSketches theta binary is
+    JVM-internal): ``tests/test_approx_ops.py`` fences every pair's
+    estimate against n35's exact counts — below the sketch's nominal
+    entries (k=4096) theta is EXACT, so the fence is equality at fixture
+    scale, not a tolerance band.
+    """
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    t = d.filter(F.col("source").isNotNull()).select(
+        "source", _tokens(F.col("text")).alias("ws")
+    )
+    fp = t.filter(F.size("ws") >= K).select(
+        F.md5(F.concat_ws(" ", F.slice("ws", 1, K))).alias("h"), "source"
+    )
+    sk = fp.groupBy("source").agg(F.expr("theta_sketch_agg(h)").alias("sk"))
+    a = sk.select(F.col("source").alias("source_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("source").alias("source_b"), F.col("sk").alias("sk_b"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.expr(
+                "CAST(round(theta_sketch_estimate("
+                "theta_intersection(sk_a, sk_b))) AS BIGINT)"
+            ).alias("approx_shared"),
+        )
+    )

@@ -259,3 +259,21 @@ def test_rolling_dau_hll_tracks_exact(spark, oracle_sf_dir):
             assert approx[day] == 0, day
         else:
             assert abs(approx[day] - n) / n <= 0.05, (day, approx[day], n)
+
+
+def test_theta_source_overlap_matches_exact_matrix(spark, oracle_sf_dir):
+    """n46's theta-sketch overlap estimates vs n35's exact shared counts:
+    below the sketch's nominal entries theta is exact, so every pair
+    present in n35 must match exactly and every absent pair must
+    estimate 0."""
+    exact = {
+        (r.source_a, r.source_b): r.shared_prefixes
+        for r in QS["n35_source_dup_matrix"].fn(spark, oracle_sf_dir).collect()
+    }
+    approx = {
+        (r.source_a, r.source_b): r.approx_shared
+        for r in QS["n46_source_overlap_theta"].fn(spark, oracle_sf_dir).collect()
+    }
+    assert exact and len(approx) > len(exact)  # n46 reports all pairs
+    for pair, n in approx.items():
+        assert n == exact.get(pair, 0), (pair, n, exact.get(pair, 0))

@@ -52,6 +52,7 @@ DOC_QUERIES = [
     "n42_minhash_banded_lsh",
     "n44_corpus_keep_list",
     "n45_bloom_prefilter",
+    "n46_source_overlap_theta",
 ]
 
 EVENT_ORDER_QUERIES = [
