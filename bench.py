@@ -87,6 +87,11 @@ HEADLINE = [
     # rolling distinct actives: the contribute-then-dedup shape (a
     # regression to a day x window self-join would multiply wall time)
     "x08_rolling_dau",
+    # the sketch family additions: day-HLL window unions and per-source
+    # theta merges (both collapse the fact in one pass; wall time guards
+    # the sketch-agg + merge shapes)
+    "x09_rolling_dau_hll",
+    "n46_source_overlap_theta",
 ]
 
 # Fixed cross-round comparison set (VERDICT r5 #6): the full total grows

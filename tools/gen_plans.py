@@ -64,6 +64,9 @@ NOTES = {
     "q50_lateral_topk": "the correlated LATERAL LIMIT is DECORRELATED by Catalyst into a windowed rank — with WindowGroupLimit partial+final so each partition keeps only k rows through the sort — then a broadcast equi-join to the outer; never |outer| inner scans, no nested loop",
     "n45_bloom_prefilter": "probe stays narrow through THREE broadcast position joins (build side <= m=1024 rows by construction, so it broadcasts at ANY corpus size); corpus parquet scanned once — the digest frame is checkpoint-pinned and shared by the bloom build and the exact truth join; one final aggregation Exchange on source",
     "q51_recursive_cte": "Spark 4 UnionLoop: the recursion's working frame is ONE row per level (7 year levels), months expand non-recursively, and the orders fact is scanned ONCE outside the loop and joined broadcast — a recursion whose working set scaled with the fact would serialize the cluster behind the per-level driver loop",
+    "x08_rolling_dau": "sliding COUNT DISTINCT as contribute-then-dedup: the fact collapses to the checkpoint-pinned DISTINCT (user, day) frame (read once — it feeds both the window explode and the bounds aggregate), the |window|x inflation applies to that collapsed set, both big shuffles key on uniform pairs, and the day rollup + spine join touch only |days|-sized frames",
+    "x09_rolling_dau_hll": "the wide-window production form: ONE fact pass builds per-day HLL sketches (map-side partial sketch merge), the window union merges |days| x window KB-sized sketches — state independent of user cardinality; rows-only by contract, error-fenced against x08",
+    "n46_source_overlap_theta": "per-source theta sketches built in one fact pass (map-side partials), then the pair matrix is a broadcast cross of |sources| sketch rows with theta_intersection per pair — no corpus-scale join anywhere; exact-fenced against n35 below nominal entries",
 }
 
 
