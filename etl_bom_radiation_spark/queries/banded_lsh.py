@@ -63,6 +63,21 @@ assert BANDS * ROWS == SEEDS
 #: verify-stage near-dup threshold ~ the banding curve's (1/b)^(1/r)
 THRESHOLD = 0.35
 
+#: bucket saturation guard: pairs are generated only among the BUCKET_CAP
+#: lowest doc_ids of each (band, key) bucket.  Found by the 10x scaling
+#: probe (tools/scaling_probe.py): bucket sizes grow LINEARLY with corpus
+#: size on low-entropy corpora (the fixtures' ~24-word vocabulary gives
+#: only ~576 possible 2-gram shingles, so band keys saturate), which makes
+#: the uncapped bucket self-join QUADRATIC — measured 23.0 candidate
+#: pairs/doc at sf0.1 vs 2.3 at sf0.01.  The cap bounds any bucket's pair
+#: contribution at C(64,2) ≈ 2k, restoring linearity.  Semantics: a
+#: saturated bucket is exact-duplicate or boilerplate MASS, not near-dup
+#: signal — exact dups are n01's job (and run before LSH in the n44
+#: staging), cross-document boilerplate is n29's; a true near-dup pair is
+#: lost only if it lands beyond the cap in ALL 8 of its bands.  Fixture
+#: max bucket at sf0.01 is 19, so the sf0.01 result is cap-invariant.
+BUCKET_CAP = 64
+
 
 @register(
     "n42_minhash_banded_lsh",
@@ -79,10 +94,17 @@ THRESHOLD = 0.35
                    MIN(CASE WHEN seed % {ROWS} = 0 THEN mn END),
                    MIN(CASE WHEN seed % {ROWS} = 1 THEN mn END)) AS bk
         FROM sig GROUP BY doc_id, seed // {ROWS}
+    ), gated AS (
+        SELECT doc_id, band, bk FROM (
+            SELECT doc_id, band, bk,
+                   ROW_NUMBER() OVER (PARTITION BY band, bk
+                                      ORDER BY doc_id) AS rn
+            FROM bands)
+        WHERE rn <= {BUCKET_CAP}
     ), cand AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(count(*) AS BIGINT) AS n_bands_hit
-        FROM bands a JOIN bands b
+        FROM gated a JOIN gated b
           ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     ), hsets AS (
@@ -131,12 +153,24 @@ def n42_minhash_banded_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    a = bands.select(
+    # bucket saturation guard (see BUCKET_CAP): rank within each bucket,
+    # pair only among the cap. The rank window shares the (band, bk)
+    # partitioning the self-join shuffles on anyway — no extra Exchange
+    # class, and it turns the quadratic saturated-bucket term linear.
+    from pyspark.sql import Window
+
+    w_bucket = Window.partitionBy("band", "bk").orderBy("doc_id")
+    gated = (
+        bands.withColumn("rn", F.row_number().over(w_bucket))
+        .filter(F.col("rn") <= BUCKET_CAP)
+        .drop("rn")
+    )
+    a = gated.select(
         F.col("doc_id").alias("doc_a"),
         F.col("band").alias("band_a"),
         F.col("bk").alias("bka"),
     )
-    b = bands.select(
+    b = gated.select(
         F.col("doc_id").alias("doc_b"),
         F.col("band").alias("band_b"),
         F.col("bk").alias("bkb"),

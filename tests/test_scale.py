@@ -448,3 +448,33 @@ def test_concurrent_declared_queries_share_one_session(spark, oracle_sf_dir):
         }
         parallel = {n: f.result() for n, f in futures.items()}
     assert parallel == serial
+
+
+def test_banded_lsh_bucket_cap_bounds_saturated_corpus(spark, tmp_path):
+    """The BUCKET_CAP saturation guard (found by tools/scaling_probe.py):
+    a corpus whose band buckets saturate — here 300 identical docs — must
+    produce a BOUNDED candidate set (<= C(cap,2) per saturated cluster,
+    not C(300,2) ~ 45k), while genuine near-dup pairs outside the
+    saturated mass are still found."""
+    from etl_bom_radiation_spark.queries import load_all
+    from etl_bom_radiation_spark.queries.banded_lsh import BUCKET_CAP
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, "common boiler plate text repeated verbatim always", "en", "web", 0)
+            for i in range(300)]
+    rows += [
+        (1000, base + " one two three", "en", "web", 0),
+        (1001, base + " one two four", "en", "web", 0),  # near-dup of 1000
+    ]
+    d = str(tmp_path / "sat")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    out = load_all()["n42_minhash_banded_lsh"].fn(spark, d).collect()
+    cap_pairs = BUCKET_CAP * (BUCKET_CAP - 1) // 2
+    sat = [r for r in out if r.doc_a < 300 and r.doc_b < 300]
+    assert 0 < len(sat) <= cap_pairs, len(sat)
+    # every surviving saturated pair is among the cap's lowest doc_ids
+    assert all(r.doc_b < BUCKET_CAP for r in sat)
+    # the genuine near-dup outside the saturated mass is still caught
+    assert any((r.doc_a, r.doc_b) == (1000, 1001) and r.is_near_dup == 1 for r in out)
