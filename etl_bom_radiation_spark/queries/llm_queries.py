@@ -592,24 +592,59 @@ _DUCK_SIMHASH = f"""
 """
 
 
+#: signature-bucket saturation guard (same class as banded_lsh.BUCKET_CAP,
+#: same probe finding): 16-bit signatures over low-entropy text saturate,
+#: so uncapped bucket sizes grow linearly with corpus size and the
+#: collision self-join quadratically (measured 0.87 -> 9.22 pairs/doc from
+#: sf0.01 to sf0.1). Pairs are generated only among the cap's lowest
+#: doc_ids per signature; the saturated remainder is exact-dup/boilerplate
+#: mass (n01/n29's job — n44 stages exact dedup first). Fixture max bucket
+#: at sf0.01 is 11, so the sf0.01 result is cap-invariant.
+SIMHASH_BUCKET_CAP = 64
+
+_DUCK_SIM_GATED = f"""
+        SELECT doc_id, simhash16 FROM (
+            SELECT doc_id, simhash16,
+                   ROW_NUMBER() OVER (PARTITION BY simhash16
+                                      ORDER BY doc_id) AS rn
+            FROM sim)
+        WHERE rn <= {SIMHASH_BUCKET_CAP}
+"""
+
+
+def _simhash_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash16) capped to SIMHASH_BUCKET_CAP rows per
+    signature — the rank window rides the same partitioning the
+    collision self-join shuffles on."""
+    sim = n11_simhash(spark, sf_dir)
+    w = Window.partitionBy("simhash16").orderBy("doc_id")
+    return (
+        sim.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SIMHASH_BUCKET_CAP)
+        .drop("rn")
+    )
+
+
 @register(
     "n11b_simhash_neardup",
     oracle=f"""
-    WITH sim AS ({_DUCK_SIMHASH})
+    WITH sim AS ({_DUCK_SIMHASH}), gated AS ({_DUCK_SIM_GATED})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash16
-    FROM sim a JOIN sim b ON a.simhash16 = b.simhash16 AND a.doc_id < b.doc_id
+    FROM gated a JOIN gated b
+      ON a.simhash16 = b.simhash16 AND a.doc_id < b.doc_id
     """,
 )
 def n11b_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N11b: SimHash-bucketed near-dup candidate pairs — docs sharing the
     same 16-bit signature join within buckets (an equi-join on the hash:
-    one shuffle, never all-pairs). The standard scale-out: with 64-bit
-    simhash and Hamming radius r, join on each of C(bands) rotated key
-    segments; here the 16-bit exact-collision form is the declared,
-    exactly-oracled core."""
-    sim = n11_simhash(spark, sf_dir)
-    a = sim.select(F.col("doc_id").alias("doc_a"), "simhash16")
-    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash16").alias("sh_b"))
+    one shuffle, never all-pairs), gated by SIMHASH_BUCKET_CAP so a
+    saturated signature contributes C(cap,2) pairs, not C(bucket,2). The
+    standard scale-out: with 64-bit simhash and Hamming radius r, join on
+    each of C(bands) rotated key segments; here the 16-bit
+    exact-collision form is the declared, exactly-oracled core."""
+    gated = _simhash_gated(spark, sf_dir)
+    a = gated.select(F.col("doc_id").alias("doc_a"), "simhash16")
+    b = gated.select(F.col("doc_id").alias("doc_b"), F.col("simhash16").alias("sh_b"))
     return (
         a.join(b, (F.col("simhash16") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
         .select("doc_a", "doc_b", "simhash16")
@@ -1019,10 +1054,11 @@ def n19_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE
     sim AS ({_DUCK_SIMHASH}),
+    gated AS ({_DUCK_SIM_GATED}),
     edges AS (
         SELECT a.doc_id AS s, b.doc_id AS d
-        FROM sim a JOIN sim b ON a.simhash16 = b.simhash16
-                             AND a.doc_id <> b.doc_id
+        FROM gated a JOIN gated b ON a.simhash16 = b.simhash16
+                                 AND a.doc_id <> b.doc_id
     ),
     reach(id, comp) AS (
         SELECT doc_id, doc_id FROM documents

@@ -43,6 +43,10 @@ OPS = [
     "n22_tfidf_topterms",
     "x04_sessionization",
     "x08_rolling_dau",
+    # signature-bucket family (the second quadratic the probe caught:
+    # uncapped simhash collision joins; SIMHASH_BUCKET_CAP fix)
+    "n11b_simhash_neardup",
+    "n20_dedup_clusters",
 ]
 
 BASE_DOCS = 5_000
