@@ -125,7 +125,13 @@ def n02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHashLSH.approxSimilarityJoin (banded/bucketed: candidates only from
     matching hash buckets, never all-pairs). Approximate → rows-only for the
     driver; pytest cross-checks recall against the brute-force Jaccard on a
-    small slice. Seeded for determinism."""
+    small slice. Seeded for determinism.
+
+    Saturation caveat (tools/scaling_probe.py finding, round 6): on
+    low-entropy corpora LSH buckets saturate and the JVM-internal bucket
+    join inherits the same quadratic the probe measured on n42/n11b —
+    Spark ML exposes no bucket cap, so at scale prefer the engine-owned
+    n42 path, whose BUCKET_CAP gate bounds the saturated-bucket term."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load_tables(spark, sf_dir, "documents")["documents"]

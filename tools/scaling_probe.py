@@ -4,9 +4,9 @@ near-linearly with corpus size, as their plan-shape arguments claim?
 
 Plans argue "no all-pairs, bounded fan-out, uniform shuffle keys"; this
 probe MEASURES it.  It synthesizes documents/events corpora at 1x and Mx
-the sf0.1 shape (same generator family as the driver's testdata: word
-salad over a small vocabulary with duplicated openings so the dedup
-operators have real work; Zipf-ish user activity for events), times a
+the sf0.1 shape (word salad with realistic token diversity, duplicated
+texts and small shared-opening groups so the dedup operators have real
+work; Zipf-ish user activity for events), times a
 fixed list of the most expensive operators at both sizes (warmup + best
 of 2, noop sink), and reports t(Mx)/t(1x) per operator.
 
@@ -51,22 +51,17 @@ OPS = [
 
 BASE_DOCS = 5_000
 BASE_EVENTS = 100_000
-VOCAB = (
-    "key agg row scan slow fast table value part hash batch window spark "
-    "order data column join small line customer the filter index merge"
-).split()
 
 
 def gen_corpus(spark, out_dir: str, mult: int) -> None:
     """documents + events at ``mult`` x the sf0.1 row counts, same shape:
-    ~20 sources, 8-90 token docs over a tiny vocabulary (so n-gram
-    overlap is realistic), ~10% exact-duplicate texts and ~10% shared
-    openings (so every dedup stage has work); events over mult*1500
-    users across 30 days."""
+    ~20 sources, 8-90 token docs over a ~5000-word synthetic vocabulary,
+    ~10% exact-duplicate texts and ~10% shared openings in ~5-doc groups
+    (so every dedup stage has work); events over mult*1500 users across
+    30 days."""
     from pyspark.sql import functions as F
 
     n_docs = BASE_DOCS * mult
-    vocab = F.array(*[F.lit(w) for w in VOCAB])
     base = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         # ~10% duplicate pairs: doc 10k..11k copies doc 0..1k's seed
@@ -74,6 +69,14 @@ def gen_corpus(spark, out_dir: str, mult: int) -> None:
         .otherwise(F.col("id"))
         .alias("seed"),
     )
+    # tokens are 'w<h>' over a ~5000-word synthetic vocabulary. The hash
+    # MIXES seed and position non-linearly (seed*i term): a pure
+    # linear-congruential pmod(seed*a + i*b, m) makes the whole opening a
+    # function of seed mod m — the first generator did exactly that and
+    # collapsed 150k docs into 24 giant truncation buckets, turning every
+    # prefix-bucket op pathological (a corpus shape the real fixtures do
+    # NOT have: their openings are diverse token sequences).
+    tok_hash = lambda key, i: F.pmod(key * 131 + key * i * 31 + i * 71 + 17, F.lit(5003))
     toklist = F.transform(
         F.sequence(
             F.lit(0),
@@ -82,20 +85,17 @@ def gen_corpus(spark, out_dir: str, mult: int) -> None:
         ),
         # ~10% shared openings, in SMALL groups: seeds ending in 3 share
         # their first 8 tokens with the other such seeds of their 50-seed
-        # block (~5 docs per opening — realistic syndication). The
-        # opening hash keys on the BLOCK, not a global constant: a single
-        # corpus-wide shared opening would be the n32 pathological hot
-        # bucket (quadratic in-bucket verify — that shape lives in
-        # scale.gen_skewed_documents, deliberately, not here).
-        lambda i: F.element_at(
-            vocab,
-            (
-                F.when(
-                    (F.col("seed") % 10 == 3) & (i < 8),
-                    F.pmod((F.col("seed") / 50).cast("long") * 17 + i * 7 + 3, F.lit(24)),
-                ).otherwise(F.pmod(F.col("seed") * 13 + i * 7 + 3, F.lit(24)))
-            ).cast("int")
-            + 1,
+        # block (~5 docs per opening — realistic syndication, many small
+        # buckets; the corpus-wide hot bucket lives, deliberately, in
+        # scale.gen_skewed_documents).
+        lambda i: F.concat(
+            F.lit("w"),
+            F.when(
+                (F.col("seed") % 10 == 3) & (i < 8),
+                tok_hash((F.col("seed") / 50).cast("long"), i),
+            )
+            .otherwise(tok_hash(F.col("seed"), i))
+            .cast("string"),
         ),
     )
     docs = base.select(
