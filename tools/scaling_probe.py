@@ -49,8 +49,50 @@ OPS = [
     "n20_dedup_clusters",
 ]
 
+#: relational-core ops probed in ``--relational`` mode over a key-shifted
+#: Mx replication of the sf0.1 TPC-H facts (dims stay 1x — they broadcast)
+REL_OPS = [
+    "q05_inner_join",
+    "q14_groupby_agg",
+    "q16_count_distinct",
+    "q23_ranking",
+    "q27_global_sort",
+    "q13b_profit_star",
+    "x02_gapfill",
+]
+
 BASE_DOCS = 5_000
 BASE_EVENTS = 100_000
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def gen_relational(spark, out_dir: str, mult: int) -> None:
+    """The sf0.1 TPC-H tables with the two FACTS (lineitem, orders)
+    replicated ``mult`` times under shifted order keys (so the fact-fact
+    join fans out realistically instead of multiplying matches per key);
+    dimensions copied 1x — at scale they broadcast, so growing them would
+    only distort the ratio."""
+    from pyspark.sql import functions as F
+
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        spark.read.parquet(f"{SF01}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    od = spark.read.parquet(f"{SF01}/orders.parquet")
+    step = od.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    li_m = li
+    od_m = od
+    for i in range(1, mult):
+        li_m = li_m.unionByName(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * step))
+        )
+        od_m = od_m.unionByName(
+            od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * step))
+        )
+    li_m.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    od_m.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
 
 def gen_corpus(spark, out_dir: str, mult: int) -> None:
@@ -142,7 +184,9 @@ def time_op(spark, fn, sf_dir: str) -> float:
 
 
 def main() -> int:
-    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mult = int(args[0]) if args else 10
+    relational = "--relational" in sys.argv
     from etl_bom_radiation_spark.queries import load_all
     from etl_bom_radiation_spark.session import get_spark
 
@@ -152,10 +196,12 @@ def main() -> int:
     out = {}
     d1 = tempfile.mkdtemp(prefix="probe_1x_")
     dm = tempfile.mkdtemp(prefix=f"probe_{mult}x_")
+    gen = gen_relational if relational else gen_corpus
+    ops = REL_OPS if relational else OPS
     try:
-        gen_corpus(spark, d1, 1)
-        gen_corpus(spark, dm, mult)
-        for name in OPS:
+        gen(spark, d1, 1)
+        gen(spark, dm, mult)
+        for name in ops:
             t1 = time_op(spark, qs[name].fn, d1)
             tm = time_op(spark, qs[name].fn, dm)
             out[name] = {
