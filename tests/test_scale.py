@@ -478,3 +478,30 @@ def test_banded_lsh_bucket_cap_bounds_saturated_corpus(spark, tmp_path):
     assert all(r.doc_b < BUCKET_CAP for r in sat)
     # the genuine near-dup outside the saturated mass is still caught
     assert any((r.doc_a, r.doc_b) == (1000, 1001) and r.is_near_dup == 1 for r in out)
+
+
+def test_scaling_probe_generator_invariants(spark, tmp_path):
+    """The probe's synthetic corpus must keep the properties the scaling
+    ratios depend on: exact row counts, ~10% duplicated texts, shared
+    openings in SMALL groups (many buckets — a single corpus-wide opening
+    would be the pathological hot bucket and would invalidate every
+    ratio), and realistic token diversity (>> the fixtures' 24 words)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from scaling_probe import BASE_DOCS, gen_corpus
+
+    d = str(tmp_path / "probe")
+    gen_corpus(spark, d, 1)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    assert docs.count() == BASE_DOCS
+    n_dup = docs.count() - docs.select("text").distinct().count()
+    assert 0.08 * BASE_DOCS <= n_dup <= 0.12 * BASE_DOCS
+    # opening-bucket sizes: grouped syndication, never a mega-bucket
+    op = docs.selectExpr("substring_index(text, ' ', 8) AS opening")
+    sizes = op.groupBy("opening").count()
+    assert sizes.agg(F.max("count")).collect()[0][0] <= 12
+    n_tokens = docs.selectExpr("explode(split(text, ' ')) AS t").select(
+        "t"
+    ).distinct().count()
+    assert n_tokens > 1000
