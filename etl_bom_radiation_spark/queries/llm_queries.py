@@ -1083,8 +1083,17 @@ def n20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (graph.connected_components: iterative min-label propagation, two
     uniform-key shuffles per round, rounds = cluster diameter which stays
     tiny for near-dup graphs). Each doc gets its cluster id (min doc_id in
-    the component) and a canonical flag — keep ``is_canonical`` rows for
-    an exact-dedup'd corpus. The DuckDB oracle computes the same closure
+    the component) and a canonical flag.
+
+    Contract caveat (ADVICE r6): the edge set inherits n11b's
+    SIMHASH_BUCKET_CAP — on a signature saturated past the cap (e.g.
+    hundreds of byte-identical docs) only the cap's lowest doc_ids form
+    edges, so the overflow comes back as singleton "canonicals".  The
+    canonical set is therefore NEAR-dup-grade on its own and dedup-grade
+    only downstream of an n01-style exact dedup, exactly as staged in
+    n44's keep-list precedence (exact → truncation → near-dup); mass
+    byte-identical duplication is n01's job, not the LSH graph's.  The
+    DuckDB oracle computes the same closure over the same gated edges
     with a recursive CTE, so the result is exactly checkable despite the
     iterative implementation."""
     from ..graph import connected_components

@@ -21,9 +21,9 @@ cyclic-closure recursions (n20's oracle shape) stay on the iterative
 
 100-TB posture: recursion in Spark is DRIVER-COORDINATED per level — one
 job per recursion step — so the recursive frame must stay tiny and the
-depth bounded (7 year levels x 1 row here, expanded to 84 months
-non-recursively; the big orders table is touched ONCE, outside the loop,
-by the post-spine aggregation join).  A
+depth bounded (one year level x 1 row here, bounds derived from the data,
+expanded to months non-recursively; the big orders table is touched ONCE,
+outside the loop, by the post-spine aggregation join).  A
 recursion whose working set scales with the fact table would serialize
 the cluster behind the driver loop; that shape belongs in the iterative
 operators (graph.py) that checkpoint between rounds instead.
@@ -39,30 +39,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import register, register_views
 
-#: maximum year-level INDEX: y runs 0..6 inclusive -> 7 recursion levels,
-#: 1992..1998 (the TPC-H order-date span).  Each recursion level is one
-#: driver-coordinated job, so the recursion runs at YEAR granularity and
-#: the 12 months per year expand non-recursively — same 84-row spine as
-#: an 84-level month ladder at ~1/8th the loop latency (measured 6.3 s
-#: -> sub-second per run).
-_MAX_LEVEL = 6
+# The year ladder's bounds are DERIVED FROM THE DATA (min/max
+# year(o_orderdate) in the anchor), not hardcoded: the fixtures span
+# whatever dates the driver generated (currently 1995-01..2001-08), and a
+# hardcoded span would silently drop orders outside it while the shared
+# Spark/DuckDB constants kept the oracle green (ADVICE r6, high).  The max
+# bound is CARRIED IN THE RECURSIVE FRAME (yi.y1) so the recursive member
+# references only yi — putting the bounds CTE inside the loop would
+# re-evaluate the orders min/max scan once per level (measured 6.4 s vs
+# 0.95 s for the bound-carried shape).  Each recursion level is one
+# driver-coordinated job, so the recursion runs at YEAR granularity and
+# the 12 months per year expand non-recursively — same dense month spine
+# as a month-level ladder at ~1/12th the loop latency (an 84-level month
+# variant measured 6.3 s).
 
-_BODY = f"""
-WITH RECURSIVE yi(y) AS (
-  SELECT 0
+_BODY = """
+WITH RECURSIVE yi(y, y1) AS (
+  SELECT year(min(o_orderdate)), year(max(o_orderdate)) FROM orders
   UNION ALL
-  SELECT y + 1 FROM yi WHERE y < {_MAX_LEVEL}
+  SELECT y + 1, y1 FROM yi WHERE y < y1
 ),
 months AS (
-  SELECT make_date(1992 + y, mth, 1) AS ms
-  FROM yi CROSS JOIN ({{month_gen}})
+  SELECT make_date(y, mth, 1) AS ms
+  FROM yi CROSS JOIN ({month_gen})
 ),
 om AS (
   SELECT make_date(year(o_orderdate), month(o_orderdate), 1) AS ms,
          o_totalprice
   FROM orders
 )
-SELECT {{month_fmt}} AS month,
+SELECT {month_fmt} AS month,
        CAST(COUNT(om.ms) AS BIGINT) AS n_orders,
        ROUND(COALESCE(SUM(om.o_totalprice), 0.0), 2) AS revenue
 FROM months LEFT JOIN om ON om.ms = months.ms
@@ -78,10 +84,12 @@ GROUP BY months.ms
     ),
 )
 def q51_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q51: WITH RECURSIVE — integer year ladder (7 levels) expanded to a
-    dense month spine, LEFT-joined to orders for a monthly revenue series
-    with empty months present; the orders table is scanned once outside
-    the recursion, the recursive frame is one row per level."""
+    """Q51: WITH RECURSIVE — integer year ladder bounded by the DATA's
+    min/max order year (anchor aggregates orders once; the max bound rides
+    the recursive frame), expanded to a dense month spine and LEFT-joined
+    to orders for a monthly revenue series with empty months present; the
+    full-width orders scan happens once outside the recursion, the
+    recursive frame is one row per level."""
     register_views(spark, sf_dir, "orders")
     return spark.sql(
         _BODY.format(

@@ -19,6 +19,12 @@ are bounded by AQE skew handling on the one shuffle.
 
 Determinism: events are ordered by (ts, event_id) within a user — the
 event_id tiebreak makes simultaneous events stable on both engines.
+NULL timestamps are filtered on BOTH sides before the windows (the x08
+convention): an un-timestamped event can't belong to any session, the
+gap predicate ``unix_micros(NULL)`` would be NULL anyway, and — the real
+hazard — the two engines default window NULL ordering differently
+(Spark NULLS FIRST ascending, DuckDB NULLS LAST), so leaving NULLs in
+would silently shift session numbering between engines (ADVICE r6).
 Session bounds are epoch-microsecond BIGINTs (engine-neutral; exact),
 sums rounded to 4dp per the oracle-equivalence discipline.
 
@@ -45,6 +51,7 @@ WITH ordered AS (
   SELECT user_id, ts, event_id, value,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
+  WHERE ts IS NOT NULL
 ), flagged AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN prev_ts IS NULL
@@ -73,7 +80,7 @@ def x04_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 (extension): gap-based sessionization — 30-min inactivity split
     per user, one shuffle total (lag + running-sum windows share one
     Exchange/Sort; the session aggregate reuses the user_id partitioning)."""
-    e = load_events(spark, sf_dir)
+    e = load_events(spark, sf_dir).filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
         "is_new",

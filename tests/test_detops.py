@@ -86,6 +86,26 @@ def test_gapfill_calendar_is_dense_and_count_preserving(spark, oracle_sf_dir):
     )  # zero-fill adds cells, never counts
 
 
+def test_recursive_spine_conserves_revenue(spark, oracle_sf_dir):
+    """q51's data-derived year ladder must cover EVERY order: the series'
+    SUM(revenue) equals SUM(o_totalprice) and SUM(n_orders) equals the
+    table row count, whatever date span the driver generated (ADVICE r6:
+    the old hardcoded 1992-1998 ladder silently dropped ~40% of revenue
+    while the shared-constant oracle stayed green).  Also pins density:
+    the spine has no month gaps between its min and max."""
+    rows = _run(spark, oracle_sf_dir, "q51_recursive_cte").collect()
+    orders = spark.read.parquet(f"{oracle_sf_dir}/orders.parquet")
+    want_rev, want_n = orders.agg(
+        F.round(F.sum("o_totalprice"), 2), F.count("*")
+    ).first()
+    assert abs(sum(r["revenue"] for r in rows) - want_rev) < 0.05
+    assert sum(r["n_orders"] for r in rows) == want_n
+    months = sorted(r["month"] for r in rows)
+    y0, m0 = map(int, months[0].split("-"))
+    y1, m1 = map(int, months[-1].split("-"))
+    assert len(rows) == (y1 - y0) * 12 + (m1 - m0) + 1 == len(set(months))
+
+
 def test_truncation_dedup_known_corpus(spark, tmp_path):
     """n32 semantics on a constructed corpus: exact prefix → contained;
     same-length tie → larger doc_id contained by min; shared first-8 but
