@@ -1,0 +1,66 @@
+"""Guards on bench.py's printed JSON line (VERDICT r6 task #1).
+
+The driver captures only ~2000 chars of bench stdout and json.loads the
+final line; round 6's line (64 timings + nested io_mb dicts) overflowed
+that and the round lost its driver-recorded perf evidence entirely
+(``BENCH_r06.json parsed: null``).  These tests pin the contract: the
+line round-trips, carries the cross-round fields, and stays under budget
+even if the registry triples — growth lands in the BENCH_IO.json side
+artifact, never on the line."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench
+
+#: hard stdout-capture budget with headroom (driver truncates ~2000)
+LINE_BUDGET = 1500
+
+
+def _fake_run(n_queries: int) -> tuple[str, dict]:
+    """Simulate a bench run with n_queries worst-case-width entries."""
+    timings = {f"q{i:02d}_some_longish_query_name_{i}": 123.456 for i in range(n_queries)}
+    for name in bench.PRINTED_SET:
+        timings[name] = 99.999
+    io = {n: {"shuffle_read_mb": 1234.567, "shuffle_write_mb": 1234.567,
+              "input_mb": 99999.999, "output_mb": 99999.999} for n in timings}
+    return bench.format_output(timings, io, sf=0.1)
+
+
+def test_line_roundtrips_and_stays_small():
+    line, full = _fake_run(200)  # ~3x the current registry
+    assert len(line) < LINE_BUDGET, f"{len(line)} chars — driver capture would truncate"
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["unit"] == "sec"
+    assert parsed["methodology"] == bench.METHODOLOGY
+    assert parsed["common_set_n"] == len(bench.COMMON_SET)
+    assert parsed["queries_n"] == 200 + len(bench.PRINTED_SET)
+    assert parsed["detail"] == bench.IO_ARTIFACT
+    # io detail never rides the line
+    assert "io_mb" not in parsed and "io_mb" in full
+
+
+def test_line_carries_frozen_basket_and_flagship():
+    line, full = _fake_run(50)
+    q = json.loads(line)["queries"]
+    assert set(q) == set(bench.PRINTED_SET)
+    assert "grid_decode_1000_files" in q
+    # common_set_total sums exactly the frozen basket from the full dict
+    want = round(sum(full["queries"][n] for n in bench.COMMON_SET), 3)
+    assert json.loads(line)["common_set_total"] == want
+
+
+def test_full_artifact_is_a_superset_of_the_line():
+    line, full = _fake_run(50)
+    parsed = json.loads(line)
+    assert set(full["queries"]) >= set(parsed["queries"])
+    for n, v in parsed["queries"].items():
+        assert full["queries"][n] == v
+    assert full["value"] == parsed["value"]
+    assert full["methodology"] == parsed["methodology"]
