@@ -186,6 +186,7 @@ _MODULES = [
     "bloom",
     "recursive_cte",
     "rolling",
+    "scale_lifecycle",
 ]
 
 

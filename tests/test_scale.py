@@ -505,3 +505,34 @@ def test_scaling_probe_generator_invariants(spark, tmp_path):
         "t"
     ).distinct().count()
     assert n_tokens > 1000
+
+
+def test_scale_levers_lifecycle_fences(spark, oracle_sf_dir):
+    """d02: every boolean fence row is 1 and every pruning row records a
+    REAL reduction — the manifest consult must keep some and drop some
+    files for the pinned box, and the IVF probe must scan a strict
+    subset of the layout (the rows the driver records as evidence that
+    the 100-TB levers prune, not just run)."""
+    from etl_bom_radiation_spark.queries import load_all
+
+    vals = {
+        r["step"]: r["value"]
+        for r in load_all()["d02_scale_levers_lifecycle"]
+        .fn(spark, oracle_sf_dir)
+        .collect()
+    }
+    for fence in (
+        "03_manifest_covers_every_file",
+        "09_box_match_pruned_equal",
+        "10_refresh_added_only_new",
+        "14_ann_dpp_in_plan_and_exact",
+    ):
+        assert vals[fence] == 1, fence
+    assert 0 < vals["05_box_files_pruned"] < vals["04_box_files_full"]
+    assert (
+        vals["08_box_match_full"]
+        <= vals["07_box_rows_scanned_pruned"]
+        < vals["06_box_rows_scanned_full"]
+    )
+    assert 0 < vals["13_ann_rows_probed"] < vals["12_ann_rows_full"]
+    assert vals["11_ivf_cells"] == 16
