@@ -277,3 +277,62 @@ def test_theta_source_overlap_matches_exact_matrix(spark, oracle_sf_dir):
     assert exact and len(approx) > len(exact)  # n46 reports all pairs
     for pair, n in approx.items():
         assert n == exact.get(pair, 0), (pair, n, exact.get(pair, 0))
+
+
+def test_hll_sketches_merge_losslessly_across_partitions(spark, oracle_sf_dir):
+    """The property a 100-TB shuffle relies on (VERDICT r6 task #5): HLL
+    register-union is associative and lossless, so sketching k arbitrary
+    partitions of the fact and unioning MUST estimate exactly what one
+    single-pass sketch estimates — map-side partials, repartitions, and
+    x09's per-day-then-window regrouping all ride this.  Checked for two
+    different splits (by user, by row) so the merge can't pass by luck of
+    one partitioning."""
+    from etl_bom_radiation_spark.queries import load_events
+
+    ev = load_events(spark, oracle_sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    single = ev.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+    ).first()[0]
+    for split in (F.col("user_id") % 5, F.col("event_id") % 7):
+        merged = (
+            ev.groupBy(split.alias("p"))
+            .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+            .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))"))
+            .first()[0]
+        )
+        assert merged == single
+
+
+def test_theta_sketches_merge_losslessly_across_partitions(spark, oracle_sf_dir):
+    """Theta's k-minimum-value union is exact below the sketch's nominal
+    entries, so per-partition sketch -> theta_union_agg must equal both
+    the single-pass sketch estimate AND the true distinct count at
+    fixture scale — and the merged sketch must stay algebra-compatible
+    (intersecting it with a single-pass sketch of a SUBSET returns the
+    subset's cardinality, the n46 pairwise-overlap contract)."""
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    h = docs.select(
+        F.md5("text").alias("h"), (F.col("doc_id") % 4).alias("p"), "lang"
+    )
+    truth = h.select("h").distinct().count()
+    single = h.agg(F.expr("theta_sketch_estimate(theta_sketch_agg(h))")).first()[0]
+    merged_df = h.groupBy("p").agg(F.expr("theta_sketch_agg(h)").alias("sk"))
+    merged = merged_df.agg(
+        F.expr("theta_sketch_estimate(theta_union_agg(sk))")
+    ).first()[0]
+    assert round(single) == round(merged) == truth
+    # set algebra across differently-built sketches: merged-all ∩ single(en)
+    en = h.filter(F.col("lang") == "en")
+    en_truth = en.select("h").distinct().count()
+    inter = (
+        merged_df.agg(F.expr("theta_union_agg(sk)").alias("all_sk"))
+        .crossJoin(en.agg(F.expr("theta_sketch_agg(h)").alias("en_sk")))
+        .selectExpr(
+            "CAST(round(theta_sketch_estimate("
+            "theta_intersection(all_sk, en_sk))) AS BIGINT) AS n"
+        )
+        .first()["n"]
+    )
+    assert inter == en_truth
