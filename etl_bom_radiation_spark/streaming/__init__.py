@@ -64,8 +64,18 @@ def windowed_counts(
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """T6: streaming dedup on event identity. The watermark bounds the
     key-retention state: an event_id older than the watermark can no longer
-    collide, so its state row is dropped."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    collide, so its state row is dropped.
+
+    ``dropDuplicatesWithinWatermark`` — NOT plain ``dropDuplicates`` — is
+    what delivers that bound: with the event-time column absent from the
+    dedup key, plain ``dropDuplicates`` retains every key forever (the
+    scaling probe measured exactly-linear state growth, ratio 10.0 at 10x
+    input, before this fix; ``tools/scaling_probe.py --streaming``).  The
+    contract is correspondingly horizon-scoped: a duplicate is suppressed
+    iff it arrives within the watermark delay of the first sighting — the
+    right trade for at-least-once redelivery, which re-sends promptly, and
+    the only state bound that survives an unbounded stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
 def running_totals_stateful(events: DataFrame) -> DataFrame:

@@ -89,6 +89,40 @@ def test_streaming_dedup(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_dedup_state_eviction(spark, tmp_path):
+    """T6 state bound (regression for the probe-caught leak): dedup keys
+    older than the watermark horizon are EVICTED from the state store —
+    plain ``dropDuplicates`` on a non-event-time key retains every key
+    forever, which the scaling probe measured as exactly-linear state
+    growth; ``dropDuplicatesWithinWatermark`` is the fix under test."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    q = _start(
+        S.dedup_stream(S.read_event_stream(spark, src), watermark="10 minutes"),
+        ckpt,
+        "dedup_evict",
+    )
+    try:
+        _write_batch(src, "b1.json", [_ev(i, f"2024-01-01 10:0{i}:00") for i in range(1, 4)])
+        q.processAllAvailable()
+        # event at 12:00 moves the watermark to 11:50 — keys 1-3 (10:0x)
+        # fall behind the horizon and must leave the store; one more batch
+        # lets the store commit the eviction.
+        _write_batch(src, "b2.json", [_ev(10, "2024-01-01 12:00:00")])
+        q.processAllAvailable()
+        _write_batch(src, "b3.json", [_ev(11, "2024-01-01 12:01:00")])
+        q.processAllAvailable()
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+        assert state_rows[0] == 3  # all three keys held while in horizon
+        assert state_rows[-1] <= 2  # 1-3 evicted; only 12:0x keys remain
+    finally:
+        q.stop()
+
+
 def test_stateful_per_key(spark, tmp_path):
     """T7: applyInPandasWithState — per-user running totals accumulate
     across micro-batches through the state store; only touched keys

@@ -15,7 +15,10 @@ Reading the ratios: an operator whose plan is linear should land near M
 scale); a superlinear ratio (>> M) is a quadratic term a plan argument
 missed — exactly the regression class that only shows at 100 TB.
 
-Usage:  python tools/scaling_probe.py [M]        (default M=10)
+Usage:  python tools/scaling_probe.py [M] [op-substring ...]
+(default M=10, all OPS; extra args filter OPS/REL_OPS by substring, the
+check_queries convention — e.g. ``scaling_probe.py 100 n39 n42`` probes
+just those two at 100x).
 Prints one JSON line: {"m": M, "ops": {name: {"t1": s, "tm": s,
 "ratio": r}}}.  Corpora go under /tmp and are removed on exit.
 """
@@ -65,6 +68,16 @@ BASE_DOCS = 5_000
 BASE_EVENTS = 100_000
 
 SF01 = "/root/testdata/sf0.1"
+
+#: streaming mode (``--streaming``): micro-batches per pipeline at 1x;
+#: the Mx run drains M*BASE_BATCHES batches over an M*-long event-time
+#: span at the same per-batch density, so BOUNDED state means the final
+#: state-store row count stays ~flat (the watermark horizon covers the
+#: same wall of recent batches either way) while input grew Mx.
+BASE_BATCHES = 8
+BATCH_ROWS = 200
+BATCH_STEP_S = 60  # event-time advance per micro-batch
+STREAM_USERS = 50
 
 
 def gen_relational(spark, out_dir: str, mult: int) -> None:
@@ -173,6 +186,148 @@ def gen_corpus(spark, out_dir: str, mult: int) -> None:
     ev.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
+def gen_stream_batches(src_dir: str, n_batches: int) -> None:
+    """JSON-lines micro-batch files: BATCH_ROWS events per file, event
+    time advancing BATCH_STEP_S per file, globally-unique event_ids, a
+    fixed STREAM_USERS key set, and ~5% in-horizon duplicate texts so the
+    dedup pipelines hold real state."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    for b in range(n_batches):
+        lines = []
+        for i in range(BATCH_ROWS):
+            eid = b * BATCH_ROWS + i
+            ts = t0 + dt.timedelta(seconds=b * BATCH_STEP_S, milliseconds=i)
+            # ~5% near-in-time duplicate payloads (re-crawl storm shape)
+            text_id = eid - 3 if (eid % 20 == 7 and i >= 3) else eid
+            lines.append(
+                json.dumps(
+                    {
+                        "event_id": eid,
+                        "doc_id": eid,
+                        "ts": ts.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                        "user_id": eid % STREAM_USERS,
+                        "event_type": "e",
+                        "value": (eid % 100) / 10.0,
+                        "text": f"payload number {text_id}",
+                    }
+                )
+            )
+        tmp = os.path.join(src_dir, f".b{b:05d}.json.tmp")
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(lines))
+        os.rename(tmp, os.path.join(src_dir, f"b{b:05d}.json"))
+
+
+def _stream_pipelines(spark, src: str):
+    """name -> streaming DataFrame over the JSON source at *src*.  Probe
+    watermarks are 5 minutes (= 5 micro-batches of horizon) so the 1x run
+    already outlives the horizon and the Mx run must EVICT to stay flat;
+    t07's applyInPandasWithState has NoTimeout state, bounded by the key
+    cardinality instead (fixed STREAM_USERS here) — the probe shows which
+    bound each pipeline rides."""
+    from pyspark.sql import functions as F
+
+    from etl_bom_radiation_spark.queries.stream_joins import watermarked_admission
+    from etl_bom_radiation_spark.streaming import (
+        dedup_stream,
+        read_event_stream,
+        running_totals_stateful,
+        windowed_counts,
+    )
+
+    def events():
+        return read_event_stream(spark, src, max_files_per_trigger=1)
+
+    def docs():
+        return (
+            spark.readStream.format("json")
+            .schema("doc_id LONG, ts TIMESTAMP, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+
+    existing = spark.createDataFrame(
+        [("seed corpus doc",)], "text string"
+    ).select(F.md5("text").alias("h"), F.lit(1).alias("in_corpus"))
+    return {
+        "t02_windowed_counts": lambda: windowed_counts(
+            events(), window="2 minutes", watermark="5 minutes"
+        ),
+        "t06_dedup_stream": lambda: dedup_stream(events(), watermark="5 minutes"),
+        "t10_watermarked_admission": lambda: watermarked_admission(
+            docs(), existing, delay="5 minutes"
+        ),
+        "t07_running_totals": lambda: running_totals_stateful(events()),
+    }
+
+
+def drain_stream(spark, make_df, src: str, n_batches: int, ckpt: str) -> dict:
+    """Write the batch files, drain them one micro-batch each, and report
+    the state-store footprint from the progress events: final and peak
+    ``numRowsTotal``, batches drained, input rows."""
+    import uuid
+
+    os.makedirs(src, exist_ok=True)
+    gen_stream_batches(src, n_batches)
+    name = f"probe_{uuid.uuid4().hex[:8]}"
+    q = (
+        make_df()
+        .writeStream.format("noop")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = [p for p in q.recentProgress if p.get("stateOperators")]
+        rows = [p["stateOperators"][0]["numRowsTotal"] for p in progress]
+        n_input = sum(p["numInputRows"] for p in q.recentProgress)
+    finally:
+        q.stop()
+    return {
+        "batches": n_batches,
+        "input_rows": n_input,
+        "state_final": rows[-1] if rows else 0,
+        "state_peak": max(rows) if rows else 0,
+    }
+
+
+def stream_main(mult: int, filters: list[str]) -> int:
+    from etl_bom_radiation_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling_probe_stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    root = tempfile.mkdtemp(prefix="probe_stream_")
+    pipelines = _stream_pipelines  # built per-source below
+    try:
+        names = list(pipelines(spark, root))  # names only; throwaway src
+        if filters:
+            names = [n for n in names if any(f in n for f in filters)]
+        for name in names:
+            res = {}
+            for label, nb in (("1x", BASE_BATCHES), ("mx", BASE_BATCHES * mult)):
+                src = os.path.join(root, f"{name}_{label}_src")
+                ckpt = os.path.join(root, f"{name}_{label}_ckpt")
+                df_fn = pipelines(spark, src)[name]
+                res[label] = drain_stream(spark, df_fn, src, nb, ckpt)
+            f1, fm = res["1x"]["state_final"], res["mx"]["state_final"]
+            res["state_ratio"] = round(fm / f1, 2) if f1 else None
+            out[name] = res
+            print(
+                f"{name}: state 1x={f1} {mult}x={fm} ratio={res['state_ratio']}"
+                f" (input {res['1x']['input_rows']} -> {res['mx']['input_rows']})",
+                file=sys.stderr,
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({"m": mult, "mode": "streaming", "ops": out}))
+    return 0
+
+
 def time_op(spark, fn, sf_dir: str) -> float:
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
     best = float("inf")
@@ -186,6 +341,9 @@ def time_op(spark, fn, sf_dir: str) -> float:
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     mult = int(args[0]) if args else 10
+    filters = args[1:]
+    if "--streaming" in sys.argv:
+        return stream_main(mult, filters)
     relational = "--relational" in sys.argv
     from etl_bom_radiation_spark.queries import load_all
     from etl_bom_radiation_spark.session import get_spark
@@ -198,6 +356,8 @@ def main() -> int:
     dm = tempfile.mkdtemp(prefix=f"probe_{mult}x_")
     gen = gen_relational if relational else gen_corpus
     ops = REL_OPS if relational else OPS
+    if filters:
+        ops = [o for o in ops if any(f in o for f in filters)]
     try:
         gen(spark, d1, 1)
         gen(spark, dm, mult)
