@@ -15,10 +15,14 @@ Reading the ratios: an operator whose plan is linear should land near M
 scale); a superlinear ratio (>> M) is a quadratic term a plan argument
 missed — exactly the regression class that only shows at 100 TB.
 
-Usage:  python tools/scaling_probe.py [M] [op-substring ...]
+Usage:  python tools/scaling_probe.py [M] [op-substring ...] [flags]
 (default M=10, all OPS; extra args filter OPS/REL_OPS by substring, the
 check_queries convention — e.g. ``scaling_probe.py 100 n39 n42`` probes
-just those two at 100x).
+just those two at 100x).  Flags: ``--relational`` probes REL_OPS over
+replicated TPC-H facts; ``--hot`` switches the corpus generator to the
+adversarial saturated-bucket regime (see gen_corpus); ``--streaming``
+probes state-store growth of the stateful streaming pipelines instead
+of batch runtimes (M multiplies the micro-batch count).
 Prints one JSON line: {"m": M, "ops": {name: {"t1": s, "tm": s,
 "ratio": r}}}.  Corpora go under /tmp and are removed on exit.
 """
@@ -108,12 +112,28 @@ def gen_relational(spark, out_dir: str, mult: int) -> None:
     od_m.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
 
-def gen_corpus(spark, out_dir: str, mult: int) -> None:
+def gen_corpus(spark, out_dir: str, mult: int, hot: bool = False) -> None:
     """documents + events at ``mult`` x the sf0.1 row counts, same shape:
     ~20 sources, 8-90 token docs over a ~5000-word synthetic vocabulary,
     ~10% exact-duplicate texts and ~10% shared openings in ~5-doc groups
     (so every dedup stage has work); events over mult*1500 users across
-    30 days."""
+    30 days.
+
+    ``hot=False`` (default): token at position i is an xxhash64 mix of
+    (seed, i) — distinct seeds give independent token sequences, so
+    digest/bucket fan-out comes only from the INTENTIONAL duplicate
+    structure and stays bounded as the corpus grows (the realistic
+    regime; linearity curves are clean).
+
+    ``hot=True``: the round-6 polynomial token hash.  Every polynomial
+    in (seed, i) mod m is linear in i for a fixed seed — an arithmetic
+    progression mod 5003 — so the whole token SEQUENCE is a function of
+    seed mod 5003 and the corpus collapses into <= 5003 near-dup
+    classes whose size grows linearly with the corpus (measured: n39
+    max docs-per-digest 65 -> 110 from 60x -> 100x; distinct window
+    digests saturate at ~585k).  That is the adversarial hot-key regime
+    — the shape that exposed the n42/n11b bucket-join quadratics in
+    round 6 — kept as an explicit stress mode, not the default."""
     from pyspark.sql import functions as F
 
     n_docs = BASE_DOCS * mult
@@ -124,14 +144,16 @@ def gen_corpus(spark, out_dir: str, mult: int) -> None:
         .otherwise(F.col("id"))
         .alias("seed"),
     )
-    # tokens are 'w<h>' over a ~5000-word synthetic vocabulary. The hash
-    # MIXES seed and position non-linearly (seed*i term): a pure
-    # linear-congruential pmod(seed*a + i*b, m) makes the whole opening a
-    # function of seed mod m — the first generator did exactly that and
-    # collapsed 150k docs into 24 giant truncation buckets, turning every
-    # prefix-bucket op pathological (a corpus shape the real fixtures do
-    # NOT have: their openings are diverse token sequences).
-    tok_hash = lambda key, i: F.pmod(key * 131 + key * i * 31 + i * 71 + 17, F.lit(5003))
+    # tokens are 'w<h>' over a ~5000-word synthetic vocabulary
+    if hot:
+        tok_hash = lambda key, i: F.pmod(
+            key * 131 + key * i * 31 + i * 71 + 17, F.lit(5003)
+        )
+    else:
+        tok_hash = lambda key, i: F.pmod(
+            F.xxhash64(F.concat_ws("_", key.cast("string"), i.cast("string"))),
+            F.lit(5003),
+        )
     toklist = F.transform(
         F.sequence(
             F.lit(0),
@@ -208,7 +230,9 @@ def gen_stream_batches(src_dir: str, n_batches: int) -> None:
                         "doc_id": eid,
                         "ts": ts.strftime("%Y-%m-%dT%H:%M:%S.%f"),
                         "user_id": eid % STREAM_USERS,
-                        "event_type": "e",
+                        # alternate view/click so the stream-stream join
+                        # pipeline holds real two-sided state
+                        "event_type": "view" if eid % 2 == 0 else "click",
                         "value": (eid % 100) / 10.0,
                         "text": f"payload number {text_id}",
                     }
@@ -229,7 +253,10 @@ def _stream_pipelines(spark, src: str):
     bound each pipeline rides."""
     from pyspark.sql import functions as F
 
-    from etl_bom_radiation_spark.queries.stream_joins import watermarked_admission
+    from etl_bom_radiation_spark.queries.stream_joins import (
+        view_click_pairs,
+        watermarked_admission,
+    )
     from etl_bom_radiation_spark.streaming import (
         dedup_stream,
         read_event_stream,
@@ -251,19 +278,33 @@ def _stream_pipelines(spark, src: str):
     existing = spark.createDataFrame(
         [("seed corpus doc",)], "text string"
     ).select(F.md5("text").alias("h"), F.lit(1).alias("in_corpus"))
-    return {
-        "t02_windowed_counts": lambda: windowed_counts(
-            events(), window="2 minutes", watermark="5 minutes"
+    return {  # name -> (make_df, sink output mode)
+        "t02_windowed_counts": (
+            lambda: windowed_counts(events(), window="2 minutes", watermark="5 minutes"),
+            "update",
         ),
-        "t06_dedup_stream": lambda: dedup_stream(events(), watermark="5 minutes"),
-        "t10_watermarked_admission": lambda: watermarked_admission(
-            docs(), existing, delay="5 minutes"
+        "t06_dedup_stream": (
+            lambda: dedup_stream(events(), watermark="5 minutes"),
+            "update",
         ),
-        "t07_running_totals": lambda: running_totals_stateful(events()),
+        "t10_watermarked_admission": (
+            lambda: watermarked_admission(docs(), existing, delay="5 minutes"),
+            "update",
+        ),
+        "t07_running_totals": (lambda: running_totals_stateful(events()), "update"),
+        # stream-stream join (append: the only mode joins support): state
+        # holds both input sides within watermark + the 10-min attribution
+        # range — bounded by the event-time horizon (~15 min of rows
+        # here), not by input size
+        "t09_stream_stream_join": (
+            lambda: view_click_pairs(events().withWatermark("ts", "5 minutes")),
+            "append",
+        ),
     }
 
 
-def drain_stream(spark, make_df, src: str, n_batches: int, ckpt: str) -> dict:
+def drain_stream(spark, make_df, src: str, n_batches: int, ckpt: str,
+                 mode: str = "update") -> dict:
     """Write the batch files, drain them one micro-batch each, and report
     the state-store footprint from the progress events: final and peak
     ``numRowsTotal``, batches drained, input rows."""
@@ -276,7 +317,7 @@ def drain_stream(spark, make_df, src: str, n_batches: int, ckpt: str) -> dict:
         make_df()
         .writeStream.format("noop")
         .queryName(name)
-        .outputMode("update")
+        .outputMode(mode)
         .option("checkpointLocation", ckpt)
         .start()
     )
@@ -312,8 +353,8 @@ def stream_main(mult: int, filters: list[str]) -> int:
             for label, nb in (("1x", BASE_BATCHES), ("mx", BASE_BATCHES * mult)):
                 src = os.path.join(root, f"{name}_{label}_src")
                 ckpt = os.path.join(root, f"{name}_{label}_ckpt")
-                df_fn = pipelines(spark, src)[name]
-                res[label] = drain_stream(spark, df_fn, src, nb, ckpt)
+                df_fn, mode = pipelines(spark, src)[name]
+                res[label] = drain_stream(spark, df_fn, src, nb, ckpt, mode)
             f1, fm = res["1x"]["state_final"], res["mx"]["state_final"]
             res["state_ratio"] = round(fm / f1, 2) if f1 else None
             out[name] = res
@@ -345,6 +386,7 @@ def main() -> int:
     if "--streaming" in sys.argv:
         return stream_main(mult, filters)
     relational = "--relational" in sys.argv
+    hot = "--hot" in sys.argv
     from etl_bom_radiation_spark.queries import load_all
     from etl_bom_radiation_spark.session import get_spark
 
@@ -354,7 +396,10 @@ def main() -> int:
     out = {}
     d1 = tempfile.mkdtemp(prefix="probe_1x_")
     dm = tempfile.mkdtemp(prefix=f"probe_{mult}x_")
-    gen = gen_relational if relational else gen_corpus
+    if relational:
+        gen = gen_relational
+    else:
+        gen = lambda spark, out_dir, m: gen_corpus(spark, out_dir, m, hot=hot)
     ops = REL_OPS if relational else OPS
     if filters:
         ops = [o for o in ops if any(f in o for f in filters)]
