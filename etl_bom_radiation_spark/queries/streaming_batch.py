@@ -142,9 +142,11 @@ def t04_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t06_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6: dedup on event identity — duplicated input (self-union, the
     batch stand-in for at-least-once delivery) collapses back to one row
-    per event_id. In streaming the same ``dropDuplicates`` runs against the
-    state store with a watermark bounding retained keys
-    (tests/test_streaming.py::test_streaming_dedup)."""
+    per event_id. The streaming form is ``dropDuplicatesWithinWatermark``
+    (plain stateful ``dropDuplicates`` never evicts a non-event-time key —
+    the scaling probe measured exactly-linear state growth), so its dedup
+    guarantee is horizon-scoped while this batch form is global
+    (tests/test_streaming.py::test_streaming_dedup + _state_eviction)."""
     ev = load_events(spark, sf_dir).select("event_id", "event_type", "user_id", "ts", "value")
     doubled = ev.unionAll(ev)
     return (
