@@ -216,6 +216,42 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
 
 
+def test_stream_stream_join_state_eviction(spark, tmp_path):
+    """T9 state bound: joined-side rows older than watermark + the 10-min
+    attribution range leave the state store — the bound the scaling
+    probe's --streaming mode measures (ratio 1.54 at 10x input); this
+    locks it behaviorally at fixture scale."""
+    from etl_bom_radiation_spark.queries.stream_joins import view_click_pairs
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    stream = S.read_event_stream(spark, src).withWatermark("ts", "10 minutes")
+    q = _start(view_click_pairs(stream), ckpt, "ssj_evict")
+    try:
+        _write_batch(src, "b1.json", [
+            _ev(1, "2024-01-01 10:00:00", uid=1, etype="view"),
+            _ev(2, "2024-01-01 10:01:00", uid=2, etype="view"),
+            _ev(3, "2024-01-01 10:02:00", uid=3, etype="click"),
+        ])
+        q.processAllAvailable()
+        # 12:00 advances the watermark far past 10:0x + 10 min + range:
+        # all three buffered rows must be evicted; a follow-up batch lets
+        # the store commit the eviction.
+        _write_batch(src, "b2.json", [_ev(4, "2024-01-01 12:00:00", uid=9, etype="view")])
+        q.processAllAvailable()
+        _write_batch(src, "b3.json", [_ev(5, "2024-01-01 12:01:00", uid=9, etype="click")])
+        q.processAllAvailable()
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+        assert state_rows[0] == 3  # both sides buffered while in horizon
+        assert state_rows[-1] <= 2  # 10:0x rows evicted; only 12:0x remain
+    finally:
+        q.stop()
+
+
 def test_backpressure_max_files(spark, tmp_path):
     """maxFilesPerTrigger: a 3-file backlog drains in 3 micro-batches of 1
     file — the ingest backpressure knob for 100 TB backfills (SURVEY §7 M5)."""
