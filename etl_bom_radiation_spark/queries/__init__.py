@@ -187,6 +187,7 @@ _MODULES = [
     "recursive_cte",
     "rolling",
     "scale_lifecycle",
+    "pagerank",
 ]
 
 

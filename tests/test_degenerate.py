@@ -53,6 +53,8 @@ DOC_QUERIES = [
     "n44_corpus_keep_list",
     "n45_bloom_prefilter",
     "n46_source_overlap_theta",
+    # round-7 doc operators
+    "n47_source_pagerank",
 ]
 
 EVENT_ORDER_QUERIES = [

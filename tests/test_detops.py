@@ -543,3 +543,43 @@ def test_sessionization_batch_matches_native_session_window(spark, sf_dir):
     assert Counter((r.user_id, r.n_events) for r in x) == Counter(
         (r.user_id, r.n_events) for r in t
     )
+
+
+def test_source_pagerank_matches_python_fold(spark, tmp_path):
+    """n47 semantics vs an independent Python model of the integer
+    iteration on a hand-built graph: A-B share two prefix fingerprints,
+    B-C share one, D is isolated. Floor-division micro-unit arithmetic
+    must reproduce the model's BIGINTs exactly; the isolated source sits
+    at the teleport floor (150000) at every iteration."""
+    fp = lambda k: " ".join(f"{k}t{i}" for i in range(8))
+    rows = [
+        (0, fp("x") + " tailA0", "en", "srcA", 0),
+        (1, fp("y") + " tailA1", "en", "srcA", 0),
+        (2, fp("x") + " tailB0", "en", "srcB", 0),
+        (3, fp("y") + " tailB1", "en", "srcB", 0),
+        (4, fp("z") + " tailB2", "en", "srcB", 0),
+        (5, fp("z") + " tailC0", "en", "srcC", 0),
+        (6, fp("w") + " tailD0", "en", "srcD", 0),
+    ]
+    d = str(tmp_path / "fix47")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r.source: (r.wsum, r.rank_micro)
+        for r in load_all()["n47_source_pagerank"].fn(spark, d).collect()
+    }
+
+    # independent model: symmetric weighted edges + the exact formula
+    edges = [("srcA", "srcB", 2), ("srcB", "srcA", 2),
+             ("srcB", "srcC", 1), ("srcC", "srcB", 1)]
+    wsum = {"srcA": 2, "srcB": 3, "srcC": 1, "srcD": 0}
+    r = {s: 1_000_000 for s in wsum}
+    for _ in range(8):
+        contrib = {s: 0 for s in wsum}
+        for u, v, w in edges:
+            contrib[v] += (r[u] * w) // max(wsum[u], 1)
+        r = {s: 150_000 + (85 * contrib[s]) // 100 for s in wsum}
+        assert r["srcD"] == 150_000  # isolated: teleport floor, every step
+    assert got == {s: (wsum[s], r[s]) for s in wsum}

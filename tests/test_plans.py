@@ -587,3 +587,17 @@ def test_rolling_dau_single_fact_pass(spark, oracle_sf_dir):
     assert "Scan ExistingRDD" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_source_pagerank_loop_never_rescans_corpus(spark, oracle_sf_dir):
+    """n47: the corpus collapse happens inside the checkpointed edge
+    frame, so the FINAL plan (last iteration + wsum projection) contains
+    NO FileScan at all — only Scan ExistingRDD from the per-iteration
+    checkpoints; the rank frame joins broadcast-or-tiny, and the
+    reported out-weight comes from the pinned edge frame, never a
+    re-derivation of the fingerprint collapse (the plan audit caught the
+    original version re-running the corpus scan for that projection)."""
+    p = _plan(spark, oracle_sf_dir, "n47_source_pagerank")
+    plan_count(p, "FileScan", 0)
+    assert "Scan ExistingRDD" in p
+    assert "CartesianProduct" not in p

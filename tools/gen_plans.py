@@ -67,6 +67,7 @@ NOTES = {
     "x08_rolling_dau": "sliding COUNT DISTINCT as contribute-then-dedup: the fact collapses to the checkpoint-pinned DISTINCT (user, day) frame (read once — it feeds both the window explode and the bounds aggregate), the |window|x inflation applies to that collapsed set, both big shuffles key on uniform pairs, and the day rollup + spine join touch only |days|-sized frames",
     "x09_rolling_dau_hll": "the wide-window production form: ONE fact pass builds per-day HLL sketches (map-side partial sketch merge), the window union merges |days| x window KB-sized sketches — state independent of user cardinality; rows-only by contract, error-fenced against x08",
     "n46_source_overlap_theta": "per-source theta sketches built in one fact pass (map-side partials), then the pair matrix is a broadcast cross of |sources| sketch rows with theta_intersection per pair — no corpus-scale join anywhere; exact-fenced against n35 below nominal entries",
+    "n47_source_pagerank": "iterative operator: the corpus is touched ONCE (n35's distinct fingerprint collapse) into a checkpoint-pinned edge frame; each of the 8 fixed iterations joins the |sources|-row rank frame (broadcast) against it and re-aggregates — per-iteration lineage truncation keeps analysis linear, so the final plan shows only the last iteration over Scan ExistingRDD (the checkpoints); nothing in the loop rescans or reshuffles the corpus",
 }
 
 

@@ -54,6 +54,11 @@ OPS = [
     # uncapped simhash collision joins; SIMHASH_BUCKET_CAP fix)
     "n11b_simhash_neardup",
     "n20_dedup_clusters",
+    # Arrow mapInPandas kernel family (Python-worker batch path — scales
+    # with partition count, no shuffle at all)
+    "mm01_multimodal_features",
+    # broadcast-model family (corpus never shuffles for the model join)
+    "n30_unigram_lm_score",
 ]
 
 #: relational-core ops probed in ``--relational`` mode over a key-shifted
