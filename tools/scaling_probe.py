@@ -59,6 +59,10 @@ OPS = [
     "mm01_multimodal_features",
     # broadcast-model family (corpus never shuffles for the model join)
     "n30_unigram_lm_score",
+    # provenance/graph family: fingerprint-collapse self-join (bounded
+    # per-key fan-out) and the fixed-iteration PageRank on its output
+    "n35_source_dup_matrix",
+    "n47_source_pagerank",
 ]
 
 #: relational-core ops probed in ``--relational`` mode over a key-shifted
