@@ -58,8 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import load_tables, register
-from .llm_queries import _DUCK_TOKENS, _tokens
-from .truncation import K
+from .provenance import SRC_FP_CTES, source_fingerprints
 
 #: fixed PageRank iterations — a constant, not a convergence test (see
 #: module docstring); 8 is past practical convergence for graphs whose
@@ -67,12 +66,7 @@ from .truncation import K
 ITERS = 8
 
 _ORACLE_BASE = f"""
-    t AS (SELECT source, {_DUCK_TOKENS} AS ws
-          FROM documents WHERE source IS NOT NULL),
-    ds AS (SELECT DISTINCT
-                  md5(array_to_string(list_slice(ws, 1, {K}), ' ')) AS h,
-                  source
-           FROM t WHERE len(ws) >= {K}),
+    {SRC_FP_CTES},
     e AS (SELECT a.source AS src, b.source AS dst,
                  CAST(count(*) AS BIGINT) AS w
           FROM ds a JOIN ds b ON a.h = b.h AND a.source <> b.source
@@ -111,6 +105,31 @@ _ORACLE = (
 )
 
 
+def pagerank_step(nodes: DataFrame, ew: DataFrame, ranks: DataFrame) -> DataFrame:
+    """One exact-integer PageRank update: contributions off the pinned
+    edge frame, damped + teleport fold onto the full node set.  Exposed
+    as a function so the plan test can assert the LOOP BODY itself never
+    touches a FileScan (the per-iteration checkpoints make the final
+    plan structurally blind to what the loop re-reads — a first version
+    re-scanned the corpus for ``nodes`` every iteration and the
+    final-plan assert could not see it; code-review r7)."""
+    contrib = (
+        ranks.join(ew, F.col("source") == F.col("src"))
+        .select(
+            F.col("dst").alias("source"),
+            F.expr("(r * w) div wsum").alias("c"),
+        )
+        .groupBy("source")
+        .agg(F.sum("c").alias("s"))
+    )
+    return nodes.join(contrib, "source", "left_outer").select(
+        "source",
+        (F.lit(150000) + F.expr("(85 * coalesce(s, 0L)) div 100"))
+        .cast("long")
+        .alias("r"),
+    )
+
+
 @register("n47_source_pagerank", oracle=_ORACLE)
 def n47_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N47 (extension): per-source PageRank over the symmetric
@@ -120,19 +139,18 @@ def n47_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph (checkpoint-pinned); the loop shuffles only metadata-sized
     frames."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    src_docs = d.filter(F.col("source").isNotNull())
-    nodes = src_docs.select("source").distinct()
-    t = src_docs.select("source", _tokens(F.col("text")).alias("ws"))
-    # the collapse is pinned so the self-join's two sides (and nothing
-    # else) read it — without this the corpus scan runs once per branch
-    ds = (
-        t.filter(F.size("ws") >= K)
-        .select(
-            F.md5(F.concat_ws(" ", F.slice("ws", 1, K))).alias("h"), "source"
-        )
+    # BOTH corpus-derived frames are pinned before the loop: the edge
+    # frame AND the node list — an un-pinned nodes re-scans documents +
+    # re-runs its distinct in every iteration (code-review r7)
+    nodes = (
+        d.filter(F.col("source").isNotNull())
+        .select("source")
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # shared provenance-family collapse, pinned so the self-join's two
+    # sides (and nothing else) read it
+    ds = source_fingerprints(d).localCheckpoint(eager=False)
     a = ds.select("h", F.col("source").alias("src"))
     b = ds.select("h", F.col("source").alias("dst"))
     e = (
@@ -142,37 +160,17 @@ def n47_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
     wu = e.groupBy("src").agg(F.sum("w").alias("wsum"))
-    # corpus-scale extraction pinned: the ITERS-iteration loop below must
-    # not recompute the fingerprint collapse once per iteration
     ew = e.join(wu, "src").localCheckpoint(eager=False)
     ranks = nodes.select("source", F.lit(1000000).cast("long").alias("r"))
     for _ in range(ITERS):
-        contrib = (
-            ranks.join(ew, F.col("source") == F.col("src"))
-            .select(
-                F.col("dst").alias("source"),
-                F.expr("(r * w) div wsum").alias("c"),
-            )
-            .groupBy("source")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, "source", "left_outer")
-            .select(
-                "source",
-                (F.lit(150000) + F.expr("(85 * coalesce(s, 0L)) div 100"))
-                .cast("long")
-                .alias("r"),
-            )
-            # lineage truncation per iteration (the GraphX/ALS pattern)
-            # keeps Catalyst analysis linear in ITERS instead of nesting
-            # every prior iteration's plan.  Warm runtime (~2.5 s at any
-            # small sf) is per-iteration JOB latency — the documented
-            # cost of driver-coordinated iteration, same class as q51's
-            # per-level jobs — not corpus work; the corpus pass happens
-            # once, above.
-            .localCheckpoint(eager=False)
-        )
+        # lineage truncation per iteration (the GraphX/ALS pattern)
+        # keeps Catalyst analysis linear in ITERS instead of nesting
+        # every prior iteration's plan.  Warm runtime (~2.5 s at any
+        # small sf) is per-iteration JOB latency — the documented cost
+        # of driver-coordinated iteration, same class as q51's
+        # per-level jobs — not corpus work; the corpus passes happen
+        # once, above.
+        ranks = pagerank_step(nodes, ew, ranks).localCheckpoint(eager=False)
     # the reported out-weight comes from the CHECKPOINTED edge frame (each
     # edge row carries wsum), never from wu's un-pinned lineage — the plan
     # audit caught the original wu join re-running the corpus collapse for

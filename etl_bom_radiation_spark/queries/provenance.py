@@ -49,17 +49,40 @@ from .llm_queries import _DUCK_TOKENS, _tokens
 from .truncation import K
 
 
+def source_fingerprints(d: DataFrame, collapse: bool = True) -> DataFrame:
+    """The provenance family's shared frame: (prefix-K token digest
+    ``h``, ``source``) over non-NULL-source documents, DISTINCT-collapsed
+    by default (one shuffle on uniform 16-byte keys with map-side
+    combine).  n35/n47 build on the collapsed frame; n46 passes
+    ``collapse=False`` because ``theta_sketch_agg`` is distinct-counting
+    by construction — a pre-collapse would only add a shuffle.  Keeping
+    ONE definition (and the matching ``SRC_FP_CTES`` oracle fragment)
+    means the engine-parity-critical fingerprint expression cannot drift
+    between family members."""
+    t = d.filter(F.col("source").isNotNull()).select(
+        "source", _tokens(F.col("text")).alias("ws")
+    )
+    fp = t.filter(F.size("ws") >= K).select(
+        F.md5(F.concat_ws(" ", F.slice("ws", 1, K))).alias("h"), "source"
+    )
+    return fp.distinct() if collapse else fp
+
+
+#: oracle-side twin of :func:`source_fingerprints` — CTEs ``t`` and
+#: ``ds``; splice into a WITH list
+SRC_FP_CTES = f"""
+    t AS (SELECT source, {_DUCK_TOKENS} AS ws
+          FROM documents WHERE source IS NOT NULL),
+    ds AS (SELECT DISTINCT
+                  md5(array_to_string(list_slice(ws, 1, {K}), ' ')) AS h,
+                  source
+           FROM t WHERE len(ws) >= {K})"""
+
+
 @register(
     "n35_source_dup_matrix",
     oracle=f"""
-    WITH t AS (
-        SELECT source, {_DUCK_TOKENS} AS ws
-        FROM documents WHERE source IS NOT NULL
-    ), ds AS (
-        SELECT DISTINCT
-               md5(array_to_string(list_slice(ws, 1, {K}), ' ')) AS h, source
-        FROM t WHERE len(ws) >= {K}
-    )
+    WITH {SRC_FP_CTES}
     SELECT a.source AS source_a, b.source AS source_b,
            CAST(count(*) AS BIGINT) AS shared_prefixes
     FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source
@@ -81,17 +104,7 @@ def n35_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same decision."""
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    t = d.filter(F.col("source").isNotNull()).select(
-        "source", _tokens(F.col("text")).alias("ws")
-    )
-    ds = (
-        t.filter(F.size("ws") >= K)
-        .select(
-            F.md5(F.concat_ws(" ", F.slice("ws", 1, K))).alias("h"),
-            "source",
-        )
-        .distinct()
-    )
+    ds = source_fingerprints(d)
     a = ds.select("h", F.col("source").alias("source_a"))
     b = ds.select("h", F.col("source").alias("source_b"))
     return (
@@ -125,12 +138,7 @@ def n46_source_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, not a tolerance band.
     """
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    t = d.filter(F.col("source").isNotNull()).select(
-        "source", _tokens(F.col("text")).alias("ws")
-    )
-    fp = t.filter(F.size("ws") >= K).select(
-        F.md5(F.concat_ws(" ", F.slice("ws", 1, K))).alias("h"), "source"
-    )
+    fp = source_fingerprints(d, collapse=False)
     sk = fp.groupBy("source").agg(F.expr("theta_sketch_agg(h)").alias("sk"))
     a = sk.select(F.col("source").alias("source_a"), F.col("sk").alias("sk_a"))
     b = sk.select(F.col("source").alias("source_b"), F.col("sk").alias("sk_b"))

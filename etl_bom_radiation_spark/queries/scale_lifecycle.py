@@ -64,8 +64,9 @@ def d02_scale_levers_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest -> manifest-pruned box read (files/rows before vs after, plus
     pruned==full equality on the same predicate) -> append + incremental
     manifest refresh -> IVF-partitioned ANN layout -> DPP-pruned probe
-    (rows scanned before vs after, plan-level dynamicpruning bit, pruned
-    top-k == full top-k restricted to the probed cells).
+    (rows scanned before vs after, plan-level dynamicpruning bit, probed
+    rows == layout restricted to the INDEPENDENTLY-derived intended cells
+    — centroid scores, not the probe's own output).
 
     Rows-only by nature (provisions temp layouts; DuckDB has no file
     manifest or DPP to mirror), t01/d01-style: 14 deterministic
@@ -142,9 +143,20 @@ def d02_scale_levers_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         plan = cand._jdf.queryExecution().executedPlan().toString()
         dpp_visible = int("dynamicpruning" in plan)
         # fence: the probed candidates ARE the layout restricted to the
-        # probed cells — pruning changes IO, never membership
-        probe_cells = cand.select("cell").distinct()
-        restricted = layout.join(probe_cells, "cell").count()
+        # INTENDED cells — derived independently from the centroid scores
+        # (probe_cells), never from cand's own output: a fence built from
+        # cand's cells is a tautology that passes even if the probe chose
+        # the wrong cells (code-review r7). Catches wrong-cell probes AND
+        # rows DPP dropped/added within a probed cell.
+        from ..scale import probe_cells
+        from .ivf_eval import base_vectors
+
+        e_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q_row = base_vectors(e_vec.filter(F.col("vec_id") == 0))
+        cent = spark.read.parquet(f"{ivf}/_centroids")
+        expected = layout.join(
+            F.broadcast(probe_cells(q_row, cent, nprobe=4)), "cell"
+        ).count()
 
         rows = [
             ("01_clustered_files", len(data_files)),
@@ -160,7 +172,7 @@ def d02_scale_levers_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("11_ivf_cells", cells),
             ("12_ann_rows_full", ann_rows_full),
             ("13_ann_rows_probed", ann_rows_probed),
-            ("14_ann_dpp_in_plan_and_exact", int(dpp_visible and restricted == ann_rows_probed)),
+            ("14_ann_dpp_in_plan_and_exact", int(dpp_visible and expected == ann_rows_probed)),
         ]
         return spark.createDataFrame(rows, "step string, value long").orderBy("step")
     finally:

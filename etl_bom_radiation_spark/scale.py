@@ -399,10 +399,21 @@ def ivf_probe_candidates(
     if nprobe is None:
         return idx, q_row
     cent = spark.read.parquet(f"{index_dir}/_centroids")
-    scored_q = cell_scores(quantize(q_row), cent)
-    probe = (
-        scored_q.orderBy(F.col("dp").desc(), F.col("cell").asc())
+    probe = probe_cells(q_row, cent, nprobe)
+    return idx.join(F.broadcast(probe), "cell"), q_row
+
+
+def probe_cells(q_row: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+    """The ``nprobe`` best cells for a query row by centroid MIP score —
+    the single definition of "which cells should be probed", shared by
+    :func:`ivf_probe_candidates` and by d02's independent pruning fence
+    (the fence must derive the expected cell set from first principles,
+    not from the probed result's own output; code-review r7)."""
+    from .queries.ivf_eval import cell_scores, quantize
+
+    return (
+        cell_scores(quantize(q_row), cent)
+        .orderBy(F.col("dp").desc(), F.col("cell").asc())
         .limit(nprobe)
         .select("cell")
     )
-    return idx.join(F.broadcast(probe), "cell"), q_row

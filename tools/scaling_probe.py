@@ -204,12 +204,16 @@ def gen_corpus(spark, out_dir: str, mult: int, hot: bool = False) -> None:
             F.lit(1704067200_000_000)  # 2024-01-01
             + F.pmod(F.col("id") * 7919, F.lit(30 * 86400)) * 1_000_000
         ).alias("ts"),
-        # Zipf-ish: square a uniform to concentrate activity
-        F.pmod(
-            (F.pmod(F.col("id") * 104729, F.lit(1500 * 1500))
-             / F.lit(1500)).cast("long"),
-            F.lit(1500 * mult),
-        ).alias("user_id"),
+        # Zipf-ish over mult*1500 users: square a uniform draw u in
+        # [0, U) -> P(user < x) = sqrt(x/U), so low ids concentrate
+        # activity while the id range really is ~U.  (The previous
+        # expression divided the uniform before a dead outer pmod —
+        # 1500 users at every M and no squaring; code-review r7.)
+        (
+            F.pmod(F.col("id") * 104729, F.lit(1500 * mult))
+            * F.pmod(F.col("id") * 104729, F.lit(1500 * mult))
+            / F.lit(1500 * mult)
+        ).cast("long").alias("user_id"),
         F.lit("e").alias("event_type"),
         (F.pmod(F.col("id"), F.lit(100)) / 10.0).alias("value"),
         F.lit("{}").alias("props"),
@@ -350,6 +354,14 @@ def stream_main(mult: int, filters: list[str]) -> int:
 
     spark = get_spark(app_name="scaling_probe_stream")
     spark.sparkContext.setLogLevel("ERROR")
+    # recentProgress keeps only the last numRecentProgressUpdates
+    # (default 100) progress events — an Mx run drains BASE_BATCHES*M
+    # micro-batches, so at M >= 13 the default silently truncates
+    # input_rows / state_peak (code-review r7); size it to the run
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(BASE_BATCHES * mult + 100),
+    )
     out = {}
     root = tempfile.mkdtemp(prefix="probe_stream_")
     pipelines = _stream_pipelines  # built per-source below
@@ -390,8 +402,11 @@ def time_op(spark, fn, sf_dir: str) -> float:
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    mult = int(args[0]) if args else 10
-    filters = args[1:]
+    # M is optional: a leading non-numeric positional is an op filter
+    if args and args[0].isdigit():
+        mult, filters = int(args[0]), args[1:]
+    else:
+        mult, filters = 10, args
     if "--streaming" in sys.argv:
         return stream_main(mult, filters)
     relational = "--relational" in sys.argv
