@@ -91,11 +91,17 @@ _ORACLE_STEP = """
         JOIN wu2 w2 ON w2.src = p.source
         GROUP BY e.dst) c ON c.v = n.source)"""
 
-_ORACLE = (
-    "WITH "
-    + _ORACLE_BASE
+#: the full rank-computation CTE chain (through pr{ITERS}) — splice into
+#: a WITH list; shared by the n47 and n48 oracles
+_PR_CTES = (
+    _ORACLE_BASE
     + ","
     + ",".join(_ORACLE_STEP.format(i=i, j=i - 1) for i in range(1, ITERS + 1))
+)
+
+_ORACLE = (
+    "WITH "
+    + _PR_CTES
     + f"""
     SELECT p.source,
            CAST(COALESCE(wu.wsum, 0) AS BIGINT) AS wsum,
@@ -130,15 +136,12 @@ def pagerank_step(nodes: DataFrame, ew: DataFrame, ranks: DataFrame) -> DataFram
     )
 
 
-@register("n47_source_pagerank", oracle=_ORACLE)
-def n47_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N47 (extension): per-source PageRank over the symmetric
-    shared-fingerprint graph (n35's matrix as weighted edges), ITERS
-    fixed iterations in exact BIGINT micro-unit arithmetic — the
-    authority prior for source weighting. One corpus pass builds the
-    graph (checkpoint-pinned); the loop shuffles only metadata-sized
-    frames."""
-    d = load_tables(spark, sf_dir, "documents")["documents"]
+def source_rank_frame(d: DataFrame) -> DataFrame:
+    """The n47 computation as a reusable stage: (source, wsum,
+    rank_micro) for every non-NULL source of ``d``.  Shared by the
+    standalone n47 query and the authority-weighted sampler (n48) so the
+    rank arithmetic can never drift between them (the n39/n44 shared-
+    stage discipline)."""
     # BOTH corpus-derived frames are pinned before the loop: the edge
     # frame AND the node list — an un-pinned nodes re-scans documents +
     # re-runs its distinct in every iteration (code-review r7)
@@ -183,4 +186,118 @@ def n47_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("wsum"), F.lit(0)).cast("long").alias("wsum"),
             F.col("r").alias("rank_micro"),
         )
+    )
+
+
+@register("n47_source_pagerank", oracle=_ORACLE)
+def n47_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N47 (extension): per-source PageRank over the symmetric
+    shared-fingerprint graph (n35's matrix as weighted edges), ITERS
+    fixed iterations in exact BIGINT micro-unit arithmetic — the
+    authority prior for source weighting. One corpus pass builds the
+    graph (checkpoint-pinned); the loop shuffles only metadata-sized
+    frames."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return source_rank_frame(d)
+
+
+#: seed prefix for n48's per-document draw (the n15/n16/n17/n40 stable-
+#: contract discipline)
+_N48_SEED = "auth8-"
+
+_N48_ORACLE = (
+    "WITH "
+    + _PR_CTES
+    + f""",
+    dd AS (SELECT doc_id, source,
+                  CAST(concat('0x', substr(md5('{_N48_SEED}' || CAST(doc_id AS VARCHAR)), 1, 6))
+                       AS BIGINT) AS u24
+           FROM documents WHERE source IS NOT NULL),
+    cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM dd GROUP BY 1),
+    tot AS (SELECT CAST(SUM(r) AS BIGINT) AS r_total FROM pr{ITERS}),
+    bud AS (SELECT CAST(SUM(n_docs) // 2 AS BIGINT) AS b FROM cnt),
+    alloc AS (SELECT p.source, c.n_docs, p.r AS rank_micro,
+                     CAST((b.b * p.r) // t.r_total AS BIGINT) AS alloc_docs
+              FROM pr{ITERS} p
+              JOIN cnt c ON c.source = p.source
+              CROSS JOIN tot t CROSS JOIN bud b),
+    kept AS (SELECT dd.source,
+                    CASE WHEN dd.u24 * a.n_docs < {1 << 24} * a.alloc_docs
+                         THEN 1 ELSE 0 END AS keep
+             FROM dd JOIN alloc a ON a.source = dd.source)
+    SELECT a.source, a.n_docs, a.rank_micro, a.alloc_docs,
+           CAST(SUM(k.keep) AS BIGINT) AS n_kept
+    FROM kept k JOIN alloc a ON a.source = k.source
+    GROUP BY a.source, a.n_docs, a.rank_micro, a.alloc_docs
+    """
+)
+
+
+@register("n48_authority_weighted_sampling", oracle=_N48_ORACLE)
+def n48_authority_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N48 (extension): the composed capstone of the provenance family —
+    n47's authority ranks realized as a corpus sampling plan.  A
+    half-corpus budget is split across sources proportionally to their
+    PageRank (``alloc_k = (B * r_k) div R``, exact BIGINT), then each
+    document survives a DETERMINISTIC integer draw
+    (``u24 * n_k < 2^24 * alloc_k`` — the exact integer form of
+    ``uniform(0,1) < alloc_k / n_k``, n40's discipline; a high-rank
+    small source with ``alloc >= n`` keeps everything, the standard
+    cap).  Products stay under 2^63 to ~5e11 docs per source
+    (2^63 / 2^24).
+
+    Scale shape: the rank computation is n47's (one text pass, pinned
+    graph, metadata-sized iterations); the sampler adds ONE pinned
+    (doc_id, source, u24) projection that feeds both the per-source
+    counts and the draw — the tiny alloc table broadcasts back, the
+    corpus never shuffles for the decision."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    ranks = source_rank_frame(d)
+    # one id/source projection read once: counts + draw share it
+    dd = (
+        d.filter(F.col("source").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(_N48_SEED), F.col("doc_id").cast("string"))
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("u24"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cnt = dd.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = ranks.agg(F.sum("rank_micro").alias("r_total"))
+    bud = cnt.agg(F.expr("sum(n_docs) div 2").alias("b"))
+    alloc = (
+        ranks.join(cnt, "source")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(bud))
+        .select(
+            "source",
+            "n_docs",
+            "rank_micro",
+            F.expr("(b * rank_micro) div r_total").alias("alloc_docs"),
+        )
+    )
+    kept = dd.join(F.broadcast(alloc), "source").select(
+        "source",
+        (F.col("u24") * F.col("n_docs") < F.lit(1 << 24) * F.col("alloc_docs"))
+        .cast("int")
+        .alias("keep"),
+    )
+    return (
+        kept.join(F.broadcast(alloc), "source")
+        .groupBy("source", "n_docs", "rank_micro", "alloc_docs")
+        .agg(F.sum("keep").cast("long").alias("n_kept"))
     )

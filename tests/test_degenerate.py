@@ -55,6 +55,7 @@ DOC_QUERIES = [
     "n46_source_overlap_theta",
     # round-7 doc operators
     "n47_source_pagerank",
+    "n48_authority_weighted_sampling",
 ]
 
 EVENT_ORDER_QUERIES = [

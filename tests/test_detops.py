@@ -583,3 +583,55 @@ def test_source_pagerank_matches_python_fold(spark, tmp_path):
         r = {s: 150_000 + (85 * contrib[s]) // 100 for s in wsum}
         assert r["srcD"] == 150_000  # isolated: teleport floor, every step
     assert got == {s: (wsum[s], r[s]) for s in wsum}
+
+
+def test_authority_sampling_matches_python_fold(spark, tmp_path):
+    """n48 semantics vs an independent Python model on the same
+    hand-built graph as the n47 parity test: rank-proportional integer
+    budgets and the exact u24 draw must reproduce per-source kept
+    counts; the whole chain (8 PageRank iterations -> allocation ->
+    draw) is pure BIGINT arithmetic."""
+    import hashlib
+
+    fp = lambda k: " ".join(f"{k}t{i}" for i in range(8))
+    rows = [
+        (0, fp("x") + " tailA0", "en", "srcA", 0),
+        (1, fp("y") + " tailA1", "en", "srcA", 0),
+        (2, fp("x") + " tailB0", "en", "srcB", 0),
+        (3, fp("y") + " tailB1", "en", "srcB", 0),
+        (4, fp("z") + " tailB2", "en", "srcB", 0),
+        (5, fp("z") + " tailC0", "en", "srcC", 0),
+        (6, fp("w") + " tailD0", "en", "srcD", 0),
+    ]
+    d = str(tmp_path / "fix48")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r.source: (r.n_docs, r.rank_micro, r.alloc_docs, r.n_kept)
+        for r in load_all()["n48_authority_weighted_sampling"].fn(spark, d).collect()
+    }
+
+    # rank model (same as the n47 test)
+    edges = [("srcA", "srcB", 2), ("srcB", "srcA", 2),
+             ("srcB", "srcC", 1), ("srcC", "srcB", 1)]
+    wsum = {"srcA": 2, "srcB": 3, "srcC": 1, "srcD": 0}
+    r = {s: 1_000_000 for s in wsum}
+    for _ in range(8):
+        contrib = {s: 0 for s in wsum}
+        for u, v, w in edges:
+            contrib[v] += (r[u] * w) // max(wsum[u], 1)
+        r = {s: 150_000 + (85 * contrib[s]) // 100 for s in wsum}
+    # sampling model
+    n_docs = {"srcA": 2, "srcB": 3, "srcC": 1, "srcD": 1}
+    src_of = dict(enumerate(["srcA", "srcA", "srcB", "srcB", "srcB", "srcC", "srcD"]))
+    r_total, budget = sum(r.values()), sum(n_docs.values()) // 2
+    alloc = {s: (budget * r[s]) // r_total for s in r}
+    kept = {s: 0 for s in r}
+    for i in range(7):
+        u24 = int(hashlib.md5(f"auth8-{i}".encode()).hexdigest()[:6], 16)
+        s = src_of[i]
+        if u24 * n_docs[s] < (1 << 24) * alloc[s]:
+            kept[s] += 1
+    assert got == {s: (n_docs[s], r[s], alloc[s], kept[s]) for s in r}

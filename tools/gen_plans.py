@@ -68,6 +68,7 @@ NOTES = {
     "x09_rolling_dau_hll": "the wide-window production form: ONE fact pass builds per-day HLL sketches (map-side partial sketch merge), the window union merges |days| x window KB-sized sketches — state independent of user cardinality; rows-only by contract, error-fenced against x08",
     "n46_source_overlap_theta": "per-source theta sketches built in one fact pass (map-side partials), then the pair matrix is a broadcast cross of |sources| sketch rows with theta_intersection per pair — no corpus-scale join anywhere; exact-fenced against n35 below nominal entries",
     "n47_source_pagerank": "iterative operator: the corpus is touched ONCE (n35's distinct fingerprint collapse) into a checkpoint-pinned edge frame; each of the 8 fixed iterations joins the |sources|-row rank frame (broadcast) against it and re-aggregates — per-iteration lineage truncation keeps analysis linear, so the final plan shows only the last iteration over Scan ExistingRDD (the checkpoints); nothing in the loop rescans or reshuffles the corpus",
+    "n48_authority_weighted_sampling": "composed sampler: n47's rank chain plus ONE pinned (doc_id, source, u24) projection shared by the per-source counts and the keep decision; the |sources|-row alloc table broadcasts back onto the pinned projection, so the corpus never shuffles for the draw — the only corpus-scale exchanges are the rank chain's fingerprint collapse and the final |sources|-key aggregation of keep flags",
 }
 
 

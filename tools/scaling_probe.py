@@ -60,9 +60,11 @@ OPS = [
     # broadcast-model family (corpus never shuffles for the model join)
     "n30_unigram_lm_score",
     # provenance/graph family: fingerprint-collapse self-join (bounded
-    # per-key fan-out) and the fixed-iteration PageRank on its output
+    # per-key fan-out), the fixed-iteration PageRank on its output, and
+    # the composed authority-weighted sampler
     "n35_source_dup_matrix",
     "n47_source_pagerank",
+    "n48_authority_weighted_sampling",
 ]
 
 #: relational-core ops probed in ``--relational`` mode over a key-shifted
