@@ -92,6 +92,11 @@ HEADLINE = [
     # the sketch-agg + merge shapes)
     "x09_rolling_dau_hll",
     "n46_source_overlap_theta",
+    # the iterative family: wall time guards the pinned-graph +
+    # metadata-sized-iteration shape (a regression that drags the corpus
+    # into the loop multiplies these ~ITERS-fold)
+    "n47_source_pagerank",
+    "n48_authority_weighted_sampling",
 ]
 
 # Fixed cross-round comparison set (VERDICT r5 #6): the full total grows
