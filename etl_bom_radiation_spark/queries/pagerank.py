@@ -136,12 +136,12 @@ def pagerank_step(nodes: DataFrame, ew: DataFrame, ranks: DataFrame) -> DataFram
     )
 
 
-def source_rank_frame(d: DataFrame) -> DataFrame:
-    """The n47 computation as a reusable stage: (source, wsum,
-    rank_micro) for every non-NULL source of ``d``.  Shared by the
-    standalone n47 query and the authority-weighted sampler (n48) so the
-    rank arithmetic can never drift between them (the n39/n44 shared-
-    stage discipline)."""
+def graph_frames(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(nodes, ew): the pinned node list and pinned weighted edge frame
+    the PageRank loop iterates over.  A separate function so the plan
+    test asserts the loop body against the SAME construction the query
+    uses — a hand-copied graph build in the test would silently drift
+    from production (code-review r7)."""
     # BOTH corpus-derived frames are pinned before the loop: the edge
     # frame AND the node list — an un-pinned nodes re-scans documents +
     # re-runs its distinct in every iteration (code-review r7)
@@ -164,6 +164,16 @@ def source_rank_frame(d: DataFrame) -> DataFrame:
     )
     wu = e.groupBy("src").agg(F.sum("w").alias("wsum"))
     ew = e.join(wu, "src").localCheckpoint(eager=False)
+    return nodes, ew
+
+
+def source_rank_frame(d: DataFrame) -> DataFrame:
+    """The n47 computation as a reusable stage: (source, wsum,
+    rank_micro) for every non-NULL source of ``d``.  Shared by the
+    standalone n47 query and the authority-weighted sampler (n48) so the
+    rank arithmetic can never drift between them (the n39/n44 shared-
+    stage discipline)."""
+    nodes, ew = graph_frames(d)
     ranks = nodes.select("source", F.lit(1000000).cast("long").alias("r"))
     for _ in range(ITERS):
         # lineage truncation per iteration (the GraphX/ALS pattern)
@@ -218,18 +228,19 @@ _N48_ORACLE = (
     tot AS (SELECT CAST(SUM(r) AS BIGINT) AS r_total FROM pr{ITERS}),
     bud AS (SELECT CAST(SUM(n_docs) // 2 AS BIGINT) AS b FROM cnt),
     alloc AS (SELECT p.source, c.n_docs, p.r AS rank_micro,
-                     CAST((b.b * p.r) // t.r_total AS BIGINT) AS alloc_docs
+                     CAST((CAST(b.b AS HUGEINT) * CAST(p.r AS HUGEINT))
+                          // CAST(t.r_total AS HUGEINT) AS BIGINT) AS alloc_docs
               FROM pr{ITERS} p
               JOIN cnt c ON c.source = p.source
               CROSS JOIN tot t CROSS JOIN bud b),
     kept AS (SELECT dd.source,
                     CASE WHEN dd.u24 * a.n_docs < {1 << 24} * a.alloc_docs
                          THEN 1 ELSE 0 END AS keep
-             FROM dd JOIN alloc a ON a.source = dd.source)
-    SELECT a.source, a.n_docs, a.rank_micro, a.alloc_docs,
-           CAST(SUM(k.keep) AS BIGINT) AS n_kept
-    FROM kept k JOIN alloc a ON a.source = k.source
-    GROUP BY a.source, a.n_docs, a.rank_micro, a.alloc_docs
+             FROM dd JOIN alloc a ON a.source = dd.source),
+    per_src AS (SELECT source, CAST(SUM(keep) AS BIGINT) AS n_kept
+                FROM kept GROUP BY source)
+    SELECT a.source, a.n_docs, a.rank_micro, a.alloc_docs, k.n_kept
+    FROM alloc a JOIN per_src k ON k.source = a.source
     """
 )
 
@@ -244,8 +255,17 @@ def n48_authority_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFra
     (``u24 * n_k < 2^24 * alloc_k`` — the exact integer form of
     ``uniform(0,1) < alloc_k / n_k``, n40's discipline; a high-rank
     small source with ``alloc >= n`` keeps everything, the standard
-    cap).  Products stay under 2^63 to ~5e11 docs per source
-    (2^63 / 2^24).
+    cap).
+
+    Overflow envelope (code-review r7 — the binding product is the
+    ALLOCATION, not the draw): ``B * r_max`` can reach
+    ``(total/2) * 0.85 * 1e6 * |sources|`` when rank concentrates on a
+    hub, which exceeds 2^63 well inside the docstring's target scale —
+    so the allocation multiplies in DECIMAL(38,0) on the Spark side and
+    HUGEINT in the oracle (floor semantics verified identical), making
+    it exact to ~1e38.  The remaining BIGINT products are the draw,
+    ``u24 * n_k < 2^24 * alloc_k``, safe to ~5e11 docs per source and
+    ~5e11 allocated docs (2^63 / 2^24).
 
     Scale shape: the rank computation is n47's (one text pass, pinned
     graph, metadata-sized iterations); the sampler adds ONE pinned
@@ -287,17 +307,31 @@ def n48_authority_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFra
             "source",
             "n_docs",
             "rank_micro",
-            F.expr("(b * rank_micro) div r_total").alias("alloc_docs"),
+            # DECIMAL(38,0) product — BIGINT overflows inside the target
+            # scale when rank concentrates on a hub (see docstring)
+            F.expr(
+                "CAST((CAST(b AS DECIMAL(38,0)) * CAST(rank_micro AS DECIMAL(38,0)))"
+                " div CAST(r_total AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("alloc_docs"),
         )
     )
+    # ONE broadcast probe per document; keep is folded per source on the
+    # 1-column frame BEFORE re-attaching the alloc metadata, so the
+    # corpus-scale aggregate shuffles (source, partial-sum) only.
+    # when/otherwise mirrors the oracle's CASE: a NULL doc_id draws
+    # u24=NULL and must count as kept=0 on BOTH engines (an all-NULL
+    # source would otherwise sum to NULL on Spark and 0 on DuckDB).
     kept = dd.join(F.broadcast(alloc), "source").select(
         "source",
-        (F.col("u24") * F.col("n_docs") < F.lit(1 << 24) * F.col("alloc_docs"))
-        .cast("int")
+        F.when(
+            F.col("u24") * F.col("n_docs") < F.lit(1 << 24) * F.col("alloc_docs"), 1
+        )
+        .otherwise(0)
         .alias("keep"),
     )
-    return (
-        kept.join(F.broadcast(alloc), "source")
-        .groupBy("source", "n_docs", "rank_micro", "alloc_docs")
-        .agg(F.sum("keep").cast("long").alias("n_kept"))
+    per_src_kept = kept.groupBy("source").agg(
+        F.sum("keep").cast("long").alias("n_kept")
+    )
+    return alloc.join(per_src_kept, "source").select(
+        "source", "n_docs", "rank_micro", "alloc_docs", "n_kept"
     )

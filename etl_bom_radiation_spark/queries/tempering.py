@@ -124,13 +124,18 @@ def n40_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tiny dims broadcast back onto the corpus — the doc rows never shuffle
     rated = d.join(F.broadcast(per_src), "source").join(F.broadcast(norm))
+    # when/otherwise mirrors the oracle's CASE: a NULL doc_id hashes to
+    # u24=NULL and must count as kept=0 on BOTH engines — a bare boolean
+    # cast leaves NULL, and a source whose every doc_id is NULL would
+    # then sum to NULL on Spark vs 0 on DuckDB (code-review r7 class)
     kept = rated.select(
         "source",
-        (
+        F.when(
             2 * F.col("u24") * F.col("s_total") * F.col("n_docs")
-            < F.lit(_U24) * F.col("total") * F.col("s_mass")
+            < F.lit(_U24) * F.col("total") * F.col("s_mass"),
+            1,
         )
-        .cast("int")
+        .otherwise(0)
         .alias("keep"),
     )
     return (

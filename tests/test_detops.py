@@ -635,3 +635,25 @@ def test_authority_sampling_matches_python_fold(spark, tmp_path):
         if u24 * n_docs[s] < (1 << 24) * alloc[s]:
             kept[s] += 1
     assert got == {s: (n_docs[s], r[s], alloc[s], kept[s]) for s in r}
+
+
+def test_null_doc_id_draws_count_as_zero(spark, tmp_path):
+    """n40/n48 NULL-doc_id parity (code-review r7): a NULL doc_id hashes
+    to u24=NULL, and a source whose EVERY doc_id is NULL must report
+    n_kept = 0 (the oracle's CASE...ELSE 0), not NULL (what a bare
+    boolean cast + SUM would give on Spark)."""
+    rows = [(None, "all null ids here", "en", "ghost", 0),
+            (None, "another null id", "en", "ghost", 0)] + [
+        (i, f"doc number {i} with text", "en", "web", 0) for i in range(10)
+    ]
+    d = str(tmp_path / "fixnull")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    n40 = {r.source: r.n_kept
+           for r in load_all()["n40_mixture_temperature"].fn(spark, d).collect()}
+    assert n40["ghost"] == 0 and n40["ghost"] is not None
+    n48 = {r.source: r.n_kept
+           for r in load_all()["n48_authority_weighted_sampling"].fn(spark, d).collect()}
+    assert n48["ghost"] == 0 and n48["ghost"] is not None
