@@ -97,6 +97,9 @@ HEADLINE = [
     # into the loop multiplies these ~ITERS-fold)
     "n47_source_pagerank",
     "n48_authority_weighted_sampling",
+    # frequency sketch: one-pass sharded Misra-Gries (wall time guards
+    # the single-Exchange + Arrow-kernel shape)
+    "x10b_heavy_hitters_mg",
 ]
 
 # Fixed cross-round comparison set (VERDICT r5 #6): the full total grows

@@ -188,6 +188,7 @@ _MODULES = [
     "rolling",
     "scale_lifecycle",
     "pagerank",
+    "heavy_hitters",
 ]
 
 

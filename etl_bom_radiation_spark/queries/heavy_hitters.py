@@ -1,0 +1,170 @@
+"""Heavy hitters: exact top-k and the bounded-memory frequency sketch
+(events-analytics extension).
+
+``x10_heavy_hitters`` is the exact form — the top-20 most active users
+with deterministic ties — whose plan is the shape that matters at scale:
+partial map-side counting below the key shuffle, then
+``TakeOrderedAndProject`` per-partition heaps (k rows to the driver,
+never a global sort).
+
+``x10b_heavy_hitters_mg`` is the ONE-PASS BOUNDED-MEMORY form: sharded
+Misra-Gries.  It completes the repo's sketch taxonomy — HLL counts
+cardinality (q17/x09), theta does set algebra (n46), GK does quantiles
+(q18b), bloom does membership (n45), MinHash/SimHash do similarity
+(n36/n42/n11) — frequency estimation was the missing class.  Why it
+matters at 100 TB: the exact form's shuffle carries one row per DISTINCT
+key, which for a high-cardinality key (URLs, shingles, IPs) is itself
+corpus-scale; Misra-Gries caps the state at k counters per shard however
+many distinct keys flow through, and its union over hash-disjoint shards
+is still a valid summary.
+
+Construction (all semantics engine-side, the kernel Arrow-batched):
+
+* rows are hash-sharded into ``N_BUCKETS`` by ``pmod(user_id)`` —
+  every key lives in exactly ONE shard, so per-shard summaries union
+  without cross-shard collisions (the classic sharded-heavy-hitters
+  layout, and the same reason the final union needs no merge step);
+* ``repartition(N_BUCKETS, bucket)`` + ``sortWithinPartitions(ts,
+  event_id)`` pins a DETERMINISTIC arrival order, making the sketch
+  reproducible run-to-run (an unordered shuffle would make MG's
+  decrements order-dependent) — and testable against a pure-Python fold
+  of the same ordered stream;
+* the kernel is a ``mapInPandas`` iterator: per-shard dicts of at most
+  ``K_COUNTERS`` counters maintained across Arrow batches — the
+  bounded-memory property is structural, not asserted;
+* the emitted candidate frame is at most ``N_BUCKETS * K_COUNTERS``
+  rows (metadata-sized at any corpus size); the final top-20 by
+  estimate is a ``TakeOrderedAndProject`` over it.
+
+Guarantee (Misra-Gries): a shard processing ``n_b`` rows undercounts
+any key by at most ``n_b / (K_COUNTERS + 1)``, so every user with true
+count above that bound SURVIVES in the shard summary, and
+``est <= true <= est + n_b/(K_COUNTERS+1)``.  Rows-only by contract
+(a per-row stateful fold is not SQL-expressible); the error bound and
+the survival guarantee are fenced exactly against true counts in
+``tests/test_approx_ops.py``, and the fold itself has an independent
+python-model parity test.
+
+Registered after ``pagerank`` in ``queries.__init__._MODULES`` — new
+entries must not queue-jump the stalest-evidence queries at the registry
+front (VERDICT r3 #1).
+
+Reference parity: no reference analog; extends the x-family analytics
+(x01-x09) and the sketch family's scale story.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load_events, register
+
+#: exact/sketch result size
+TOP_K = 20
+
+#: Misra-Gries counters per shard — error <= n_shard / (K_COUNTERS + 1)
+K_COUNTERS = 64
+
+#: hash shards; each key lives in exactly one, so summaries union
+N_BUCKETS = 32
+
+
+@register(
+    "x10_heavy_hitters",
+    oracle=f"""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id ASC
+    LIMIT {TOP_K}
+    """,
+)
+def x10_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: exact top-20 most active users, deterministic ties (count
+    desc, user_id asc). Partial-combined count below the shuffle, heap
+    top-k above it — never a global sort. Identity-less events
+    (NULL user_id) are out of contract on BOTH engines — engines
+    disagree on NULL placement under ASC ties (the x04 ADVICE class)."""
+    e = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(TOP_K)
+    )
+
+
+def misra_gries_fold(stream, k: int) -> dict:
+    """Reference Misra-Gries fold over an iterable of keys — THE
+    algorithm the Spark kernel runs per shard, importable so the parity
+    test can run the same code over the same ordered stream."""
+    counters: dict = {}
+    for key in stream:
+        if key in counters:
+            counters[key] += 1
+        elif len(counters) < k:
+            counters[key] = 1
+        else:
+            for c in list(counters):
+                counters[c] -= 1
+                if counters[c] == 0:
+                    del counters[c]
+    return counters
+
+
+def mg_candidates(events: DataFrame) -> DataFrame:
+    """(user_id, est) Misra-Gries shard summaries: hash-sharded,
+    deterministically ordered, one bounded-memory pass per shard."""
+    import pandas as pd
+
+    sharded = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.pmod(F.col("user_id"), F.lit(N_BUCKETS)).alias("bucket"),
+        )
+        .repartition(N_BUCKETS, "bucket")
+        .sortWithinPartitions("ts", "event_id")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one dict per shard present in this partition; each dict holds
+        # at most K_COUNTERS counters however many rows stream through
+        shards: dict[int, dict] = {}
+        for pdf in batches:
+            for user, bucket in zip(pdf["user_id"], pdf["bucket"]):
+                counters = shards.setdefault(int(bucket), {})
+                u = int(user)
+                if u in counters:
+                    counters[u] += 1
+                elif len(counters) < K_COUNTERS:
+                    counters[u] = 1
+                else:
+                    for c in list(counters):
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            del counters[c]
+        for counters in shards.values():
+            if counters:
+                yield pd.DataFrame(
+                    {"user_id": list(counters), "est": list(counters.values())}
+                )
+
+    return sharded.mapInPandas(kernel, "user_id long, est long")
+
+
+@register("x10b_heavy_hitters_mg", oracle=None)
+def x10b_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10b: sharded Misra-Gries heavy hitters — x10's answer from one
+    bounded-memory pass (<= N_BUCKETS * K_COUNTERS counters total,
+    independent of key cardinality). Rows-only by contract; error and
+    survival guarantees exactly fenced vs x10 in tests/test_approx_ops.py."""
+    e = load_events(spark, sf_dir)
+    cand = mg_candidates(e)
+    return cand.orderBy(F.col("est").desc(), F.col("user_id").asc()).limit(TOP_K)

@@ -336,3 +336,68 @@ def test_theta_sketches_merge_losslessly_across_partitions(spark, oracle_sf_dir)
         .first()["n"]
     )
     assert inter == en_truth
+
+
+def test_misra_gries_survival_and_error_bounds(spark, oracle_sf_dir):
+    """x10b: the Misra-Gries guarantees, fenced exactly against true
+    counts per shard — est <= true <= est + n_shard/(K+1), and every
+    user whose true count exceeds its shard's bound SURVIVES in the
+    candidate frame (so the top of x10 cannot be silently lost)."""
+    from etl_bom_radiation_spark.queries.heavy_hitters import (
+        K_COUNTERS,
+        N_BUCKETS,
+        mg_candidates,
+    )
+    from etl_bom_radiation_spark.queries import load_events
+
+    e = load_events(spark, oracle_sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    truth = {
+        r["user_id"]: r["n"]
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    shard_n: dict = {}
+    for u, n in truth.items():
+        shard_n[u % N_BUCKETS] = shard_n.get(u % N_BUCKETS, 0) + n
+    cand = {
+        r["user_id"]: r["est"]
+        for r in mg_candidates(e).collect()
+    }
+    for u, est in cand.items():
+        bound = shard_n[u % N_BUCKETS] // (K_COUNTERS + 1)
+        assert est <= truth[u] <= est + bound, (u, est, truth[u], bound)
+    for u, n in truth.items():
+        if n > shard_n[u % N_BUCKETS] // (K_COUNTERS + 1):
+            assert u in cand, (u, n)
+
+
+def test_misra_gries_matches_python_fold(spark, oracle_sf_dir):
+    """x10b determinism: the Spark kernel's per-shard counters equal a
+    pure-Python Misra-Gries fold over the same (ts, event_id)-ordered
+    per-shard stream — the pinned arrival order is what makes the
+    sketch reproducible and this comparison exact."""
+    from etl_bom_radiation_spark.queries.heavy_hitters import (
+        K_COUNTERS,
+        N_BUCKETS,
+        mg_candidates,
+        misra_gries_fold,
+    )
+    from etl_bom_radiation_spark.queries import load_events
+
+    e = load_events(spark, oracle_sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    rows = (
+        e.select("user_id", "ts", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    streams: dict = {}
+    for r in rows:
+        streams.setdefault(r["user_id"] % N_BUCKETS, []).append(r["user_id"])
+    expected: dict = {}
+    for stream in streams.values():
+        expected.update(misra_gries_fold(stream, K_COUNTERS))
+    got = {r["user_id"]: r["est"] for r in mg_candidates(e).collect()}
+    assert got == expected

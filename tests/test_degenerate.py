@@ -83,6 +83,9 @@ EVENT_ORDER_QUERIES = [
     "q51_recursive_cte",
     "x08_rolling_dau",
     "x09_rolling_dau_hll",
+    # round-7: heavy hitters (exact + sharded Misra-Gries)
+    "x10_heavy_hitters",
+    "x10b_heavy_hitters_mg",
 ]
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"

@@ -65,6 +65,9 @@ OPS = [
     "n35_source_dup_matrix",
     "n47_source_pagerank",
     "n48_authority_weighted_sampling",
+    # frequency sketch: state bounded by construction; the probe verifies
+    # the PASS is linear (shard Exchange + sort + Arrow kernel)
+    "x10b_heavy_hitters_mg",
 ]
 
 #: relational-core ops probed in ``--relational`` mode over a key-shifted
