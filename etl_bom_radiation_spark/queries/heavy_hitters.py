@@ -77,7 +77,7 @@ N_BUCKETS = 32
     oracle=f"""
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
     FROM events
-    WHERE user_id IS NOT NULL
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
     GROUP BY user_id
     ORDER BY n_events DESC, user_id ASC
     LIMIT {TOP_K}
@@ -88,8 +88,18 @@ def x10_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     desc, user_id asc). Partial-combined count below the shuffle, heap
     top-k above it — never a global sort. Identity-less events
     (NULL user_id) are out of contract on BOTH engines — engines
-    disagree on NULL placement under ASC ties (the x04 ADVICE class)."""
-    e = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    disagree on NULL placement under ASC ties (the x04 ADVICE class).
+    Un-timestamped events are ALSO out of contract for the whole
+    heavy-hitter family: x10b's sketch needs ts to pin its
+    deterministic per-shard arrival order, so the exact form counts the
+    same ts-filtered stream — otherwise the sketch would summarize a
+    different stream than the query it claims to answer and its
+    survival bound would be fenced against the wrong shard totals
+    (ADVICE r7). On current fixtures ts is never NULL, so the r7 hash
+    evidence is unchanged by the filter."""
+    e = load_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     return (
         e.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -116,9 +126,18 @@ def misra_gries_fold(stream, k: int) -> dict:
     return counters
 
 
-def mg_candidates(events: DataFrame) -> DataFrame:
+def mg_candidates(events: DataFrame, n_partitions: int = N_BUCKETS) -> DataFrame:
     """(user_id, est) Misra-Gries shard summaries: hash-sharded,
-    deterministically ordered, one bounded-memory pass per shard."""
+    deterministically ordered, one bounded-memory pass per shard.
+
+    The summary is a function of the SHARD (``pmod(user_id, N_BUCKETS)``),
+    not the physical partition: ``repartition(n, bucket)`` hash-places
+    buckets, so two buckets can share a partition (and at
+    ``n_partitions < N_BUCKETS`` they must) — the kernel keeps one dict
+    per bucket it sees, and ``sortWithinPartitions(ts, event_id)`` keeps
+    every co-located bucket's subsequence in the pinned order, so the
+    per-shard fold is identical under ANY physical layout (fenced by the
+    forced-2-partition parity test, VERDICT r7 #7)."""
     import pandas as pd
 
     sharded = (
@@ -129,7 +148,7 @@ def mg_candidates(events: DataFrame) -> DataFrame:
             "event_id",
             F.pmod(F.col("user_id"), F.lit(N_BUCKETS)).alias("bucket"),
         )
-        .repartition(N_BUCKETS, "bucket")
+        .repartition(n_partitions, "bucket")
         .sortWithinPartitions("ts", "event_id")
     )
 

@@ -85,7 +85,9 @@ _ORACLE_STEP = """
       SELECT n.source,
              CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
       FROM nodes n LEFT JOIN (
-        SELECT e.dst AS v, SUM((p.r * e.w) // w2.wsum) AS s
+        SELECT e.dst AS v,
+               SUM(CAST((CAST(p.r AS HUGEINT) * CAST(e.w AS HUGEINT))
+                        // CAST(w2.wsum AS HUGEINT) AS BIGINT)) AS s
         FROM pr{j} p
         JOIN e ON e.src = p.source
         JOIN wu2 w2 ON w2.src = p.source
@@ -119,11 +121,21 @@ def pagerank_step(nodes: DataFrame, ew: DataFrame, ranks: DataFrame) -> DataFram
     plan structurally blind to what the loop re-reads — a first version
     re-scanned the corpus for ``nodes`` every iteration and the
     final-plan assert could not see it; code-review r7)."""
+    # the contribution product is the binding overflow in the rank
+    # iteration (ADVICE r7): at the stated target (|V|~1e5, web-scale
+    # edge weights ~1e9) r_u*w can reach ~1e20 > 2^63 — compute it in
+    # DECIMAL(38,0) (HUGEINT in the oracle), the same treatment n48
+    # gives the allocation.  The QUOTIENT is <= r_u (w <= wsum), and the
+    # per-destination sum of quotients is <= total rank mass 1e6*|V|, so
+    # everything after the division stays safely BIGINT.
     contrib = (
         ranks.join(ew, F.col("source") == F.col("src"))
         .select(
             F.col("dst").alias("source"),
-            F.expr("(r * w) div wsum").alias("c"),
+            F.expr(
+                "CAST((CAST(r AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0)))"
+                " div CAST(wsum AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("c"),
         )
         .groupBy("source")
         .agg(F.sum("c").alias("s"))
@@ -220,7 +232,7 @@ _N48_ORACLE = (
     + _PR_CTES
     + f""",
     dd AS (SELECT doc_id, source,
-                  CAST(concat('0x', substr(md5('{_N48_SEED}' || CAST(doc_id AS VARCHAR)), 1, 6))
+                  CAST('0x' || substr(md5('{_N48_SEED}' || CAST(doc_id AS VARCHAR)), 1, 6)
                        AS BIGINT) AS u24
            FROM documents WHERE source IS NOT NULL),
     cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
@@ -257,13 +269,12 @@ def n48_authority_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFra
     small source with ``alloc >= n`` keeps everything, the standard
     cap).
 
-    Overflow envelope (code-review r7 — the binding product is the
-    ALLOCATION, not the draw): ``B * r_max`` can reach
-    ``(total/2) * 0.85 * 1e6 * |sources|`` when rank concentrates on a
-    hub, which exceeds 2^63 well inside the docstring's target scale —
-    so the allocation multiplies in DECIMAL(38,0) on the Spark side and
-    HUGEINT in the oracle (floor semantics verified identical), making
-    it exact to ~1e38.  The remaining BIGINT products are the draw,
+    Overflow envelope: the two wide products — the ALLOCATION
+    ``B * r_max`` here (code-review r7) and the rank-iteration
+    contribution ``r_u * w_uv`` inside :func:`pagerank_step` (ADVICE
+    r7) — both multiply in DECIMAL(38,0) on the Spark side and HUGEINT
+    in the oracle (floor semantics verified identical), exact to ~1e38.
+    The remaining BIGINT products are the draw,
     ``u24 * n_k < 2^24 * alloc_k``, safe to ~5e11 docs per source and
     ~5e11 allocated docs (2^63 / 2^24).
 

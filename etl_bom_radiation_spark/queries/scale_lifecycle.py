@@ -69,7 +69,7 @@ def d02_scale_levers_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     — centroid scores, not the probe's own output).
 
     Rows-only by nature (provisions temp layouts; DuckDB has no file
-    manifest or DPP to mirror), t01/d01-style: 14 deterministic
+    manifest or DPP to mirror), t01/d01-style: 17 deterministic
     (step, value) rows."""
     import glob
     import os
@@ -132,6 +132,15 @@ def d02_scale_levers_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if not os.path.basename(f).startswith((".", "_"))
             ]
         )
+        # re-prune against the REFRESHED manifest (VERDICT r7 #5): the
+        # incremental refresh must leave the skipping index usable — the
+        # same box now selects the old + appended twins of the matching
+        # files (still a strict subset of the table) and the pruned read
+        # still returns exactly what the full scan returns
+        sel2 = pruned_read(spark, tbl, box)
+        files_pruned_after = len(sel2.inputFiles())
+        match_full_after = spark.read.parquet(tbl).filter(pred).count()
+        match_pruned_after = sel2.filter(pred).count()
 
         # --- ANN at the storage layer: IVF partitions + Catalyst DPP ---
         write_ivf_index(spark, sf_dir, ivf)
@@ -169,10 +178,13 @@ def d02_scale_levers_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("08_box_match_full", match_full),
             ("09_box_match_pruned_equal", int(match_pruned == match_full)),
             ("10_refresh_added_only_new", int(manifest_rows_after == appended)),
-            ("11_ivf_cells", cells),
-            ("12_ann_rows_full", ann_rows_full),
-            ("13_ann_rows_probed", ann_rows_probed),
-            ("14_ann_dpp_in_plan_and_exact", int(dpp_visible and expected == ann_rows_probed)),
+            ("11_box_files_full_after_append", appended),
+            ("12_box_files_pruned_after_refresh", files_pruned_after),
+            ("13_box_match_pruned_after_equal", int(match_pruned_after == match_full_after)),
+            ("14_ivf_cells", cells),
+            ("15_ann_rows_full", ann_rows_full),
+            ("16_ann_rows_probed", ann_rows_probed),
+            ("17_ann_dpp_in_plan_and_exact", int(dpp_visible and expected == ann_rows_probed)),
         ]
         return spark.createDataFrame(rows, "step string, value long").orderBy("step")
     finally:

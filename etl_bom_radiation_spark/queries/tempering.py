@@ -64,7 +64,7 @@ _SEED = "temper7-"
     oracle=f"""
     WITH d AS (
         SELECT doc_id, source,
-               CAST(concat('0x', substr(md5('{_SEED}' || CAST(doc_id AS VARCHAR)), 1, 6))
+               CAST('0x' || substr(md5('{_SEED}' || CAST(doc_id AS VARCHAR)), 1, 6)
                     AS BIGINT) AS u24
         FROM documents
     ), per_src AS (

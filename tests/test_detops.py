@@ -638,10 +638,17 @@ def test_authority_sampling_matches_python_fold(spark, tmp_path):
 
 
 def test_null_doc_id_draws_count_as_zero(spark, tmp_path):
-    """n40/n48 NULL-doc_id parity (code-review r7): a NULL doc_id hashes
-    to u24=NULL, and a source whose EVERY doc_id is NULL must report
-    n_kept = 0 (the oracle's CASE...ELSE 0), not NULL (what a bare
-    boolean cast + SUM would give on Spark)."""
+    """n40/n48 NULL-doc_id parity (code-review r7 + ADVICE r7): a NULL
+    doc_id hashes to u24=NULL, and a source whose EVERY doc_id is NULL
+    must report n_kept = 0 (the CASE...ELSE 0), not NULL — on BOTH
+    engines.  The oracle side is the load-bearing half: DuckDB's
+    ``concat()`` SKIPS NULL arguments, so the original
+    ``concat('0x', substr(md5(NULL...)))`` evaluated to the literal
+    '0x' and CRASHED the cast ("Could not convert string 0x to
+    INT64") instead of propagating NULL; the oracles now use the
+    NULL-propagating ``||`` operator, and this test runs them in DuckDB
+    over the NULL fixture to prove u24=NULL -> kept=0 really holds
+    engine-side, not just in Spark."""
     rows = [(None, "all null ids here", "en", "ghost", 0),
             (None, "another null id", "en", "ghost", 0)] + [
         (i, f"doc number {i} with text", "en", "web", 0) for i in range(10)
@@ -651,9 +658,24 @@ def test_null_doc_id_draws_count_as_zero(spark, tmp_path):
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).write.parquet(f"{d}/documents.parquet")
 
+    reg = load_all()
     n40 = {r.source: r.n_kept
-           for r in load_all()["n40_mixture_temperature"].fn(spark, d).collect()}
+           for r in reg["n40_mixture_temperature"].fn(spark, d).collect()}
     assert n40["ghost"] == 0 and n40["ghost"] is not None
     n48 = {r.source: r.n_kept
-           for r in load_all()["n48_authority_weighted_sampling"].fn(spark, d).collect()}
+           for r in reg["n48_authority_weighted_sampling"].fn(spark, d).collect()}
     assert n48["ghost"] == 0 and n48["ghost"] is not None
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    for name, spark_kept in (("n40_mixture_temperature", n40),
+                             ("n48_authority_weighted_sampling", n48)):
+        odf = con.execute(reg[name].oracle).fetch_df()
+        o_kept = dict(zip(odf["source"], odf["n_kept"]))
+        assert int(o_kept["ghost"]) == 0
+        assert {k: int(v) for k, v in o_kept.items()} == spark_kept

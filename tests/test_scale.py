@@ -525,7 +525,8 @@ def test_scale_levers_lifecycle_fences(spark, oracle_sf_dir):
         "03_manifest_covers_every_file",
         "09_box_match_pruned_equal",
         "10_refresh_added_only_new",
-        "14_ann_dpp_in_plan_and_exact",
+        "13_box_match_pruned_after_equal",
+        "17_ann_dpp_in_plan_and_exact",
     ):
         assert vals[fence] == 1, fence
     assert 0 < vals["05_box_files_pruned"] < vals["04_box_files_full"]
@@ -534,5 +535,14 @@ def test_scale_levers_lifecycle_fences(spark, oracle_sf_dir):
         <= vals["07_box_rows_scanned_pruned"]
         < vals["06_box_rows_scanned_full"]
     )
-    assert 0 < vals["13_ann_rows_probed"] < vals["12_ann_rows_full"]
-    assert vals["11_ivf_cells"] == 16
+    # post-append re-prune (VERDICT r7 #5): the refreshed manifest still
+    # prunes — the appended twin layout doubles both the table and the
+    # selected set, which stays a strict subset
+    assert vals["11_box_files_full_after_append"] == 2 * vals["04_box_files_full"]
+    assert (
+        vals["05_box_files_pruned"]
+        < vals["12_box_files_pruned_after_refresh"]
+        < vals["11_box_files_full_after_append"]
+    )
+    assert 0 < vals["16_ann_rows_probed"] < vals["15_ann_rows_full"]
+    assert vals["14_ivf_cells"] == 16
