@@ -1,0 +1,154 @@
+"""Scaling-curve regression fence (VERDICT r7 #3).
+
+The M=10 ratios the scaling probe records in the DRIFT tables (n32 1.56,
+n39 2.13, n44 1.82, ...) lived only in round artifacts — a re-introduced
+quadratic (an uncapped bucket join, a lost pre-aggregation) would sail
+through CI and only show at 100 TB.  This module runs the SAME probe
+machinery (``tools/scaling_probe.gen_corpus`` / ``time_op``) at M=10
+inside pytest, with two fence forms matched to how each regression class
+actually manifests:
+
+* **Time fence** (n32/n39/n44, realistic regime): a lost pre-aggregation
+  or digest collapse shows as superlinear *runtime*.  Asserts
+  t(10x)/t(1x) under ~2x the healthy recorded ratio (min 4.0 for noise
+  headroom — ratios are runtime quotients on the same box in the same
+  session, far more stable than absolute times; a quadratic lands near
+  M*M/healthy >> these).
+
+* **Pair-count fence** (n42/n11b, saturated-hot regime): the round-6
+  bucket-join quadratic manifests as *candidate-pair volume*, and the
+  pipelines' output rows ARE the candidate pairs — a deterministic,
+  zero-noise signal.  The corpus uses ``gen_corpus(classes=101)``: the
+  hot token hash's modulus is the near-dup class count, so 1x has ~50
+  docs/class (caps inactive) and 10x ~500/class (caps binding).  Capped
+  row growth measured 22.9x (n42; the cap-activation transition, bounded
+  thereafter by buckets x C(64,2) ~ linear) and 2.8x (n11b); uncapped
+  both measure ~100x (the quadratic: class size grows with the corpus).
+  At the probe's default 5003 classes the M=10 quadratic hides under
+  fixed costs entirely (uncapped n42 TIME ratio 1.66 vs capped 1.40 —
+  indistinguishable), which is why the fence regime is explicitly
+  saturated.
+
+**Liveness** (the fence demonstrably catches the quadratic, in CI):
+``test_fence_is_live_uncapped`` monkeypatches ``banded_lsh.BUCKET_CAP``
+/ ``llm_queries.SIMHASH_BUCKET_CAP`` to 10**9 and asserts the measured
+pair-count ratio lands ABOVE the fence threshold (measured ~100 vs
+thresholds 45/8) — the exact round-6 regression re-introduced on
+purpose, failing the fence's own predicate.  Counting the uncapped 10x
+pairs costs ~15 s; a time-ratio liveness proof was not affordable (at
+classes=31 a single uncapped 1x run is already 11.5M pairs / 40 s).
+
+Numbers recorded in tools/DRIFT_r08.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scaling_probe import gen_corpus, time_op  # noqa: E402
+
+M = 10
+
+#: op -> max allowed t(10x)/t(1x), realistic regime; ~2x the healthy
+#: M=10 ratio recorded in DRIFT_r07 (min 4.0 for noise headroom)
+TIME_FENCES = {
+    "n32_truncation_dedup": 4.0,     # recorded 1.56
+    "n39_substring_dup_spans": 5.0,  # recorded 2.13
+    "n44_corpus_keep_list": 4.5,     # recorded 1.82
+}
+
+#: op -> max allowed rows(10x)/rows(1x), hot classes=101 regime;
+#: ~2x the capped measurement, >=2x under the uncapped one (~100)
+PAIR_FENCES = {
+    "n42_minhash_banded_lsh": 45.0,  # capped 22.9, uncapped 102.4
+    "n11b_simhash_neardup": 8.0,     # capped 2.8, uncapped 99.7
+}
+
+#: the hot fence regime: token-hash modulus = near-dup class count (see
+#: gen_corpus docstring)
+HOT_CLASSES = 101
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    """regime ("real" | "hot") -> (dir_1x, dir_Mx), generated once."""
+    roots = {}
+    base = tempfile.mkdtemp(prefix="scalefence_")
+    try:
+        for regime, kw in (
+            ("real", {}),
+            ("hot", {"hot": True, "classes": HOT_CLASSES}),
+        ):
+            d1 = os.path.join(base, f"{regime}_1x")
+            dm = os.path.join(base, f"{regime}_{M}x")
+            gen_corpus(spark, d1, 1, **kw)
+            gen_corpus(spark, dm, M, **kw)
+            roots[regime] = (d1, dm)
+        yield roots
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _pair_ratio(spark, corpora, name):
+    from etl_bom_radiation_spark.queries import load_all
+
+    d1, dm = corpora["hot"]
+    fn = load_all()[name].fn
+    r1 = fn(spark, d1).count()
+    rm = fn(spark, dm).count()
+    return (rm / r1 if r1 > 0 else float("inf")), r1, rm
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(TIME_FENCES))
+def test_time_ratio_bounded(spark, corpora, name):
+    from etl_bom_radiation_spark.queries import load_all
+
+    limit = TIME_FENCES[name]
+    d1, dm = corpora["real"]
+    fn = load_all()[name].fn
+    t1 = time_op(spark, fn, d1)
+    tm = time_op(spark, fn, dm)
+    ratio = tm / t1 if t1 > 0 else float("inf")
+    assert ratio < limit, (
+        f"{name}: t(1x)={t1}s t({M}x)={tm}s ratio={ratio:.2f} >= {limit} — "
+        "superlinear runtime regression (realistic regime); see "
+        "tools/scaling_probe.py"
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(PAIR_FENCES))
+def test_candidate_pair_growth_bounded(spark, corpora, name):
+    limit = PAIR_FENCES[name]
+    ratio, r1, rm = _pair_ratio(spark, corpora, name)
+    assert ratio < limit, (
+        f"{name}: rows(1x)={r1} rows({M}x)={rm} ratio={ratio:.1f} >= "
+        f"{limit} — candidate-pair volume growing superlinearly (bucket "
+        "cap lost?); see BUCKET_CAP in banded_lsh.py"
+    )
+
+
+@pytest.mark.slow
+def test_fence_is_live_uncapped(spark, corpora, monkeypatch):
+    """Re-introduce the round-6 quadratic on purpose (caps -> 10**9) and
+    assert BOTH pair fences' predicates now fail — the fence demonstrably
+    catches the regression class it exists for (VERDICT r7 #3)."""
+    from etl_bom_radiation_spark.queries import banded_lsh, llm_queries
+
+    monkeypatch.setattr(banded_lsh, "BUCKET_CAP", 10**9)
+    monkeypatch.setattr(llm_queries, "SIMHASH_BUCKET_CAP", 10**9)
+    for name, limit in PAIR_FENCES.items():
+        ratio, r1, rm = _pair_ratio(spark, corpora, name)
+        assert ratio >= limit, (
+            f"{name}: uncapped ratio {ratio:.1f} < {limit} — the fence "
+            "would NOT catch an uncapped bucket join; its threshold or "
+            "regime needs re-derivation"
+        )

@@ -126,7 +126,9 @@ def gen_relational(spark, out_dir: str, mult: int) -> None:
     od_m.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
 
-def gen_corpus(spark, out_dir: str, mult: int, hot: bool = False) -> None:
+def gen_corpus(
+    spark, out_dir: str, mult: int, hot: bool = False, classes: int = 5003
+) -> None:
     """documents + events at ``mult`` x the sf0.1 row counts, same shape:
     ~20 sources, 8-90 token docs over a ~5000-word synthetic vocabulary,
     ~10% exact-duplicate texts and ~10% shared openings in ~5-doc groups
@@ -147,7 +149,18 @@ def gen_corpus(spark, out_dir: str, mult: int, hot: bool = False) -> None:
     max docs-per-digest 65 -> 110 from 60x -> 100x; distinct window
     digests saturate at ~585k).  That is the adversarial hot-key regime
     — the shape that exposed the n42/n11b bucket-join quadratics in
-    round 6 — kept as an explicit stress mode, not the default."""
+    round 6 — kept as an explicit stress mode, not the default.
+
+    ``classes``: the token-hash modulus (default 5003).  In the hot
+    regime it IS the near-dup class count, so shrinking it makes the
+    corpus saturated at small M: with ``classes=101`` a 1x corpus
+    already has ~50 docs per class and a 10x one ~500 — an uncapped
+    bucket join generates ~100x the candidate pairs at 10x (quadratic
+    term dominant at pytest scale), while a capped one stays flat at
+    <= BUCKET_CAP^2 per bucket.  ``tests/test_scaling_fence.py`` uses
+    this for a liveness-provable fence: at the default 5003 the M=10
+    quadratic hides under fixed costs (measured: uncapped n42 ratio
+    1.66 vs capped 1.40 — indistinguishable)."""
     from pyspark.sql import functions as F
 
     n_docs = BASE_DOCS * mult
@@ -161,12 +174,12 @@ def gen_corpus(spark, out_dir: str, mult: int, hot: bool = False) -> None:
     # tokens are 'w<h>' over a ~5000-word synthetic vocabulary
     if hot:
         tok_hash = lambda key, i: F.pmod(
-            key * 131 + key * i * 31 + i * 71 + 17, F.lit(5003)
+            key * 131 + key * i * 31 + i * 71 + 17, F.lit(classes)
         )
     else:
         tok_hash = lambda key, i: F.pmod(
             F.xxhash64(F.concat_ws("_", key.cast("string"), i.cast("string"))),
-            F.lit(5003),
+            F.lit(classes),
         )
     toklist = F.transform(
         F.sequence(
