@@ -65,6 +65,18 @@ from .provenance import SRC_FP_CTES, source_fingerprints
 #: diameter is small (overlap graphs are near-cliques per mirror group)
 ITERS = 8
 
+#: lineage-truncation cadence: checkpoint every N iterations (ITERS
+#: unchanged — the arithmetic is order-independent, so results are
+#: bit-identical at any cadence; verified hash-equal at 1/2/4 on
+#: sf0.1).  The iteration cost is per-job DRIVER latency, not corpus
+#: work, so halving the checkpoint count prices directly: measured
+#: best-of-2 at sf0.1 — every=1 2.86 s, every=2 2.26 s (-21%), every=4
+#: 2.09 s.  2 keeps the per-checkpoint plan depth at two join+agg
+#: rounds (Catalyst analysis stays linear in ITERS/2); the residual
+#: 0.17 s to every=4 is not worth doubling the analyzed-plan depth
+#: again (DRIFT_r08, VERDICT r7 #6).
+CHECKPOINT_EVERY = 2
+
 _ORACLE_BASE = f"""
     {SRC_FP_CTES},
     e AS (SELECT a.source AS src, b.source AS dst,
@@ -187,15 +199,17 @@ def source_rank_frame(d: DataFrame) -> DataFrame:
     stage discipline)."""
     nodes, ew = graph_frames(d)
     ranks = nodes.select("source", F.lit(1000000).cast("long").alias("r"))
-    for _ in range(ITERS):
-        # lineage truncation per iteration (the GraphX/ALS pattern)
-        # keeps Catalyst analysis linear in ITERS instead of nesting
-        # every prior iteration's plan.  Warm runtime (~2.5 s at any
-        # small sf) is per-iteration JOB latency — the documented cost
-        # of driver-coordinated iteration, same class as q51's
-        # per-level jobs — not corpus work; the corpus passes happen
-        # once, above.
-        ranks = pagerank_step(nodes, ew, ranks).localCheckpoint(eager=False)
+    for i in range(ITERS):
+        # lineage truncation every CHECKPOINT_EVERY iterations (the
+        # GraphX/ALS pattern) keeps Catalyst analysis linear in
+        # ITERS/CHECKPOINT_EVERY instead of nesting every prior
+        # iteration's plan.  Warm runtime (~2.3 s at any small sf) is
+        # per-checkpoint JOB latency — the documented cost of
+        # driver-coordinated iteration, same class as q51's per-level
+        # jobs — not corpus work; the corpus passes happen once, above.
+        ranks = pagerank_step(nodes, ew, ranks)
+        if (i + 1) % CHECKPOINT_EVERY == 0 or i == ITERS - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     # the reported out-weight comes from the CHECKPOINTED edge frame (each
     # edge row carries wsum), never from wu's un-pinned lineage — the plan
     # audit caught the original wu join re-running the corpus collapse for
