@@ -99,24 +99,32 @@ def _duck_sig_cte() -> str:
 def sketch_signatures(spark: SparkSession, sh: DataFrame) -> DataFrame:
     """MinHash signature frame from an exploded (doc_id, sh) shingle frame:
     ONE engine-neutral polyhash per shingle, then the 16 affine
-    permutations as broadcast-joined codegen arithmetic (BIGINT-safe:
-    a, x < 2^31 so a*x+b < 2^63), min per (doc, seed)."""
-    seeds = F.broadcast(
-        spark.createDataFrame(
-            [(i, a, b) for i, (a, b) in enumerate(AFFINE)],
-            "seed int, a long, b long",
-        )
-    )
+    permutations as codegen arithmetic (BIGINT-safe: a, x < 2^31 so
+    a*x+b < 2^63), min per (doc, seed).
+
+    All SEEDS minima are computed in ONE aggregation pass — 16 min
+    expressions over the shingle frame, unpivoted to the (doc_id, seed,
+    mn) contract afterwards when the frame is already doc-sized.  The
+    previous shape (broadcast seed table x crossJoin, then
+    groupBy(doc, seed)) materialized a SEEDS-times-larger intermediate
+    (64M rows at sf0.1) and shuffled SEEDS rows per doc; this one keeps
+    the shingle frame at its own size, shuffles one 16-column partial
+    per doc per partition, and min is order-independent so the values
+    are bit-identical (n36/n42 oracle parity re-checked; measured
+    sketch-stage numbers in DRIFT_r08)."""
     based = sh.select("doc_id", _polyhash(F.col("sh")).alias("x"))
-    return (
-        based.crossJoin(seeds)
-        .select(
-            "doc_id",
-            "seed",
-            ((F.col("a") * F.col("x") + F.col("b")) % _POLY_MOD).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mn"))
+    mins = based.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % _POLY_MOD).alias(f"m{i}")
+            for i, (a, b) in enumerate(AFFINE)
+        ]
+    )
+    # unpivot to the (doc_id, seed, mn) contract: stack over 16 columns
+    # of an already doc-sized frame (SEEDS rows per doc, same as before,
+    # but AFTER the aggregation instead of before it)
+    pairs = ", ".join(f"{i}, m{i}" for i in range(SEEDS))
+    return mins.select(
+        "doc_id", F.expr(f"stack({SEEDS}, {pairs}) AS (seed, mn)")
     )
 
 
