@@ -336,3 +336,62 @@ def test_sessionization_matches_python_fold(spark, tmp_path_factory, data):
         for r in load_all()["x04_sessionization"].fn(spark, d).collect()
     }
     assert got == _py_sessions(offsets_by_user)
+
+
+# --------------------------------------------------- one-pass MinHash sketch
+
+
+def _py_minhash(shingles):
+    """Reference MinHash model: min over shingles of each affine
+    permutation of the polyhash — the semantics sketch_signatures must
+    preserve under ANY physical shape (it was refactored from a
+    broadcast-seed crossJoin to a single 16-min-aggregate pass in r8;
+    this pins the values to an engine-independent fold)."""
+    from etl_bom_radiation_spark.queries.minhash_eval import AFFINE, _POLY_MOD
+
+    xs = [_py_polyhash(s) for s in shingles]
+    return {
+        seed: min((a * x + b) % _POLY_MOD for x in xs)
+        for seed, (a, b) in enumerate(AFFINE)
+    }
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                min_size=1,
+                max_size=10,
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_sketch_signatures_match_python_model(spark, docs):
+    from etl_bom_radiation_spark.queries.minhash_eval import (
+        SEEDS,
+        sketch_signatures,
+    )
+
+    rows = [(i, sh) for i, doc in enumerate(docs) for sh in doc]
+    sh_df = spark.createDataFrame(rows, "doc_id long, sh string")
+    got = {
+        (r["doc_id"], r["seed"]): r["mn"]
+        for r in sketch_signatures(spark, sh_df).collect()
+    }
+    want = {
+        (i, seed): mn
+        for i, doc in enumerate(docs)
+        for seed, mn in _py_minhash(set(doc)).items()
+    }
+    assert got == want
+    assert len(got) == len(docs) * SEEDS
