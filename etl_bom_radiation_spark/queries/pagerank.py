@@ -129,7 +129,7 @@ def pagerank_step(nodes: DataFrame, ew: DataFrame, ranks: DataFrame) -> DataFram
     """One exact-integer PageRank update: contributions off the pinned
     edge frame, damped + teleport fold onto the full node set.  Exposed
     as a function so the plan test can assert the LOOP BODY itself never
-    touches a FileScan (the per-iteration checkpoints make the final
+    touches a FileScan (the periodic checkpoints make the final
     plan structurally blind to what the loop re-reads — a first version
     re-scanned the corpus for ``nodes`` every iteration and the
     final-plan assert could not see it; code-review r7)."""

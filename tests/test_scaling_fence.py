@@ -62,6 +62,11 @@ TIME_FENCES = {
     "n32_truncation_dedup": 4.0,     # recorded 1.56
     "n39_substring_dup_spans": 5.0,  # recorded 2.13
     "n44_corpus_keep_list": 4.5,     # recorded 1.82
+    "n35_source_dup_matrix": 4.0,    # recorded 1.13 (provenance self-join)
+    "n47_source_pagerank": 4.0,      # recorded 1.00 (iterative: loop is
+                                     # corpus-independent by design)
+    "x04_sessionization": 4.0,       # recorded 0.92 (events family)
+    "x10b_heavy_hitters_mg": 4.0,    # recorded 1.24 (bounded-memory sketch)
 }
 
 #: op -> max allowed rows(10x)/rows(1x), hot classes=101 regime;
