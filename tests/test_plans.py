@@ -422,12 +422,14 @@ def test_zonal_stats_broadcasts_zone_catalog(spark, oracle_sf_dir):
 
 
 def test_minhash_estimate_seeds_broadcast_pairs_equi(spark, oracle_sf_dir):
-    # the 16-seed fan-out is a broadcast of the tiny seed table (the only
-    # nested-loop allowed); every doc-pair comparison is an equi-join of
-    # SIGNATURES (16 rows/doc), never a cartesian of shingle sets
+    # all 16 seed minima come from ONE aggregation pass over the shingle
+    # frame (r8: the broadcast-seed crossJoin fan-out is gone), so the
+    # plan has NO nested-loop join at all; every doc-pair comparison is
+    # an equi-join of SIGNATURES (16 rows/doc), never a cartesian of
+    # shingle sets
     p = _plan(spark, oracle_sf_dir, "n36_minhash_estimate")
     assert "CartesianProduct" not in p
-    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert p.count("BroadcastNestedLoopJoin") == 0
 
 
 def test_substring_dup_spans_single_scan_no_join(spark, oracle_sf_dir):
@@ -488,13 +490,13 @@ def test_table_profile_single_scan_multi_distinct(spark, oracle_sf_dir):
 
 def test_banded_lsh_bucket_join_is_equi_single_sketch(spark, oracle_sf_dir):
     # the candidate stage is an equi self-join on (band, band-key) buckets
-    # — O(colliding pairs), never an all-pairs nested loop. The only
-    # nested loop allowed is the broadcast 16-row seed fan-out (the n36
-    # pattern), and the checkpointed band frame means that sketch build
-    # appears ONCE, not once per join side.
+    # — O(colliding pairs), never an all-pairs nested loop (r8: the
+    # sketch's former broadcast seed fan-out is gone too — zero nested
+    # loops anywhere), and the checkpointed band frame means the sketch
+    # build appears ONCE, not once per join side.
     p = _plan(spark, oracle_sf_dir, "n42_minhash_banded_lsh")
     assert "CartesianProduct" not in p
-    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert p.count("BroadcastNestedLoopJoin") == 0
     assert "Scan ExistingRDD" in p  # the checkpointed shingle/band frames
 
 

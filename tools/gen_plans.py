@@ -52,7 +52,7 @@ NOTES = {
     "g_gradient": "same contribution-explode shape as the regrid on the mixed-resolution corpus: per-file cellsize is in-row (no header join, no extra shuffle), one narrow generate with signed per-axis contributions, one shuffle, 4-contribution gate; integer sums keep both engines exact",
     "x06_scd2_intervals": "change-detect (lag) -> running version -> close (lead): every window partitioned on user_id, ts ties broken by event_id; shuffle-once-then-narrow",
     "n35_source_dup_matrix": "distinct (fingerprint, source) collapse BELOW the self-join bounds per-key fan-out by |sources|; equi-join on the digest, output bounded by |sources|^2",
-    "n36_minhash_estimate": "r6 sketch: ONE polyhash per distinct shingle + 16 affine permutations as broadcast codegen arithmetic (the only nested loop is that 16-row broadcast); shingle frame checkpointed BEFORE the explode (computed-HOF-array-under-Generate re-evaluates per output row — measured 90x) and pinned for sketch + both exact-Jaccard branches; pair compares are equi-joins",
+    "n36_minhash_estimate": "r8 sketch: ONE polyhash per distinct shingle, then ALL 16 affine-permutation minima in a single aggregation pass (no seed fan-out, no nested loop — shuffle rows per doc: 1, was SEEDS); shingle frame checkpointed BEFORE the explode (computed-HOF-array-under-Generate re-evaluates per output row — measured 90x) and pinned for sketch + both exact-Jaccard branches; pair compares are equi-joins",
     "n42_minhash_banded_lsh": "full banded-LSH pipeline: shared affine sketch (checkpointed band frame — built once, not once per join side), bucket candidate stage is an equi self-join on (band, key) — O(colliding pairs), never all-pairs — guarded by the BUCKET_CAP saturation gate (rank-within-bucket window on the join's own partitioning; found by tools/scaling_probe.py, which measured the uncapped join quadratic on low-entropy corpora: stuck at 10x, ratio 1.24 with the cap); verify compares HASHED shingle sets (BIGINT array ops) over only the candidates",
     "g_zonal_stats": "zone catalog broadcast for the range join (q10 tiny-side pattern) — the point cloud never shuffles for the join; single aggregation Exchange",
     "n39_substring_dup_spans": "SINGLE corpus scan (the naive dup-set join-back scans the text twice): one narrow window-fingerprint explode, then digest-only shuffles over progressively collapsed sets — (digest, doc) partial+final HashAggregate, digest-partitioned window for the distinct-doc gate, per-doc fold; digests shuffle as unhex(md5)'s 16 raw bytes (measured 18.3 -> 11.8 MB at sf0.1), never text, no Join anywhere",
