@@ -100,6 +100,10 @@ HEADLINE = [
     # frequency sketch: one-pass sharded Misra-Gries (wall time guards
     # the single-Exchange + Arrow-kernel shape)
     "x10b_heavy_hitters_mg",
+    # incremental near-dup: probe-the-index posture (wall time guards the
+    # broadcast-probe shape — a regression that re-shuffles the index for
+    # an arriving shard shows up ~corpus/shard-fold here)
+    "n49_incremental_lsh_dedup",
 ]
 
 # Fixed cross-round comparison set (VERDICT r5 #6): the full total grows

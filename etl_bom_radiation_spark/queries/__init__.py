@@ -189,6 +189,7 @@ _MODULES = [
     "scale_lifecycle",
     "pagerank",
     "heavy_hitters",
+    "incremental_lsh",
 ]
 
 

@@ -56,6 +56,8 @@ DOC_QUERIES = [
     # round-7 doc operators
     "n47_source_pagerank",
     "n48_authority_weighted_sampling",
+    # round-8 doc operators
+    "n49_incremental_lsh_dedup",
 ]
 
 EVENT_ORDER_QUERIES = [

@@ -679,3 +679,40 @@ def test_null_doc_id_draws_count_as_zero(spark, tmp_path):
         o_kept = dict(zip(odf["source"], odf["n_kept"]))
         assert int(o_kept["ghost"]) == 0
         assert {k: int(v) for k, v in o_kept.items()} == spark_kept
+
+
+def test_incremental_lsh_known_corpus(spark, tmp_path):
+    """n49 semantics on a constructed corpus (incoming shard = doc_id %
+    10 == 7): an incoming exact dup of an INDEXED doc is drop_index_dup;
+    when a doc is both an index dup and a shard dup, index wins; a pair
+    of incoming-only dups keeps the EARLIER id and drops the later one
+    (min-id survivor); a unique incoming doc keeps with no best_jaccard."""
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "entirely separate sentence about rivers mountains and quiet valleys tonight"
+    rows = [
+        (1, text_a, "en", "a", 0),   # INDEXED original of text_a
+        (7, text_a, "en", "a", 0),   # incoming: dup of indexed 1
+        (17, text_a, "en", "a", 0),  # incoming: dup of 1 AND of 7
+        (27, text_b, "en", "a", 0),  # incoming: earlier of the shard-only pair
+        (37, text_b, "en", "a", 0),  # incoming: later -> shard dup of 27
+        (47, "unique closing words nobody else uses anywhere in this tiny corpus", "en", "a", 0),
+    ]
+    d = str(tmp_path / "fix49")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    from etl_bom_radiation_spark.queries import load_all
+
+    out = {r.doc_id: r for r in load_all()["n49_incremental_lsh_dedup"].fn(spark, d).collect()}
+    assert set(out) == {7, 17, 27, 37, 47}  # exactly the incoming shard
+    assert out[7].decision == "drop_index_dup"
+    assert out[7].n_index_cand >= 1 and out[7].best_jaccard == 1.0
+    # 17 collides with indexed 1 AND with shard-mate 7: index wins
+    assert out[17].decision == "drop_index_dup"
+    assert out[17].n_shard_cand >= 1
+    # shard-only pair: min-id survivor
+    assert out[27].decision == "keep"
+    assert out[37].decision == "drop_shard_dup" and out[37].best_jaccard == 1.0
+    assert out[47].decision == "keep"
+    assert out[47].n_index_cand == 0 and out[47].n_shard_cand == 0
+    assert out[47].best_jaccard is None

@@ -627,3 +627,19 @@ def test_source_pagerank_loop_never_rescans_corpus(spark, oracle_sf_dir):
     bp = body._jdf.queryExecution().executedPlan().toString()
     plan_count(bp, "FileScan", 0)
     assert "Scan ExistingRDD" in bp
+
+
+def test_incremental_lsh_index_never_shuffles(spark, oracle_sf_dir):
+    # the incremental contract: the persisted index is PROBED, never
+    # re-shuffled — the incoming band frame broadcasts onto the index
+    # buckets and the enriched candidate frame broadcasts onto the index
+    # hset table, so there is no SortMergeJoin/ShuffledHashJoin anywhere
+    # and no nested loop; the corpus text is scanned exactly once (the
+    # checkpointed shingle frame feeds sketch, verify, and the spine)
+    p = _plan(spark, oracle_sf_dir, "n49_incremental_lsh_dedup")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 0
+    assert "BroadcastHashJoin" in p
+    plan_count(p, "FileScan parquet", 0)
+    assert "Scan ExistingRDD" in p

@@ -67,6 +67,8 @@ TIME_FENCES = {
                                      # corpus-independent by design)
     "x04_sessionization": 4.0,       # recorded 0.92 (events family)
     "x10b_heavy_hitters_mg": 4.0,    # recorded 1.24 (bounded-memory sketch)
+    "n49_incremental_lsh_dedup": 4.0,  # recorded 1.29 (capped probe joins,
+                                       # r8 — DRIFT_r08)
 }
 
 #: op -> max allowed rows(10x)/rows(1x), hot classes=101 regime;

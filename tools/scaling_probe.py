@@ -68,6 +68,10 @@ OPS = [
     # frequency sketch: state bounded by construction; the probe verifies
     # the PASS is linear (shard Exchange + sort + Arrow kernel)
     "x10b_heavy_hitters_mg",
+    # incremental near-dup (r8): same capped bucket joins as n42 but in
+    # the probe-the-index shape — candidate volume must stay bounded by
+    # buckets x cap under saturation, and the probe side is shard-sized
+    "n49_incremental_lsh_dedup",
 ]
 
 #: relational-core ops probed in ``--relational`` mode over a key-shifted
