@@ -45,7 +45,7 @@ gate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import load_tables, register
@@ -79,6 +79,90 @@ THRESHOLD = 0.35
 BUCKET_CAP = 64
 
 
+# --- shared banding machinery (n42 + n49) -------------------------------
+# The band-key construction, the BUCKET_CAP gate, and the hashed-set
+# build are parity-critical: n49's persisted-index layout must be
+# byte-identical to n42's pipeline on BOTH engines, so each exists
+# exactly once here (the SRC_FP_CTES discipline — code-review r8).
+
+
+def band_frame(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bk) from a (doc_id, seed, mn) signature frame:
+    the band key concatenates the band's minima IN SEED ORDER via
+    parity-conditional mins (deterministic — no collect_list ordering
+    hazard).  Checkpointed: consumers join this frame on both sides,
+    and without the barrier each side would rebuild the whole
+    shingle-explode x seeds x min sketch (the n36/n29 lever)."""
+    return (
+        sig.groupBy("doc_id", (F.col("seed") / ROWS).cast("int").alias("band"))
+        .agg(
+            F.concat_ws(
+                "-",
+                F.min(F.when(F.col("seed") % ROWS == 0, F.col("mn"))),
+                F.min(F.when(F.col("seed") % ROWS == 1, F.col("mn"))),
+            ).alias("bk")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def gate_buckets(bands: DataFrame) -> DataFrame:
+    """BUCKET_CAP saturation guard: rank within each (band, bk) bucket,
+    keep the cap-lowest doc_ids.  The rank window shares the (band, bk)
+    partitioning the bucket join shuffles on anyway — no extra Exchange
+    class — and turns the quadratic saturated-bucket term linear."""
+    w = Window.partitionBy("band", "bk").orderBy("doc_id")
+    return (
+        bands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BUCKET_CAP)
+        .drop("rn")
+    )
+
+
+def hashed_sets(shs: DataFrame) -> DataFrame:
+    """(doc_id, hs): hashed BIGINT shingle sets for the verify stage —
+    array ops over BIGINTs are ~5x cheaper than string sets, and both
+    engines hash with the same polyhash so even a collision changes the
+    result identically on both sides (p ~ |union|^2/2p ~ 1e-6)."""
+    return shs.select(
+        "doc_id",
+        F.array_distinct(F.transform("s", lambda q: _polyhash(q))).alias("hs"),
+    ).localCheckpoint(eager=False)
+
+
+#: oracle fragment: the band-key CTE over `sig` (expects _duck_sig_cte in scope)
+DUCK_BANDS_CTE = f"""bands AS (
+        SELECT doc_id, seed // {ROWS} AS band,
+               concat_ws('-',
+                   MIN(CASE WHEN seed % {ROWS} = 0 THEN mn END),
+                   MIN(CASE WHEN seed % {ROWS} = 1 THEN mn END)) AS bk
+        FROM sig GROUP BY doc_id, seed // {ROWS}
+    )"""
+
+
+def duck_gated_cte(name: str, pred: str | None = None) -> str:
+    """Oracle fragment: BUCKET_CAP-gated bucket membership over `bands`,
+    optionally restricted to one side (n49 caps index and shard
+    memberships independently — the rank cannot see the other side)."""
+    where = f" WHERE {pred}" if pred else ""
+    return f"""{name} AS (
+        SELECT doc_id, band, bk FROM (
+            SELECT doc_id, band, bk,
+                   ROW_NUMBER() OVER (PARTITION BY band, bk
+                                      ORDER BY doc_id) AS rn
+            FROM bands{where})
+        WHERE rn <= {BUCKET_CAP}
+    )"""
+
+
+#: oracle fragment: hashed shingle sets over `shs`
+DUCK_HSETS_CTE = (
+    "hsets AS (\n        SELECT doc_id, "
+    f"list_distinct(list_transform(s, q -> {_DUCK_PH_Q})) AS hs\n"
+    "        FROM shs\n    )"
+)
+
+
 @register(
     "n42_minhash_banded_lsh",
     oracle=f"""
@@ -88,29 +172,14 @@ BUCKET_CAP = 64
         SELECT doc_id, {_DUCK_SH2} AS s FROM t
     ), sh AS (
         SELECT doc_id, unnest(s) AS sh FROM shs
-    ), {_duck_sig_cte().lstrip()}, bands AS (
-        SELECT doc_id, seed // {ROWS} AS band,
-               concat_ws('-',
-                   MIN(CASE WHEN seed % {ROWS} = 0 THEN mn END),
-                   MIN(CASE WHEN seed % {ROWS} = 1 THEN mn END)) AS bk
-        FROM sig GROUP BY doc_id, seed // {ROWS}
-    ), gated AS (
-        SELECT doc_id, band, bk FROM (
-            SELECT doc_id, band, bk,
-                   ROW_NUMBER() OVER (PARTITION BY band, bk
-                                      ORDER BY doc_id) AS rn
-            FROM bands)
-        WHERE rn <= {BUCKET_CAP}
-    ), cand AS (
+    ), {_duck_sig_cte().lstrip()}, {DUCK_BANDS_CTE},
+    {duck_gated_cte("gated")}, cand AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(count(*) AS BIGINT) AS n_bands_hit
         FROM gated a JOIN gated b
           ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
-    ), hsets AS (
-        SELECT doc_id, list_distinct(list_transform(s, q -> {_DUCK_PH_Q})) AS hs
-        FROM shs
-    )
+    ), {DUCK_HSETS_CTE}
     SELECT c.doc_a, c.doc_b, c.n_bands_hit,
            ROUND(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
                  len(list_distinct(list_concat(x.hs, y.hs))), 6) AS jaccard,
@@ -137,34 +206,9 @@ def n42_minhash_banded_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)  # feeds the sketch AND both verify sides
     sh = shs.select("doc_id", F.explode("s").alias("sh"))
     sig = sketch_signatures(spark, sh)
-    # band key: the band's minima in SEED order via parity-conditional mins
-    # (no collect_list — its ordering is plan-dependent). Checkpointed: the
-    # bucket self-join reads this frame on BOTH sides, and without the
-    # barrier each side would rebuild the whole shingle-explode x seeds x
-    # min sketch — doubling the dominant stage (the n36/n29 lever).
-    bands = (
-        sig.groupBy("doc_id", (F.col("seed") / ROWS).cast("int").alias("band"))
-        .agg(
-            F.concat_ws(
-                "-",
-                F.min(F.when(F.col("seed") % ROWS == 0, F.col("mn"))),
-                F.min(F.when(F.col("seed") % ROWS == 1, F.col("mn"))),
-            ).alias("bk")
-        )
-        .localCheckpoint(eager=False)
-    )
-    # bucket saturation guard (see BUCKET_CAP): rank within each bucket,
-    # pair only among the cap. The rank window shares the (band, bk)
-    # partitioning the self-join shuffles on anyway — no extra Exchange
-    # class, and it turns the quadratic saturated-bucket term linear.
-    from pyspark.sql import Window
-
-    w_bucket = Window.partitionBy("band", "bk").orderBy("doc_id")
-    gated = (
-        bands.withColumn("rn", F.row_number().over(w_bucket))
-        .filter(F.col("rn") <= BUCKET_CAP)
-        .drop("rn")
-    )
+    # shared banding machinery (band_frame / gate_buckets docstrings) —
+    # one copy for n42's pipeline and n49's persisted-index layout
+    gated = gate_buckets(band_frame(sig))
     a = gated.select(
         F.col("doc_id").alias("doc_a"),
         F.col("band").alias("band_a"),
@@ -190,12 +234,7 @@ def n42_minhash_banded_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -> ~1 s for the 97k-candidate verify at sf0.1). Both engines hash
     # with the same polyhash, so even a collision changes the result
     # identically on both sides (probability ~|union|^2/2p ~ 1e-6).
-    hsets = shs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform("s", lambda q: _polyhash(q))
-        ).alias("hs"),
-    ).localCheckpoint(eager=False)
+    hsets = hashed_sets(shs)
     x = hsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sx"))
     y = hsets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sy"))
     jac = F.size(F.array_intersect("sx", "sy")).cast("double") / F.size(

@@ -55,34 +55,25 @@ this the incremental-arrival gate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import load_tables, register
-from .banded_lsh import BANDS, BUCKET_CAP, ROWS, THRESHOLD
-from .llm_queries import _DUCK_TOKENS, _duck_polyhash, _polyhash, _shingles, _tokens
+from .banded_lsh import (
+    DUCK_BANDS_CTE,
+    DUCK_HSETS_CTE,
+    THRESHOLD,
+    band_frame,
+    duck_gated_cte,
+    gate_buckets,
+    hashed_sets,
+)
+from .llm_queries import _DUCK_TOKENS, _shingles, _tokens
 from .minhash_eval import _DUCK_SH2, _duck_sig_cte, sketch_signatures
 
 #: which doc_ids form the "arriving" shard: doc_id % SHARD_MOD == SHARD_REM
 SHARD_MOD = 10
 SHARD_REM = 7
-
-#: DuckDB polyhash of the list_transform lambda variable `q`
-_DUCK_PH_Q = _duck_polyhash("q")
-
-
-def _gated_cte(which: str, pred: str) -> str:
-    """Capped bucket membership over one side only (rank cannot see the
-    other side's docs — the index is capped at build time, the shard
-    within itself)."""
-    return f"""{which} AS (
-        SELECT doc_id, band, bk FROM (
-            SELECT doc_id, band, bk,
-                   ROW_NUMBER() OVER (PARTITION BY band, bk
-                                      ORDER BY doc_id) AS rn
-            FROM bands WHERE {pred})
-        WHERE rn <= {BUCKET_CAP}
-    )"""
 
 
 @register(
@@ -94,14 +85,9 @@ def _gated_cte(which: str, pred: str) -> str:
         SELECT doc_id, {_DUCK_SH2} AS s FROM t
     ), sh AS (
         SELECT doc_id, unnest(s) AS sh FROM shs
-    ), {_duck_sig_cte().lstrip()}, bands AS (
-        SELECT doc_id, seed // {ROWS} AS band,
-               concat_ws('-',
-                   MIN(CASE WHEN seed % {ROWS} = 0 THEN mn END),
-                   MIN(CASE WHEN seed % {ROWS} = 1 THEN mn END)) AS bk
-        FROM sig GROUP BY doc_id, seed // {ROWS}
-    ), {_gated_cte("idx_gated", f"doc_id % {SHARD_MOD} <> {SHARD_REM}")},
-    {_gated_cte("inc_gated", f"doc_id % {SHARD_MOD} = {SHARD_REM}")},
+    ), {_duck_sig_cte().lstrip()}, {DUCK_BANDS_CTE},
+    {duck_gated_cte("idx_gated", f"doc_id % {SHARD_MOD} <> {SHARD_REM}")},
+    {duck_gated_cte("inc_gated", f"doc_id % {SHARD_MOD} = {SHARD_REM}")},
     cand AS (
         SELECT DISTINCT n.doc_id AS doc, i.doc_id AS other,
                'index' AS kind
@@ -112,10 +98,7 @@ def _gated_cte(which: str, pred: str) -> str:
                'shard' AS kind
         FROM inc_gated a JOIN inc_gated b
           ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-    ), hsets AS (
-        SELECT doc_id, list_distinct(list_transform(s, q -> {_DUCK_PH_Q})) AS hs
-        FROM shs
-    ), verd AS (
+    ), {DUCK_HSETS_CTE}, verd AS (
         SELECT c.doc, c.kind,
                CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
                len(list_distinct(list_concat(x.hs, y.hs))) AS jac
@@ -163,34 +146,20 @@ def n49_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     sh = shs.select("doc_id", F.explode("s").alias("sh"))
     sig = sketch_signatures(spark, sh)
-    bands = (
-        sig.groupBy("doc_id", (F.col("seed") / ROWS).cast("int").alias("band"))
-        .agg(
-            F.concat_ws(
-                "-",
-                F.min(F.when(F.col("seed") % ROWS == 0, F.col("mn"))),
-                F.min(F.when(F.col("seed") % ROWS == 1, F.col("mn"))),
-            ).alias("bk")
-        )
-        .localCheckpoint(eager=False)
-    )
-    is_inc = F.pmod(F.col("doc_id"), F.lit(SHARD_MOD)) == SHARD_REM
+    bands = band_frame(sig)
+    # `%` (sign-of-dividend), NOT F.pmod: the oracle's `%` is DuckDB's
+    # sign-of-dividend remainder, so pmod would route a negative doc_id
+    # into the shard on Spark but onto the index side in the oracle — a
+    # row-set divergence under the hash gate (code-review r8)
+    is_inc = (F.col("doc_id") % SHARD_MOD) == SHARD_REM
 
-    def gated(side: DataFrame) -> DataFrame:
-        # capped bucket membership computed over ONE side's docs only:
-        # the index cap is fixed at build time (cannot see arrivals),
-        # the shard cap sees only the shard
-        w = Window.partitionBy("band", "bk").orderBy("doc_id")
-        return (
-            side.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= BUCKET_CAP)
-            .drop("rn")
-        )
-
-    idx_gated = gated(bands.filter(~is_inc))
+    # capped bucket membership computed over ONE side's docs only: the
+    # index cap is fixed at build time (cannot see arrivals), the shard
+    # cap sees only the shard (shared gate_buckets — the n42 gate)
+    idx_gated = gate_buckets(bands.filter(~is_inc))
     # the incoming band frame is shard-sized: broadcast it so neither the
     # probe nor the in-shard pairing ever shuffles the index
-    inc_gated = F.broadcast(gated(bands.filter(is_inc)))
+    inc_gated = F.broadcast(gate_buckets(bands.filter(is_inc)))
     inc_a = inc_gated.select(
         F.col("doc_id").alias("doc"),
         F.col("band").alias("nb"),
@@ -224,10 +193,7 @@ def n49_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc", "other", "kind")
     )
     cand = cand_idx.select("doc", "other", "kind").unionByName(cand_shard)
-    hsets = shs.select(
-        "doc_id",
-        F.array_distinct(F.transform("s", lambda q: _polyhash(q))).alias("hs"),
-    ).localCheckpoint(eager=False)
+    hsets = hashed_sets(shs)
     # verify without EVER shuffling the index-side hset table: the `doc`
     # half of every pair is an incoming doc (shard-sized hset slice,
     # broadcast), and the enriched candidate frame is itself

@@ -716,3 +716,45 @@ def test_incremental_lsh_known_corpus(spark, tmp_path):
     assert out[47].decision == "keep"
     assert out[47].n_index_cand == 0 and out[47].n_shard_cand == 0
     assert out[47].best_jaccard is None
+
+
+def test_incremental_lsh_negative_doc_id_parity(spark, tmp_path):
+    """n49 shard-split parity on NEGATIVE doc_ids (code-review r8): the
+    Spark side must use `%` (sign-of-dividend, DuckDB's semantics), not
+    pmod — pmod(-3, 10) == 7 would route negative ids into the shard on
+    Spark while the oracle keeps them on the index side, a row-set
+    divergence under the driver's hash gate. Full Spark-vs-DuckDB
+    comparison on a corpus where the two moduli disagree."""
+    import duckdb
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (-3, text_a, "en", "a", 0),   # pmod(-3,10)=7 but -3%10=-3: INDEX side
+        (-13, text_a, "en", "a", 0),  # same trap
+        (7, text_a, "en", "a", 0),    # genuinely incoming: dup of the -3/-13
+        (17, "nothing in common with that other sentence here", "en", "a", 0),
+    ]
+    d = str(tmp_path / "fixneg")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    from etl_bom_radiation_spark.queries import load_all
+
+    q = load_all()["n49_incremental_lsh_dedup"]
+    got = {r.doc_id: r for r in q.fn(spark, d).collect()}
+    # negative ids are index-side on BOTH engines: absent from the result
+    assert set(got) == {7, 17}
+    assert got[7].decision == "drop_index_dup" and got[7].n_index_cand == 2
+    assert got[17].decision == "keep"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = {r[0]: r for r in con.execute(q.oracle).fetchall()}
+    assert set(want) == set(got)
+    for k in got:
+        g = got[k]
+        assert (g.n_index_cand, g.n_shard_cand, g.best_jaccard, g.decision) == (
+            want[k][1], want[k][2], want[k][3], want[k][4]
+        ), k
