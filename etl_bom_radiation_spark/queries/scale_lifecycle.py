@@ -189,3 +189,106 @@ def d02_scale_levers_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "step string, value long").orderBy("step")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register("d03_compaction_lifecycle", streaming=True)
+def d03_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction lifecycle (the remaining pytest/bench-only
+    maintenance lever after d02 covered manifests): the write-fast /
+    read-optimal decoupling that keeps a 100-TB partitioned sink healthy.
+
+    A hot-partition ingest wants MANY writer tasks (the fan-out lever —
+    one task per partition is a straggler), which necessarily lands many
+    small files per hive dir; ``ingest.compact_partitions`` folds each
+    multi-file partition back to one file out-of-band (rename-in before
+    delete-old, crash-repairable swap — the protocol details carry their
+    own pytest fences incl. forced-restart recovery, test_ingest).  This
+    entry puts the end-to-end discipline under driver evidence: fan-out
+    write -> every partition folded -> row count AND content checksum
+    preserved -> second run is a no-op.
+
+    Rows-only by nature (provisions temp layouts; DuckDB has no file
+    layout to mirror), d01/d02-style: 11 deterministic (step, value)
+    rows.  Layout determinism: the writer shard is ``event_id % 8`` and
+    the partition key ``user_id % 4`` — hash placement of a pinned shard
+    domain, so every file count below is a pure function of the input
+    (the d02 convention).
+
+    Reference parity: the reference's sink only ever accretes objects
+    (bom/bom.py:150-157 — one parquet per source file, no maintenance);
+    this is the discipline that posture needs at Spark scale.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..ingest import compact_partitions
+
+    base = tempfile.mkdtemp(prefix="d03_compact_")
+    tbl = os.path.join(base, "events_sink")
+
+    def data_files() -> list[str]:
+        return [
+            f
+            for f in glob.glob(os.path.join(tbl, "p=*", "*.parquet"))
+            if not os.path.basename(f).startswith((".", "_"))
+        ]
+
+    try:
+        e = load_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+        src = e.select(
+            "event_id",
+            "user_id",
+            (F.col("user_id") % 4).alias("p"),
+            (F.col("event_id") % 8).alias("shard"),
+        )
+        # fan-out write: 8 writer shards x 4 hive partitions — every
+        # partition dir receives one file per shard task that holds rows
+        # for it (the maint_partitioned_write_fanout lever, bench.py).
+        # The shard count is EXPLICIT: an un-numbered repartition lets
+        # AQE coalesce the tiny shuffle back into one writer task, which
+        # silently undoes the fan-out (observed: 4 files for 4 dirs)
+        src.repartition(8, "shard").drop("shard").write.partitionBy("p").mode(
+            "overwrite"
+        ).parquet(tbl)
+        dirs = len(glob.glob(os.path.join(tbl, "p=*")))
+        files_before = len(data_files())
+        before = spark.read.parquet(tbl)
+        rows_before = before.count()
+        # content checksum, order-independent and overflow-safe:
+        # sum of crc32(event_id:user_id) < 2^32 * |rows| << 2^63
+        chk = F.sum(
+            F.crc32(F.concat_ws(":", F.col("event_id"), F.col("user_id")))
+        ).alias("c")
+        chk_before = before.agg(chk).first()["c"]
+
+        multi = sum(
+            1
+            for d in glob.glob(os.path.join(tbl, "p=*"))
+            if len([f for f in os.listdir(d) if not f.startswith((".", "_"))]) >= 2
+        )
+        compacted = compact_partitions(spark, tbl)
+        files_after = len(data_files())
+        after = spark.read.parquet(tbl)
+        rows_after = after.count()
+        chk_after = after.agg(chk).first()["c"]
+        again = compact_partitions(spark, tbl)
+
+        rows = [
+            ("01_partition_dirs", dirs),
+            ("02_files_written", files_before),
+            ("03_fanout_multiplied_files", int(files_before > dirs)),
+            ("04_rows_before", rows_before),
+            ("05_multifile_partitions", multi),
+            ("06_compacted_partitions", compacted),
+            ("07_compacted_every_multifile", int(compacted == multi)),
+            ("08_files_after", files_after),
+            ("09_one_file_per_partition", int(files_after == dirs)),
+            ("10_rows_and_checksum_preserved",
+             int(rows_after == rows_before and chk_after == chk_before)),
+            ("11_second_run_noop", int(again == 0)),
+        ]
+        return spark.createDataFrame(rows, "step string, value long").orderBy("step")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

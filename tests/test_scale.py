@@ -546,3 +546,30 @@ def test_scale_levers_lifecycle_fences(spark, oracle_sf_dir):
     )
     assert 0 < vals["16_ann_rows_probed"] < vals["15_ann_rows_full"]
     assert vals["14_ivf_cells"] == 16
+
+
+def test_compaction_lifecycle_fences(spark, oracle_sf_dir):
+    """d03: the fan-out write must genuinely multiply files (the lever a
+    coalesced plan silently undoes — observed with an un-numbered
+    repartition), compaction must fold EVERY multi-file partition to one
+    file while preserving rows and the content checksum, and the second
+    run must be a no-op."""
+    from etl_bom_radiation_spark.queries import load_all
+
+    vals = {
+        r["step"]: r["value"]
+        for r in load_all()["d03_compaction_lifecycle"]
+        .fn(spark, oracle_sf_dir)
+        .collect()
+    }
+    for fence in (
+        "03_fanout_multiplied_files",
+        "07_compacted_every_multifile",
+        "09_one_file_per_partition",
+        "10_rows_and_checksum_preserved",
+        "11_second_run_noop",
+    ):
+        assert vals[fence] == 1, fence
+    assert vals["02_files_written"] > vals["01_partition_dirs"]
+    assert vals["08_files_after"] == vals["01_partition_dirs"]
+    assert vals["04_rows_before"] > 0
