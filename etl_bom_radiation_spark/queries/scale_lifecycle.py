@@ -36,6 +36,21 @@ from pyspark.sql import functions as F
 
 from . import load_events, register
 
+def _data_files(tbl: str, part_glob: str) -> list[str]:
+    """Visible parquet data files under a hive-partitioned sink — the ONE
+    definition of "data file" every d02/d03 file-count fence uses (a
+    sidecar convention added in one place cannot silently diverge the
+    fences — code-review r8)."""
+    import glob
+    import os
+
+    return [
+        f
+        for f in glob.glob(os.path.join(tbl, part_glob, "*.parquet"))
+        if not os.path.basename(f).startswith((".", "_"))
+    ]
+
+
 #: coarse Z bucket: (user_id mod 64, day-of-year mod 64) bit-interleaved
 #: at 6+6 bits, keeping the top 4 bits -> at most 16 hive dirs whatever
 #: the scale factor. The mod-64 demo domain is pinned so bucket ids are
@@ -90,11 +105,7 @@ def d02_scale_levers_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.repartition("bucket").write.partitionBy("bucket").mode(
             "overwrite"
         ).parquet(tbl)
-        data_files = [
-            f
-            for f in glob.glob(os.path.join(tbl, "bucket=*", "*.parquet"))
-            if not os.path.basename(f).startswith((".", "_"))
-        ]
+        data_files = _data_files(tbl, "bucket=*")
 
         man = build_manifest(spark, tbl, ["u", "d"])
         manifest_rows = man.count()
@@ -125,13 +136,7 @@ def d02_scale_levers_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.partitionBy("bucket").mode("append").parquet(tbl)
         man2 = refresh_manifest(spark, tbl, ["u", "d"])
         manifest_rows_after = man2.count()
-        appended = len(
-            [
-                f
-                for f in glob.glob(os.path.join(tbl, "bucket=*", "*.parquet"))
-                if not os.path.basename(f).startswith((".", "_"))
-            ]
-        )
+        appended = len(_data_files(tbl, "bucket=*"))
         # re-prune against the REFRESHED manifest (VERDICT r7 #5): the
         # incremental refresh must leave the skipping index usable — the
         # same box now selects the old + appended twins of the matching
@@ -228,13 +233,6 @@ def d03_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="d03_compact_")
     tbl = os.path.join(base, "events_sink")
 
-    def data_files() -> list[str]:
-        return [
-            f
-            for f in glob.glob(os.path.join(tbl, "p=*", "*.parquet"))
-            if not os.path.basename(f).startswith((".", "_"))
-        ]
-
     try:
         e = load_events(spark, sf_dir).filter(F.col("ts").isNotNull())
         src = e.select(
@@ -253,26 +251,28 @@ def d03_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(tbl)
         dirs = len(glob.glob(os.path.join(tbl, "p=*")))
-        files_before = len(data_files())
-        before = spark.read.parquet(tbl)
-        rows_before = before.count()
-        # content checksum, order-independent and overflow-safe:
-        # sum of crc32(event_id:user_id) < 2^32 * |rows| << 2^63
+        listing = _data_files(tbl, "p=*")
+        files_before = len(listing)
+        # multi-file partitions from the SAME listing the file-count
+        # fences use (one data-file definition — code-review r8)
+        from collections import Counter
+
+        per_dir = Counter(os.path.dirname(f) for f in listing)
+        multi = sum(1 for n in per_dir.values() if n >= 2)
+        # rows + content checksum in ONE scan (order-independent and
+        # overflow-safe: sum of crc32(event_id:user_id) < 2^32 * |rows|
+        # << 2^63); a separate count() would scan the sink twice
+        cnt = F.count(F.lit(1)).alias("n")
         chk = F.sum(
             F.crc32(F.concat_ws(":", F.col("event_id"), F.col("user_id")))
         ).alias("c")
-        chk_before = before.agg(chk).first()["c"]
+        b = spark.read.parquet(tbl).agg(cnt, chk).first()
+        rows_before, chk_before = b["n"], b["c"]
 
-        multi = sum(
-            1
-            for d in glob.glob(os.path.join(tbl, "p=*"))
-            if len([f for f in os.listdir(d) if not f.startswith((".", "_"))]) >= 2
-        )
         compacted = compact_partitions(spark, tbl)
-        files_after = len(data_files())
-        after = spark.read.parquet(tbl)
-        rows_after = after.count()
-        chk_after = after.agg(chk).first()["c"]
+        files_after = len(_data_files(tbl, "p=*"))
+        a = spark.read.parquet(tbl).agg(cnt, chk).first()
+        rows_after, chk_after = a["n"], a["c"]
         again = compact_partitions(spark, tbl)
 
         rows = [
