@@ -76,6 +76,113 @@ SHARD_MOD = 10
 SHARD_REM = 7
 
 
+def shard_verdicts(
+    idx_gated: DataFrame,
+    inc_gated: DataFrame,
+    hsets_all: DataFrame,
+    inc_hsets: DataFrame,
+    spine: DataFrame,
+) -> DataFrame:
+    """The probe/verify/verdict assembly shared by the one-shot n49
+    query and the persisted-index API (``lsh_index.probe_lsh_index``) —
+    ONE implementation so the two paths cannot drift (the banded_lsh
+    helper discipline, code-review r8).
+
+    ``idx_gated``/``inc_gated``: capped (doc_id, band, bk) bucket
+    memberships (the index's capped at build time, the shard's within
+    the shard); ``hsets_all``: (doc_id, hs) for every doc that can
+    appear as a candidate's `other` side (index + shard);
+    ``inc_hsets``: the shard-sized slice; ``spine``: the incoming
+    doc_ids (one row per arriving doc, preserved into the result).
+
+    Plan shape: the shard side broadcasts everywhere — the index is
+    probed, never shuffled (no SortMergeJoin anywhere; asserted in
+    tests for both callers)."""
+    # the incoming band frame is shard-sized: broadcast it so neither the
+    # probe nor the in-shard pairing ever shuffles the index
+    inc_gated = F.broadcast(inc_gated)
+    inc_a = inc_gated.select(
+        F.col("doc_id").alias("doc"),
+        F.col("band").alias("nb"),
+        F.col("bk").alias("nk"),
+    )
+    cand_idx = (
+        idx_gated.join(
+            inc_a,
+            (F.col("band") == F.col("nb")) & (F.col("bk") == F.col("nk")),
+        )
+        .select("doc", F.col("doc_id").alias("other"))
+        .distinct()
+        .withColumn("kind", F.lit("index"))
+    )
+    inc_b = inc_gated.select(
+        F.col("doc_id").alias("later"),
+        F.col("band").alias("bb"),
+        F.col("bk").alias("kb"),
+    )
+    # a = earlier doc (survivor), b = later doc (the drop candidate)
+    cand_shard = (
+        inc_a.join(
+            inc_b,
+            (F.col("nb") == F.col("bb"))
+            & (F.col("nk") == F.col("kb"))
+            & (F.col("doc") < F.col("later")),
+        )
+        .select(F.col("later").alias("doc"), F.col("doc").alias("other"))
+        .distinct()
+        .withColumn("kind", F.lit("shard"))
+        .select("doc", "other", "kind")
+    )
+    cand = cand_idx.select("doc", "other", "kind").unionByName(cand_shard)
+    # verify without EVER shuffling the index-side hset table: the `doc`
+    # half of every pair is an incoming doc (shard-sized hset slice,
+    # broadcast), and the enriched candidate frame is itself
+    # candidate-sized, so it broadcasts onto the full hset frame — the
+    # index streams map-side through a BroadcastHashJoin build
+    x = F.broadcast(
+        inc_hsets.select(F.col("doc_id").alias("doc"), F.col("hs").alias("sx"))
+    )
+    y = hsets_all.select(F.col("doc_id").alias("other"), F.col("hs").alias("sy"))
+    jac = F.size(F.array_intersect("sx", "sy")).cast("double") / F.size(
+        F.array_union("sx", "sy")
+    )
+    verd = y.join(F.broadcast(cand.join(x, "doc")), "other").select(
+        "doc", "kind", jac.alias("jac")
+    )
+    agg = verd.groupBy("doc").agg(
+        F.sum(F.when(F.col("kind") == "index", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nic"),
+        F.sum(F.when(F.col("kind") == "shard", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nsc"),
+        F.max("jac").alias("bj"),
+        F.max(
+            F.when(
+                (F.col("kind") == "index") & (F.col("jac") >= THRESHOLD), 1
+            ).otherwise(0)
+        ).alias("idx_dup"),
+        F.max(
+            F.when(
+                (F.col("kind") == "shard") & (F.col("jac") >= THRESHOLD), 1
+            ).otherwise(0)
+        ).alias("shard_dup"),
+    )
+    # both sides are shard-sized; broadcast the per-doc verdicts so the
+    # plan stays Exchange-free end-to-end after the candidate stage
+    agg = F.broadcast(agg)
+    return spine.join(agg, spine.doc_id == agg.doc, "left").select(
+        "doc_id",
+        F.coalesce("nic", F.lit(0).cast("bigint")).alias("n_index_cand"),
+        F.coalesce("nsc", F.lit(0).cast("bigint")).alias("n_shard_cand"),
+        F.round("bj", 6).alias("best_jaccard"),
+        F.when(F.col("idx_dup") == 1, "drop_index_dup")
+        .when(F.col("shard_dup") == 1, "drop_shard_dup")
+        .otherwise("keep")
+        .alias("decision"),
+    )
+
+
 @register(
     "n49_incremental_lsh_dedup",
     oracle=f"""
@@ -157,90 +264,12 @@ def n49_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index cap is fixed at build time (cannot see arrivals), the shard
     # cap sees only the shard (shared gate_buckets — the n42 gate)
     idx_gated = gate_buckets(bands.filter(~is_inc))
-    # the incoming band frame is shard-sized: broadcast it so neither the
-    # probe nor the in-shard pairing ever shuffles the index
-    inc_gated = F.broadcast(gate_buckets(bands.filter(is_inc)))
-    inc_a = inc_gated.select(
-        F.col("doc_id").alias("doc"),
-        F.col("band").alias("nb"),
-        F.col("bk").alias("nk"),
-    )
-    cand_idx = (
-        idx_gated.join(
-            inc_a,
-            (F.col("band") == F.col("nb")) & (F.col("bk") == F.col("nk")),
-        )
-        .select("doc", F.col("doc_id").alias("other"))
-        .distinct()
-        .withColumn("kind", F.lit("index"))
-    )
-    inc_b = inc_gated.select(
-        F.col("doc_id").alias("later"),
-        F.col("band").alias("bb"),
-        F.col("bk").alias("kb"),
-    )
-    # a = earlier doc (survivor), b = later doc (the drop candidate)
-    cand_shard = (
-        inc_a.join(
-            inc_b,
-            (F.col("nb") == F.col("bb"))
-            & (F.col("nk") == F.col("kb"))
-            & (F.col("doc") < F.col("later")),
-        )
-        .select(F.col("later").alias("doc"), F.col("doc").alias("other"))
-        .distinct()
-        .withColumn("kind", F.lit("shard"))
-        .select("doc", "other", "kind")
-    )
-    cand = cand_idx.select("doc", "other", "kind").unionByName(cand_shard)
+    inc_gated = gate_buckets(bands.filter(is_inc))
     hsets = hashed_sets(shs)
-    # verify without EVER shuffling the index-side hset table: the `doc`
-    # half of every pair is an incoming doc (shard-sized hset slice,
-    # broadcast), and the enriched candidate frame is itself
-    # candidate-sized, so it broadcasts onto the full hset frame — the
-    # index streams map-side through a BroadcastHashJoin build
-    x = F.broadcast(
-        hsets.filter(is_inc).select(
-            F.col("doc_id").alias("doc"), F.col("hs").alias("sx")
-        )
-    )
-    y = hsets.select(F.col("doc_id").alias("other"), F.col("hs").alias("sy"))
-    jac = F.size(F.array_intersect("sx", "sy")).cast("double") / F.size(
-        F.array_union("sx", "sy")
-    )
-    verd = y.join(F.broadcast(cand.join(x, "doc")), "other").select(
-        "doc", "kind", jac.alias("jac")
-    )
-    agg = verd.groupBy("doc").agg(
-        F.sum(F.when(F.col("kind") == "index", 1).otherwise(0))
-        .cast("bigint")
-        .alias("nic"),
-        F.sum(F.when(F.col("kind") == "shard", 1).otherwise(0))
-        .cast("bigint")
-        .alias("nsc"),
-        F.max("jac").alias("bj"),
-        F.max(
-            F.when(
-                (F.col("kind") == "index") & (F.col("jac") >= THRESHOLD), 1
-            ).otherwise(0)
-        ).alias("idx_dup"),
-        F.max(
-            F.when(
-                (F.col("kind") == "shard") & (F.col("jac") >= THRESHOLD), 1
-            ).otherwise(0)
-        ).alias("shard_dup"),
-    )
-    spine = shs.select("doc_id").filter(is_inc)
-    # both sides are shard-sized; broadcast the per-doc verdicts so the
-    # plan stays Exchange-free end-to-end after the candidate stage
-    agg = F.broadcast(agg)
-    return spine.join(agg, spine.doc_id == agg.doc, "left").select(
-        "doc_id",
-        F.coalesce("nic", F.lit(0).cast("bigint")).alias("n_index_cand"),
-        F.coalesce("nsc", F.lit(0).cast("bigint")).alias("n_shard_cand"),
-        F.round("bj", 6).alias("best_jaccard"),
-        F.when(F.col("idx_dup") == 1, "drop_index_dup")
-        .when(F.col("shard_dup") == 1, "drop_shard_dup")
-        .otherwise("keep")
-        .alias("decision"),
+    return shard_verdicts(
+        idx_gated,
+        inc_gated,
+        hsets,
+        hsets.filter(is_inc),
+        shs.select("doc_id").filter(is_inc),
     )

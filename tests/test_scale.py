@@ -573,3 +573,34 @@ def test_compaction_lifecycle_fences(spark, oracle_sf_dir):
     assert vals["02_files_written"] > vals["01_partition_dirs"]
     assert vals["08_files_after"] == vals["01_partition_dirs"]
     assert vals["04_rows_before"] > 0
+
+
+def test_persisted_lsh_index_matches_oneshot_query(spark, tmp_path, oracle_sf_dir):
+    """lsh_index.build/probe is the production form of n49: building the
+    index from the n49 index side (doc_id % 10 != 7) and probing the n49
+    shard must reproduce the hash-verified one-shot query's rows EXACTLY
+    — one shared shard_verdicts implementation, parity locked here. The
+    probe plan must also keep the incremental contract: the index parquet
+    is scanned, never shuffled (no SortMergeJoin), and the batch side
+    broadcasts."""
+    from pyspark.sql import functions as F
+
+    from etl_bom_radiation_spark.lsh_index import build_lsh_index, probe_lsh_index
+    from etl_bom_radiation_spark.queries import load_all
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    idx_docs = docs.filter((F.col("doc_id") % 10) != 7)
+    batch = docs.filter((F.col("doc_id") % 10) == 7)
+    d = str(tmp_path / "lshidx")
+    build_lsh_index(spark, idx_docs, d)
+    got = probe_lsh_index(spark, d, batch)
+    p = got._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+    want = load_all()["n49_incremental_lsh_dedup"].fn(spark, oracle_sf_dir)
+    key = lambda r: (
+        r.doc_id, r.n_index_cand, r.n_shard_cand, r.best_jaccard, r.decision
+    )
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
