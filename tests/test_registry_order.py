@@ -1,0 +1,97 @@
+"""The registry's driver-window ordering (VERDICT r8 #1).
+
+The driver re-checks a finite (~50-entry) prefix of the registry per round,
+so ``load_all``'s ordering IS the freshness guarantee.  Invariants:
+
+* never-driver-verified entries lead;
+* an entry whose module was committed AFTER its evidence artifact but
+  BEFORE the latest artifact ("urgent": its evidence describes code that no
+  longer exists) is clamped to the three-round staleness boundary, so it
+  re-enters the window within one round of the modification;
+* commits after the latest artifact (this round's in-flight work) do NOT
+  promote — next round's window catches them.
+"""
+
+from __future__ import annotations
+
+import etl_bom_radiation_spark.queries as Q
+from etl_bom_radiation_spark.queries import Query, _urgency, load_all
+
+
+def _fake_query(module: str) -> Query:
+    return Query(name="x", fn=lambda s, d: None, oracle=None, doc="", module=module)
+
+
+def _with_epochs(monkeypatch, epochs):
+    monkeypatch.setattr(Q, "_GIT_EPOCHS", epochs)
+
+
+ART6 = 600.0
+ART8 = 800.0
+EPOCHS = {
+    "CORRECTNESS_r06.json": [ART6],
+    "CORRECTNESS_r08.json": [ART8],
+    "etl_bom_radiation_spark/queries/in_between.py": [500.0, 700.0],
+    "etl_bom_radiation_spark/queries/only_after.py": [500.0, 900.0],
+    "etl_bom_radiation_spark/queries/only_before.py": [400.0, 550.0],
+}
+
+
+def test_urgency_module_committed_between_artifacts(monkeypatch):
+    _with_epochs(monkeypatch, EPOCHS)
+    q = _fake_query("etl_bom_radiation_spark.queries.in_between")
+    assert _urgency(q, evid_round=6, latest_round=8) == 700.0
+
+
+def test_urgency_ignores_commits_after_latest_artifact(monkeypatch):
+    """In-round edits must not churn the ordering mid-round: the entry is
+    caught by NEXT round's window (still within the one-round rule)."""
+    _with_epochs(monkeypatch, EPOCHS)
+    q = _fake_query("etl_bom_radiation_spark.queries.only_after")
+    assert _urgency(q, evid_round=6, latest_round=8) is None
+
+
+def test_urgency_none_when_module_predates_evidence(monkeypatch):
+    _with_epochs(monkeypatch, EPOCHS)
+    q = _fake_query("etl_bom_radiation_spark.queries.only_before")
+    assert _urgency(q, evid_round=6, latest_round=8) is None
+
+
+def test_urgency_none_for_fresh_or_unverified(monkeypatch):
+    _with_epochs(monkeypatch, EPOCHS)
+    q = _fake_query("etl_bom_radiation_spark.queries.in_between")
+    assert _urgency(q, evid_round=8, latest_round=8) is None  # evidence current
+    assert _urgency(q, evid_round=0, latest_round=8) is None  # never verified
+
+
+def test_live_ordering_invariants():
+    """Against the real repo + git history: every urgent entry must sit in
+    the window ahead of any entry whose evidence is current (those need no
+    refresh), and never-verified entries must lead everything."""
+    reg = load_all()
+    last = Q._last_verified_round()
+    latest = max(last.values(), default=0)
+    names = list(reg)
+
+    pos = {n: i for i, n in enumerate(names)}
+    unverified = [n for n in names if last.get(n, 0) == 0]
+    fresh = [n for n in names if last.get(n, 0) == latest]
+    urgent = [
+        n
+        for n in names
+        if last.get(n, 0) > 0
+        and _urgency(reg[n], last.get(n, 0), latest) is not None
+    ]
+
+    if unverified:
+        assert max(pos[n] for n in unverified) < min(
+            pos[n] for n in names if last.get(n, 0) > 0
+        )
+    if urgent and fresh:
+        assert max(pos[n] for n in urgent) < min(pos[n] for n in fresh)
+    # the stalest evidence class opens the verified block
+    verified = [n for n in names if last.get(n, 0) > 0]
+    if verified:
+        stalest = min(last[n] for n in verified)
+        first_verified = verified[0]
+        assert last[first_verified] <= stalest + 0  # block starts at min round
