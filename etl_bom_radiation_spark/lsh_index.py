@@ -1,4 +1,5 @@
-"""Persisted banded-LSH near-dup index: build once, probe per arrival.
+"""Persisted banded-LSH near-dup index: build once, probe per arrival,
+fold admissions back in without a rebuild.
 
 ``queries.incremental_lsh`` (n49) demonstrates the incremental near-dup
 SEMANTICS as a one-shot oracle-verified query; this module is the
@@ -25,6 +26,36 @@ corpus:
   drop_shard_dup + candidate counts + best verified Jaccard).  No
   SortMergeJoin anywhere; the index parquet is scanned, never
   shuffled.
+* ``update_lsh_index(spark, index_dir, kept_batch)``: fold the docs a
+  probe ADMITTED into the index by APPEND — their hsets append as-is;
+  their band rows are cap-gated against the occupancy the touched
+  (band, bk) buckets already have, so the gate recompute is local to
+  the touched buckets (batch-bounded, never index-bounded) and no
+  existing index row is ever rewritten.  This is the
+  ``refresh_manifest`` discipline applied to the LSH index: the next
+  probe sees the admitted docs without any rebuild.
+
+Scale envelope (ADVICE r8): the probe's plan shape broadcasts the
+batch band frame, the batch hset slice, the enriched candidate frame
+and the per-doc verdict aggregate — so the real bound is that the
+BATCH (not the index) plus its candidate fan-out must fit Spark's
+broadcast limit (``spark.sql.autoBroadcastJoinThreshold`` semantics;
+hard ceiling 8 GB).  A 100 TB INDEX is fine; a 100 GB arriving batch
+is not one probe call — split it into broadcast-sized sub-batches
+(each probed and folded independently; the min-id survivor convention
+makes sub-batch order irrelevant across DISJOINT id ranges).
+
+Append-only id discipline: ``update_lsh_index`` requires every new
+doc_id to exceed ``max_doc_id`` recorded in the index meta (checked,
+not assumed).  Under it, append-plus-local-gate is EXACTLY the capped
+membership a from-scratch rebuild over the union would produce: the
+cap keeps the BUCKET_CAP lowest doc_ids per bucket, and monotone ids
+mean existing members can never be evicted by later arrivals
+(pytest-locked rebuild parity, tests/test_scale.py).  Re-arrivals are
+therefore impossible by construction in the fold path; the probe path
+additionally drops index rows whose doc_id re-appears in the batch
+(defensive anti-join, ADVICE r8) so a re-probed doc is judged against
+the index minus itself instead of fanning out the verify join.
 
 Parity with the one-shot query is pytest-locked: building the index
 from the n49 index side and probing the n49 shard must reproduce the
@@ -37,34 +68,70 @@ SURVEY §2.H's near-dup family exists to serve.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .queries.banded_lsh import band_frame, gate_buckets, hashed_sets
+from .queries.banded_lsh import BUCKET_CAP, band_frame, gate_buckets, hashed_sets
 from .queries.incremental_lsh import shard_verdicts
 from .queries.llm_queries import _shingles, _tokens
 from .queries.minhash_eval import sketch_signatures
 
+_META = "meta.json"
 
-def _sketch_frames(spark: SparkSession, docs: DataFrame):
-    """(gated band frame, hashed-set frame) for a (doc_id, text) frame —
-    the exact n42/n49 stages (shared helpers), one text pass."""
+
+def _sketch_frames(spark: SparkSession, docs: DataFrame, gate: bool = True):
+    """(band frame — cap-gated unless ``gate=False`` —, hashed-set frame)
+    for a (doc_id, text) frame — the exact n42/n49 stages (shared
+    helpers), one text pass.  ``update_lsh_index`` needs the UNGATED
+    band rows: its gate must see existing bucket occupancy, not just
+    the batch."""
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("ws"))
     shs = toks.select(
         "doc_id", F.array_distinct(_shingles("ws", 2)).alias("s")
     ).localCheckpoint(eager=False)
     sh = shs.select("doc_id", F.explode("s").alias("sh"))
-    bands = gate_buckets(band_frame(sketch_signatures(spark, sh)))
+    bands = band_frame(sketch_signatures(spark, sh))
+    if gate:
+        bands = gate_buckets(bands)
     return bands, hashed_sets(shs)
+
+
+def _meta_path(spark: SparkSession, index_dir: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_META}")
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _write_meta(spark: SparkSession, index_dir: str, max_doc_id: int) -> None:
+    fs, p = _meta_path(spark, index_dir)
+    out = fs.create(p, True)
+    out.write(bytearray(json.dumps({"max_doc_id": max_doc_id}), "utf-8"))
+    out.close()
+
+
+def _read_meta(spark: SparkSession, index_dir: str) -> int:
+    fs, p = _meta_path(spark, index_dir)
+    stream = fs.open(p)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return int(json.loads(raw)["max_doc_id"])
 
 
 def build_lsh_index(spark: SparkSession, docs: DataFrame, index_dir: str) -> None:
     """Sketch ``docs`` (doc_id, text, ...) and persist the two index
-    tables an arrival probe reads: ``bands.parquet`` (capped bucket
-    membership) and ``hsets.parquet`` (hashed shingle sets)."""
+    tables an arrival probe reads — ``bands.parquet`` (capped bucket
+    membership) and ``hsets.parquet`` (hashed shingle sets) — plus the
+    ``meta.json`` high-water mark ``update_lsh_index`` checks its
+    append-only id precondition against."""
     bands, hsets = _sketch_frames(spark, docs)
     bands.write.mode("overwrite").parquet(f"{index_dir}/bands.parquet")
     hsets.write.mode("overwrite").parquet(f"{index_dir}/hsets.parquet")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    _write_meta(spark, index_dir, -(2**62) if mx is None else int(mx))
 
 
 def probe_lsh_index(
@@ -73,9 +140,24 @@ def probe_lsh_index(
     """Per-doc near-dup verdicts for an arriving ``batch`` (doc_id,
     text, ...) against a :func:`build_lsh_index` layout — the batch is
     sketched fresh and broadcast; the index tables stream map-side
-    (no shuffle of the index, no SortMergeJoin)."""
-    idx_bands = spark.read.parquet(f"{index_dir}/bands.parquet")
-    idx_hsets = spark.read.parquet(f"{index_dir}/hsets.parquet")
+    (no shuffle of the index, no SortMergeJoin).
+
+    Broadcast-bound (ADVICE r8): the batch band frame, batch hset
+    slice, candidate frame and verdict aggregate are all broadcast, so
+    the BATCH and its candidate fan-out must fit the broadcast limit —
+    split over-sized arrivals into sub-batches before probing.
+
+    A doc_id present in BOTH the index and the batch (a re-arrival) is
+    judged against the index minus itself: the defensive anti-joins
+    below drop its index-side band rows and hset before the union, so
+    the verify join cannot fan out across generations (ADVICE r8)."""
+    ids = F.broadcast(batch.select("doc_id"))
+    idx_bands = spark.read.parquet(f"{index_dir}/bands.parquet").join(
+        ids, "doc_id", "left_anti"
+    )
+    idx_hsets = spark.read.parquet(f"{index_dir}/hsets.parquet").join(
+        ids, "doc_id", "left_anti"
+    )
     inc_bands, inc_hsets = _sketch_frames(spark, batch)
     return shard_verdicts(
         idx_bands,
@@ -84,3 +166,69 @@ def probe_lsh_index(
         inc_hsets,
         batch.select("doc_id"),
     )
+
+
+def update_lsh_index(
+    spark: SparkSession, index_dir: str, kept_batch: DataFrame
+) -> int:
+    """Fold ``kept_batch`` — the docs a probe ADMITTED (decision
+    ``keep``) — into the persisted index without a rebuild.  Returns
+    the number of docs folded in.
+
+    Pure append, gate recompute local to the touched buckets:
+
+    * hsets: the batch's hashed shingle sets append as-is;
+    * bands: a new row enters a (band, bk) bucket only while the bucket
+      stays within ``BUCKET_CAP`` counting its EXISTING occupancy —
+      occupancy is read via a broadcast-semi-join of the index band
+      table against the batch's touched bucket keys (the index streams
+      map-side; the aggregate shuffles only the surviving
+      touched-bucket rows, bounded by batch size x bands x cap, never
+      by index size).
+
+    Requires append-only doc_ids (every new id > the index's recorded
+    ``max_doc_id`` — checked against ``meta.json``, ValueError
+    otherwise).  Under that precondition the appended membership is
+    EXACTLY what a from-scratch rebuild over the union would cap: the
+    gate keeps the BUCKET_CAP lowest ids per bucket and monotone ids
+    can never evict existing members (rebuild parity pytest-locked).
+    Without it, admitting a low id would require evicting an already-
+    persisted row — a rewrite, which is the rebuild this API exists to
+    avoid."""
+    new_bands, new_hsets = _sketch_frames(spark, kept_batch, gate=False)
+    new_bands = F.broadcast(new_bands.localCheckpoint())  # batch-sized
+
+    mn_mx = kept_batch.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"), F.count("*").alias("n")
+    ).first()
+    if mn_mx["n"] == 0:
+        return 0
+    high_water = _read_meta(spark, index_dir)
+    if mn_mx["mn"] <= high_water:
+        raise ValueError(
+            f"update_lsh_index requires append-only doc_ids: batch min "
+            f"{mn_mx['mn']} <= indexed max {high_water} (re-arrival or "
+            f"out-of-order fold — rebuild or re-id the batch)"
+        )
+
+    # occupancy of ONLY the touched buckets: broadcast semi-join keeps the
+    # index scan shuffle-free; the count aggregates <= cap rows per
+    # touched bucket
+    touched = new_bands.select("band", "bk").distinct()
+    occ = (
+        spark.read.parquet(f"{index_dir}/bands.parquet")
+        .join(F.broadcast(touched), ["band", "bk"], "left_semi")
+        .groupBy("band", "bk")
+        .agg(F.count("*").alias("occ"))
+    )
+    w = Window.partitionBy("band", "bk").orderBy("doc_id")
+    admitted = (
+        new_bands.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(occ), ["band", "bk"], "left")
+        .filter(F.col("rn") + F.coalesce("occ", F.lit(0)) <= BUCKET_CAP)
+        .select("doc_id", "band", "bk")
+    )
+    admitted.write.mode("append").parquet(f"{index_dir}/bands.parquet")
+    new_hsets.write.mode("append").parquet(f"{index_dir}/hsets.parquet")
+    _write_meta(spark, index_dir, int(mn_mx["mx"]))
+    return int(mn_mx["n"])

@@ -604,3 +604,145 @@ def test_persisted_lsh_index_matches_oneshot_query(spark, tmp_path, oracle_sf_di
         r.doc_id, r.n_index_cand, r.n_shard_cand, r.best_jaccard, r.decision
     )
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def _docs_frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _index_rows(spark, d):
+    bands = sorted(
+        (r.doc_id, r.band, r.bk)
+        for r in spark.read.parquet(f"{d}/bands.parquet").collect()
+    )
+    hsets = sorted(
+        (r.doc_id, tuple(sorted(r.hs)))
+        for r in spark.read.parquet(f"{d}/hsets.parquet").collect()
+    )
+    return bands, hsets
+
+
+def test_update_lsh_index_rebuild_parity(spark, tmp_path, sf_dir):
+    """Folding an admitted batch into the persisted index (append + local
+    cap gate) must produce EXACTLY the tables a from-scratch rebuild over
+    the union would: the cap keeps the BUCKET_CAP lowest doc_ids per
+    bucket and append-only ids can never evict existing members. Checked
+    on the real corpus AND on a saturated synthetic bucket (70 identical
+    docs vs cap 64 — the occupancy-aware gate must admit only up to the
+    cap, exercising the occ + rn > cap branch)."""
+    from etl_bom_radiation_spark.lsh_index import (
+        build_lsh_index,
+        probe_lsh_index,
+        update_lsh_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    cut = docs.approxQuantile("doc_id", [0.8], 0.0)[0]
+    initial = docs.filter(F.col("doc_id") <= cut)
+    batch = docs.filter(F.col("doc_id") > cut)
+
+    inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_lsh_index(spark, initial, inc_dir)
+    assert update_lsh_index(spark, inc_dir, batch) == batch.count()
+    build_lsh_index(spark, initial.unionByName(batch), full_dir)
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+
+    # saturated bucket: 70 identical docs, cap is 64 — update must admit
+    # only ids 61..64 into each band bucket (occupancy 60 + rank <= 4)
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    sat_inc, sat_full = str(tmp_path / "sinc"), str(tmp_path / "sfull")
+    first = _docs_frame(spark, [(i, same) for i in range(1, 61)])
+    extra = _docs_frame(spark, [(i, same) for i in range(61, 71)])
+    build_lsh_index(spark, first, sat_inc)
+    update_lsh_index(spark, sat_inc, extra)
+    build_lsh_index(spark, first.unionByName(extra), sat_full)
+    assert _index_rows(spark, sat_inc) == _index_rows(spark, sat_full)
+    got = spark.read.parquet(f"{sat_inc}/bands.parquet")
+    assert got.filter(F.col("doc_id") > 64).count() == 0  # cap respected
+    assert got.filter(F.col("doc_id").isin(61, 62, 63, 64)).count() > 0
+
+    # and the probe sees the same world through either index
+    probe = _docs_frame(spark, [(1000, same)])
+    kp = lambda r: (r.doc_id, r.n_index_cand, r.best_jaccard, r.decision)
+    assert sorted(map(kp, probe_lsh_index(spark, sat_inc, probe).collect())) == sorted(
+        map(kp, probe_lsh_index(spark, sat_full, probe).collect())
+    )
+
+
+def test_update_lsh_index_admits_future_dups(spark, tmp_path):
+    """The lifecycle the API exists for: a doc ADMITTED in batch 1 must
+    cause its near-dup arriving in batch 2 to be dropped — and would NOT
+    have been dropped against the un-updated index."""
+    from etl_bom_radiation_spark.lsh_index import (
+        build_lsh_index,
+        probe_lsh_index,
+        update_lsh_index,
+    )
+
+    base = _docs_frame(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+    )
+    d = str(tmp_path / "idx")
+    build_lsh_index(spark, base, d)
+
+    novel = "completely novel arrival text about spark shuffles and broadcast joins"
+    b1 = _docs_frame(spark, [(100, novel)])
+    v1 = {r.doc_id: r.decision for r in probe_lsh_index(spark, d, b1).collect()}
+    assert v1 == {100: "keep"}
+
+    neardup = "completely novel arrival text about spark shuffles and union joins"
+    b2 = _docs_frame(spark, [(200, neardup)])
+    # against the un-updated index the near-dup of doc 100 sails through
+    before = {r.doc_id: r.decision for r in probe_lsh_index(spark, d, b2).collect()}
+    assert before == {200: "keep"}
+
+    update_lsh_index(spark, d, b1)  # fold the admitted doc in
+    after = probe_lsh_index(spark, d, b2).collect()
+    assert {r.doc_id: r.decision for r in after} == {200: "drop_index_dup"}
+    assert after[0].n_index_cand >= 1 and after[0].best_jaccard >= 0.35
+
+
+def test_update_lsh_index_rejects_out_of_order_ids(spark, tmp_path):
+    """The append-only id precondition is CHECKED, not assumed: a batch
+    whose min id does not exceed the indexed high-water mark would need
+    to evict persisted rows (a rewrite), so the fold refuses."""
+    from etl_bom_radiation_spark.lsh_index import build_lsh_index, update_lsh_index
+
+    base = _docs_frame(spark, [(10, "some indexed document text here")])
+    d = str(tmp_path / "idx")
+    build_lsh_index(spark, base, d)
+    stale = _docs_frame(spark, [(5, "an out of order arrival")])
+    with pytest.raises(ValueError, match="append-only"):
+        update_lsh_index(spark, d, stale)
+    # empty batch is a no-op, not an error
+    empty = _docs_frame(spark, [])
+    assert update_lsh_index(spark, d, empty) == 0
+
+
+def test_probe_lsh_index_rearrival_not_inflated(spark, tmp_path):
+    """A doc_id present in both the index and the batch (re-arrival) is
+    judged against the index MINUS itself: without the defensive
+    anti-joins the verify join would pair the doc with its own indexed
+    generation (self-Jaccard 1.0 -> spurious drop_index_dup) and fan out
+    candidate counts (ADVICE r8)."""
+    from etl_bom_radiation_spark.lsh_index import build_lsh_index, probe_lsh_index
+
+    base = _docs_frame(
+        spark,
+        [
+            (1, "unique document about gradient descent and learning rates"),
+            (2, "unrelated text on parquet row group statistics pruning"),
+        ],
+    )
+    d = str(tmp_path / "idx")
+    build_lsh_index(spark, base, d)
+    rearrival = _docs_frame(
+        spark, [(1, "unique document about gradient descent and learning rates")]
+    )
+    rows = probe_lsh_index(spark, d, rearrival).collect()
+    assert {r.doc_id: r.decision for r in rows} == {1: "keep"}
+    assert rows[0].n_index_cand == 0  # its own indexed copy is excluded
