@@ -195,6 +195,7 @@ _MODULES = [
     "pagerank",
     "heavy_hitters",
     "incremental_lsh",
+    "lsh_lifecycle",
 ]
 
 

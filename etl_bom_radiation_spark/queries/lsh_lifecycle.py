@@ -1,0 +1,222 @@
+"""Persisted-LSH-index lifecycle under driver evidence (VERDICT r8 #4/#5).
+
+``lsh_index`` gained ``update_lsh_index`` this round — the fold that
+admits a probed batch's keepers into the persisted index by append +
+local cap re-gate, no rebuild.  These two entries put the full
+build -> probe -> fold -> probe-again workflow (batch and streaming
+forms) under the driver's CORRECTNESS record, the d01/d02/d03 way:
+rows-only by nature (temp workspaces, a persisted parquet index, real
+streaming state — DuckDB has none of these to mirror), with every
+behavioral claim contributing a deterministic (step, value) row or
+verdict row, so any regression changes the returned relation.
+
+Net-new budget: VERDICT r8 #2 caps round 9 at <= 3 net-new entries;
+these are #1 and #2 (registered in a NEW module so no existing
+module's evidence-freshness is invalidated by this file's commits —
+the ``_urgency`` discipline, queries/__init__).
+
+Reference parity: no reference analog (the reference's pipeline has no
+dedup); this is the arrival-time maintenance posture SURVEY §2.H's
+near-dup family runs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load_tables, register
+
+
+@register("d04_lsh_index_lifecycle", streaming=True)
+def d04_lsh_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index maintenance lifecycle on the real corpus: build the
+    persisted index over the low-80% of doc_ids, probe the next decile
+    as an arriving batch, FOLD its keepers in (``update_lsh_index``),
+    then prove the three contracts that make the fold production-safe:
+
+    * rebuild parity — the folded index's band and hset tables are
+      row-identical to a from-scratch ``build_lsh_index`` over
+      (initial + keepers): the append + occupancy-aware local cap gate
+      loses nothing and invents nothing;
+    * the next probe sees the fold — the top decile probed against the
+      FOLDED index equals the same probe against the REBUILT index;
+    * the append-only guard holds — re-folding the same batch (ids at
+      or below the recorded high-water mark) is refused, because
+      admitting it would require evicting persisted rows (a rewrite).
+
+    Rows-only by nature (persisted parquet index in a temp workspace),
+    d02/d03-style: 12 deterministic (step, value) rows — every count a
+    pure function of the fixture (the id cuts derive from max(doc_id))."""
+    import shutil
+    import tempfile
+
+    from ..lsh_index import build_lsh_index, probe_lsh_index, update_lsh_index
+
+    base = tempfile.mkdtemp(prefix="d04_lshidx_")
+    inc_dir, reb_dir = f"{base}/folded", f"{base}/rebuilt"
+    try:
+        docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+            "doc_id", "text"
+        )
+        mx = docs.agg(F.max("doc_id")).first()[0]
+        cut1, cut2 = (mx * 8) // 10, (mx * 9) // 10
+        initial = docs.filter(F.col("doc_id") <= cut1)
+        batch1 = docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2))
+        batch2 = docs.filter(F.col("doc_id") > cut2)
+
+        build_lsh_index(spark, initial, inc_dir)
+        v1 = probe_lsh_index(spark, inc_dir, batch1).localCheckpoint()
+        keeps1 = batch1.join(
+            v1.filter(F.col("decision") == "keep").select("doc_id"), "doc_id"
+        )
+        folded = update_lsh_index(spark, inc_dir, keeps1)
+
+        build_lsh_index(spark, initial.unionByName(keeps1), reb_dir)
+
+        def _tables_equal(name: str) -> int:
+            a = spark.read.parquet(f"{inc_dir}/{name}.parquet")
+            b = spark.read.parquet(f"{reb_dir}/{name}.parquet")
+            return int(
+                a.exceptAll(b).isEmpty()
+                and b.exceptAll(a).isEmpty()
+                and a.count() == b.count()
+            )
+
+        kp = ["doc_id", "n_index_cand", "n_shard_cand", "best_jaccard", "decision"]
+        v2_folded = probe_lsh_index(spark, inc_dir, batch2).select(*kp)
+        v2_rebuilt = probe_lsh_index(spark, reb_dir, batch2).select(*kp)
+        probe2_equal = int(
+            v2_folded.exceptAll(v2_rebuilt).isEmpty()
+            and v2_rebuilt.exceptAll(v2_folded).isEmpty()
+        )
+        try:
+            update_lsh_index(spark, inc_dir, batch1)
+            refold_refused = 0
+        except ValueError:
+            refold_refused = 1
+
+        d1 = {r["decision"]: r["n"] for r in
+              v1.groupBy("decision").agg(F.count("*").alias("n")).collect()}
+        rows = [
+            ("01_indexed_docs", initial.count()),
+            ("02_probe1_docs", batch1.count()),
+            ("03_probe1_keep", d1.get("keep", 0)),
+            ("04_probe1_drop_index", d1.get("drop_index_dup", 0)),
+            ("05_probe1_drop_shard", d1.get("drop_shard_dup", 0)),
+            ("06_folded_docs", folded),
+            ("07_fold_only_keeps", int(folded == d1.get("keep", 0))),
+            ("08_bands_parity_with_rebuild", _tables_equal("bands")),
+            ("09_hsets_parity_with_rebuild", _tables_equal("hsets")),
+            ("10_probe2_docs", batch2.count()),
+            ("11_probe2_equal_on_folded_vs_rebuilt", probe2_equal),
+            ("12_refold_refused_by_id_guard", refold_refused),
+        ]
+        return spark.createDataFrame(rows, "step string, value long").orderBy("step")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register("t11_stream_lsh_admission", streaming=True)
+def t11_stream_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 (extension): REAL streaming near-dup admission — the streaming
+    form of n49, composing ``probe_lsh_index`` + ``update_lsh_index``
+    into a ``foreachBatch`` loop (t10 proved this for exact digests; this
+    closes the near-dup half, VERDICT r8 #5).  Each micro-batch is probed
+    against the persisted index, its keepers are folded in before the
+    next batch, so an admission in batch 1 suppresses its near-dups from
+    batch 2 onward.
+
+    Two file-source micro-batches prove every decision path:
+
+    * b1: a novel doc (keep), a near-dup of the SEEDED corpus
+      (drop_index_dup), an in-batch near-dup of the novel doc
+      (drop_shard_dup — min-id survivor);
+    * b2: a near-dup of b1's admitted doc — droppable ONLY because the
+      fold ran between batches (drop_index_dup), plus a novel keep.
+
+    Returns the per-doc verdict log (collected per batch on the driver —
+    foreachBatch runs there; the verdict relation is batch-sized by the
+    probe's own broadcast bound, so localizing it is the d01 temp-sink
+    convention, not a data-path collect).  Rows-only by nature (stateful
+    streaming over a persisted index)."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..lsh_index import build_lsh_index, probe_lsh_index, update_lsh_index
+
+    base = tempfile.mkdtemp(prefix="t11_lsh_")
+    src, ckpt, idx = f"{base}/src", f"{base}/ckpt", f"{base}/idx"
+    os.makedirs(src)
+
+    seed = spark.createDataFrame(
+        [
+            (1, "seeded corpus doc about minhash banding and jaccard estimates"),
+            (2, "unrelated seeded doc listing parquet row group statistics"),
+        ],
+        "doc_id bigint, text string",
+    )
+    build_lsh_index(spark, seed, idx)
+
+    log: list[tuple[int, int, str]] = []
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.localCheckpoint()
+        verdicts = probe_lsh_index(spark, idx, batch).localCheckpoint()
+        keeps = batch.join(
+            verdicts.filter(F.col("decision") == "keep").select("doc_id"), "doc_id"
+        )
+        update_lsh_index(spark, idx, keeps)
+        log.extend(
+            (int(epoch_id), int(r["doc_id"]), r["decision"])
+            for r in verdicts.select("doc_id", "decision").collect()
+        )
+
+    def _drop(fname: str, docs: list[dict]) -> None:
+        tmp = os.path.join(src, f".{fname}.tmp")
+        with open(tmp, "w") as fh:
+            for d in docs:
+                fh.write(json.dumps(d) + "\n")
+        os.rename(tmp, os.path.join(src, fname))
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(src)
+        .writeStream.foreachBatch(admit)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        _drop(
+            "b1.json",
+            [
+                {"doc_id": 100, "text": "novel arrival text about spark "
+                                        "shuffles and broadcast joins"},
+                {"doc_id": 101, "text": "seeded corpus doc about minhash "
+                                        "banding and jaccard estimation"},
+                {"doc_id": 102, "text": "novel arrival text about spark "
+                                        "shuffles and merge joins"},
+            ],
+        )
+        q.processAllAvailable()
+        _drop(
+            "b2.json",
+            [
+                {"doc_id": 200, "text": "novel arrival text about spark "
+                                        "shuffles and union joins"},
+                {"doc_id": 201, "text": "fresh topic entirely about watermark "
+                                        "eviction in state stores"},
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(b, d, v) for b, d, v in sorted(log)],
+        "batch bigint, doc_id bigint, decision string",
+    )

@@ -746,3 +746,28 @@ def test_probe_lsh_index_rearrival_not_inflated(spark, tmp_path):
     rows = probe_lsh_index(spark, d, rearrival).collect()
     assert {r.doc_id: r.decision for r in rows} == {1: "keep"}
     assert rows[0].n_index_cand == 0  # its own indexed copy is excluded
+
+
+def test_d04_lsh_index_lifecycle_fences(spark, oracle_sf_dir):
+    """The d04 entry's own fences, pinned so a regression fails CI before
+    the driver sees it (the d03 convention): fold==keeps, band+hset
+    rebuild parity, probe equivalence on folded vs rebuilt, refold
+    refused by the append-only id guard."""
+    from etl_bom_radiation_spark.queries import load_all
+
+    vals = {
+        r["step"]: r["value"]
+        for r in load_all()["d04_lsh_index_lifecycle"]
+        .fn(spark, oracle_sf_dir)
+        .collect()
+    }
+    for fence in (
+        "07_fold_only_keeps",
+        "08_bands_parity_with_rebuild",
+        "09_hsets_parity_with_rebuild",
+        "11_probe2_equal_on_folded_vs_rebuilt",
+        "12_refold_refused_by_id_guard",
+    ):
+        assert vals[fence] == 1, fence
+    assert vals["06_folded_docs"] == vals["03_probe1_keep"] > 0
+    assert vals["02_probe1_docs"] > 0 and vals["10_probe2_docs"] > 0

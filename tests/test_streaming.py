@@ -475,3 +475,22 @@ def test_watermarked_admission_survives_kill_and_restart(spark, tmp_path):
     h_two = hashlib.md5(b"novel two").hexdigest()
     rows = [r.h for r in spark.read.parquet(out).orderBy("ts").collect()]
     assert rows == [h_one, h_two, h_one], rows
+
+
+def test_stream_lsh_admission_two_batch_drain(spark, sf_dir):
+    """t11's behavioral contract (VERDICT r8 #5): the foreachBatch loop
+    probes each micro-batch against the persisted LSH index and folds
+    its keepers in BETWEEN batches — so batch 2's near-dup of a batch-1
+    keep is dropped, which is impossible without the fold. All five
+    decision paths pinned."""
+    from etl_bom_radiation_spark.queries import load_all
+
+    rows = load_all()["t11_stream_lsh_admission"].fn(spark, sf_dir).collect()
+    got = {(r.batch, r.doc_id): r.decision for r in rows}
+    assert got == {
+        (0, 100): "keep",            # novel
+        (0, 101): "drop_index_dup",  # near-dup of the seeded corpus
+        (0, 102): "drop_shard_dup",  # in-batch near-dup of 100 (min-id survivor)
+        (1, 200): "drop_index_dup",  # near-dup of 100 — NEEDS the b1 fold
+        (1, 201): "keep",            # novel
+    }
