@@ -650,6 +650,40 @@ def main() -> int:
         spark.sql("DROP TABLE IF EXISTS bench_corpus_digest_b")
         spark.sql("DROP TABLE IF EXISTS bench_batch_digest_b")
 
+    # persisted-LSH-index arrival cost (VERDICT r8 #3): n49 prices index
+    # build + probe as ONE entry; the production claim is that the PROBE is
+    # the cheap per-arrival step because the index is pre-built. Price the
+    # claim directly: cold = build the index AND probe the arriving decile
+    # inside the timer (the n49 shape); warm = the index is built ONCE to
+    # scratch outside the timer, each timed run only sketches the batch and
+    # probes the persisted parquet (the steady-state arrival path). The gap
+    # is the per-arrival saving the update_lsh_index fold preserves by
+    # never rebuilding. io: warm shuffle_write stays batch-sized (the index
+    # streams map-side through broadcast joins — the plan-asserted
+    # contract).
+    from etl_bom_radiation_spark.lsh_index import build_lsh_index, probe_lsh_index
+
+    lsh_dir = tempfile.mkdtemp(prefix="bench_lshidx_")
+    try:
+        docs_lsh = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        lsh_idx_docs = docs_lsh.filter((F.col("doc_id") % 10) != 7)
+        lsh_batch = docs_lsh.filter((F.col("doc_id") % 10) == 7)
+
+        def _cold():
+            build_lsh_index(spark, lsh_idx_docs, f"{lsh_dir}/cold")
+            return probe_lsh_index(spark, f"{lsh_dir}/cold", lsh_batch)
+
+        timings["lsh_probe_cold"] = _timed_noop(_cold, io_name="lsh_probe_cold")
+        build_lsh_index(spark, lsh_idx_docs, f"{lsh_dir}/warm")  # once, untimed
+        timings["lsh_probe_warm"] = _timed_noop(
+            lambda: probe_lsh_index(spark, f"{lsh_dir}/warm", lsh_batch),
+            io_name="lsh_probe_warm",
+        )
+    finally:
+        shutil.rmtree(lsh_dir, ignore_errors=True)
+
     # Z-order clustered-write lever (round 6): two layouts of the same 4.2M
     # synthetic points — range-sorted on lon alone vs Morton-key sorted —
     # then the UNPRIVILEGED-dimension strip predicate (lat-only) that a

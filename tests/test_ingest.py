@@ -347,6 +347,64 @@ def test_compact_partitions_many_parallel(spark, ws):
     assert spark.read.parquet(ws.data_dir).count() == before
 
 
+def test_compact_partitions_partial_fold(spark, tmp_path):
+    """The parameterized fold paths beyond fold-to-one (VERDICT r8 #7):
+    with max_files_per_partition=2 and min_files_to_compact=3, a 5-file
+    partition folds to 2 files (partial fold, not 1), a 2-file partition
+    stays untouched (below the min), rows AND content checksum survive,
+    and the second run is a no-op (2 files < min 3)."""
+    from pyspark.sql import functions as F
+
+    from etl_bom_radiation_spark.ingest import compact_partitions
+
+    tbl = str(tmp_path / "sink")
+    # 5 single-file appends into p=0, 2 into p=1
+    for i in range(5):
+        spark.range(i * 20, (i + 1) * 20).select(
+            "id", F.lit(0).alias("p")
+        ).coalesce(1).write.mode("append").partitionBy("p").parquet(tbl)
+    for i in range(2):
+        spark.range(1000 + i * 20, 1000 + (i + 1) * 20).select(
+            "id", F.lit(1).alias("p")
+        ).coalesce(1).write.mode("append").partitionBy("p").parquet(tbl)
+
+    def files(p):
+        d = os.path.join(tbl, f"p={p}")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(files(0)) == 5 and len(files(1)) == 2
+    chk = lambda: spark.read.parquet(tbl).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.crc32(F.col("id").cast("string"))).alias("c")
+    ).first()
+    before = chk()
+
+    # the fold is a shuffle-free coalesce, so the 2-file target only binds
+    # when the read has >= 2 input partitions — force one partition per
+    # tiny source file (at real file sizes maxPartitionBytes does this)
+    keys = ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")
+    prev = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(keys[0], "1k")
+        spark.conf.set(keys[1], "1k")
+        n = compact_partitions(
+            spark, tbl, max_files_per_partition=2, min_files_to_compact=3
+        )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert n == 1  # only the 5-file partition qualifies
+    assert len(files(0)) == 2  # partial fold: down to 2, not 1
+    assert len(files(1)) == 2  # untouched: below min_files_to_compact
+    after = chk()
+    assert (after["n"], after["c"]) == (before["n"], before["c"])
+    assert (
+        compact_partitions(
+            spark, tbl, max_files_per_partition=2, min_files_to_compact=3
+        )
+        == 0
+    )  # second run no-op
+
+
 def test_move_failure_does_not_abort_batch(spark, ws, monkeypatch):
     """ADVICE r3: one failed rename must not abort the batch — the other
     files still move, and the failure surfaces in IngestResult instead of

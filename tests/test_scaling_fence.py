@@ -56,19 +56,31 @@ from tools.scaling_probe import gen_corpus, time_op  # noqa: E402
 
 M = 10
 
-#: op -> max allowed t(10x)/t(1x), realistic regime; ~2x the healthy
-#: M=10 ratio recorded in DRIFT_r07 (min 4.0 for noise headroom)
+#: op -> max allowed t(10x)/t(1x), realistic regime.  Thresholds ratcheted
+#: r9 (VERDICT r8 #6: a fence >3x above its recorded ratio would let a
+#: large regression pass silently): ops whose recorded ratio is stable
+#: ~1.1 across two independent probe rounds (r7 + r9) fence at 2.5 —
+#: >2x their measured band's top, still ~4x under where a quadratic
+#: lands (M*M/healthy ~ 10+); ops with genuinely superlinear-ish healthy
+#: ratios (shuffle growth, candidate verify) keep the wider 4.0/5.0
+#: noise floor.  Recorded values: DRIFT_r07 / DRIFT_r09 tables.
 TIME_FENCES = {
-    "n32_truncation_dedup": 4.0,     # recorded 1.56
-    "n39_substring_dup_spans": 5.0,  # recorded 2.13
-    "n44_corpus_keep_list": 4.5,     # recorded 1.82
-    "n35_source_dup_matrix": 4.0,    # recorded 1.13 (provenance self-join)
-    "n47_source_pagerank": 4.0,      # recorded 1.00 (iterative: loop is
+    "n32_truncation_dedup": 4.0,     # recorded 1.56 (r7) / 1.53 (r9)
+    "n39_substring_dup_spans": 5.0,  # recorded 2.13 (r7) / 2.14 (r9)
+    "n44_corpus_keep_list": 4.0,     # recorded 1.82 (r7) / 1.62 (r9) —
+                                     # tightened 4.5 -> 4.0 (2.2x headroom)
+    "n35_source_dup_matrix": 2.5,    # recorded 1.13 (r7) / 1.11 (r9) —
+                                     # tightened 4.0 -> 2.5 (stable band)
+    "n47_source_pagerank": 2.5,      # recorded 1.00 (r7) / 1.07 (r9) —
+                                     # tightened 4.0 -> 2.5 (loop is
                                      # corpus-independent by design)
-    "x04_sessionization": 4.0,       # recorded 0.92 (events family)
-    "x10b_heavy_hitters_mg": 4.0,    # recorded 1.24 (bounded-memory sketch)
-    "n49_incremental_lsh_dedup": 4.0,  # recorded 1.29 (capped probe joins,
-                                       # r8 — DRIFT_r08)
+    "x04_sessionization": 2.5,       # recorded 0.92 (r7) / 1.11 (r9) —
+                                     # tightened 4.0 -> 2.5 (events family)
+    "x10b_heavy_hitters_mg": 2.5,    # recorded 1.24 (r7) / 1.18 (r9) —
+                                     # tightened 4.0 -> 2.5 (bounded-memory
+                                     # sketch: growth should be sublinear)
+    "n49_incremental_lsh_dedup": 4.0,  # recorded 1.29 (r8) / 1.81 (r9) —
+                                       # widest observed band; 4.0 stays
 }
 
 #: op -> max allowed rows(10x)/rows(1x), hot classes=101 regime;
