@@ -45,6 +45,13 @@ is not one probe call — split it into broadcast-sized sub-batches
 (each probed and folded independently; the min-id survivor convention
 makes sub-batch order irrelevant across DISJOINT id ranges).
 
+Crash consistency: an update appends data files FIRST and publishes
+the meta high-water mark LAST — the mark is the commit.  Every read
+filters to the committed snapshot (ids at or below the mark; parquet
+min/max stats skip uncommitted append files outright, so the filter is
+free on a healthy index), and ``vacuum_lsh_index`` rewrites the
+leftovers away so a crashed batch can be retried.
+
 Append-only id discipline: ``update_lsh_index`` requires every new
 doc_id to exceed ``max_doc_id`` recorded in the index meta (checked,
 not assumed).  Under it, append-plus-local-gate is EXACTLY the capped
@@ -105,10 +112,20 @@ def _meta_path(spark: SparkSession, index_dir: str):
 
 
 def _write_meta(spark: SparkSession, index_dir: str, max_doc_id: int) -> None:
+    """Publish the high-water mark — the COMMIT of an update (see
+    ``update_lsh_index``): written to a temp name first, then swapped in
+    (delete + rename; a crash inside the tiny swap window leaves NO meta
+    rather than a torn one, and reads fail loudly instead of serving a
+    corrupt snapshot)."""
     fs, p = _meta_path(spark, index_dir)
-    out = fs.create(p, True)
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(p.toString() + ".tmp")
+    out = fs.create(tmp, True)
     out.write(bytearray(json.dumps({"max_doc_id": max_doc_id}), "utf-8"))
     out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    fs.rename(tmp, p)
 
 
 def _read_meta(spark: SparkSession, index_dir: str) -> int:
@@ -119,6 +136,20 @@ def _read_meta(spark: SparkSession, index_dir: str) -> int:
     finally:
         stream.close()
     return int(json.loads(raw)["max_doc_id"])
+
+
+def _committed(spark: SparkSession, index_dir: str, name: str, hw: int) -> DataFrame:
+    """The COMMITTED snapshot of an index table: rows at or below the
+    meta high-water mark.  ``update_lsh_index`` appends data files FIRST
+    and publishes the new high-water LAST, so rows above it are exactly
+    the leftovers of a crashed update — this filter makes every read
+    crash-consistent with zero rewrite, and since an append's files
+    contain ONLY ids above the pre-crash mark, parquet min/max stats
+    skip those files entirely (the filter costs no IO on a healthy
+    index either)."""
+    return spark.read.parquet(f"{index_dir}/{name}.parquet").filter(
+        F.col("doc_id") <= hw
+    )
 
 
 def build_lsh_index(spark: SparkSession, docs: DataFrame, index_dir: str) -> None:
@@ -150,12 +181,17 @@ def probe_lsh_index(
     A doc_id present in BOTH the index and the batch (a re-arrival) is
     judged against the index minus itself: the defensive anti-joins
     below drop its index-side band rows and hset before the union, so
-    the verify join cannot fan out across generations (ADVICE r8)."""
+    the verify join cannot fan out across generations (ADVICE r8).
+
+    Reads are the COMMITTED snapshot (ids at or below the meta
+    high-water mark): leftovers of a crashed ``update_lsh_index`` are
+    invisible until :func:`vacuum_lsh_index` repairs them."""
+    hw = _read_meta(spark, index_dir)
     ids = F.broadcast(batch.select("doc_id"))
-    idx_bands = spark.read.parquet(f"{index_dir}/bands.parquet").join(
+    idx_bands = _committed(spark, index_dir, "bands", hw).join(
         ids, "doc_id", "left_anti"
     )
-    idx_hsets = spark.read.parquet(f"{index_dir}/hsets.parquet").join(
+    idx_hsets = _committed(spark, index_dir, "hsets", hw).join(
         ids, "doc_id", "left_anti"
     )
     inc_bands, inc_hsets = _sketch_frames(spark, batch)
@@ -194,10 +230,14 @@ def update_lsh_index(
     can never evict existing members (rebuild parity pytest-locked).
     Without it, admitting a low id would require evicting an already-
     persisted row — a rewrite, which is the rebuild this API exists to
-    avoid."""
-    new_bands, new_hsets = _sketch_frames(spark, kept_batch, gate=False)
-    new_bands = F.broadcast(new_bands.localCheckpoint())  # batch-sized
+    avoid.
 
+    Crash protocol: data files append FIRST, the meta high-water mark
+    publishes LAST — the mark IS the commit.  A crash anywhere in
+    between leaves rows above the mark that every read filters out
+    (``_committed``); run :func:`vacuum_lsh_index` before RETRYING the
+    crashed batch, or the retry's append would double the uncommitted
+    rows and the commit would expose both copies."""
     mn_mx = kept_batch.agg(
         F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"), F.count("*").alias("n")
     ).first()
@@ -210,13 +250,16 @@ def update_lsh_index(
             f"{mn_mx['mn']} <= indexed max {high_water} (re-arrival or "
             f"out-of-order fold — rebuild or re-id the batch)"
         )
+    new_bands, new_hsets = _sketch_frames(spark, kept_batch, gate=False)
+    new_bands = F.broadcast(new_bands.localCheckpoint())  # batch-sized
 
     # occupancy of ONLY the touched buckets: broadcast semi-join keeps the
     # index scan shuffle-free; the count aggregates <= cap rows per
-    # touched bucket
+    # touched bucket.  Committed snapshot: a crashed update's leftovers
+    # must not count toward the cap.
     touched = new_bands.select("band", "bk").distinct()
     occ = (
-        spark.read.parquet(f"{index_dir}/bands.parquet")
+        _committed(spark, index_dir, "bands", high_water)
         .join(F.broadcast(touched), ["band", "bk"], "left_semi")
         .groupBy("band", "bk")
         .agg(F.count("*").alias("occ"))
@@ -230,5 +273,37 @@ def update_lsh_index(
     )
     admitted.write.mode("append").parquet(f"{index_dir}/bands.parquet")
     new_hsets.write.mode("append").parquet(f"{index_dir}/hsets.parquet")
-    _write_meta(spark, index_dir, int(mn_mx["mx"]))
+    _write_meta(spark, index_dir, int(mn_mx["mx"]))  # <- the commit point
     return int(mn_mx["n"])
+
+
+def vacuum_lsh_index(spark: SparkSession, index_dir: str) -> int:
+    """Repair a crashed :func:`update_lsh_index`: rewrite the index
+    tables keeping only COMMITTED rows (ids at or below the meta
+    high-water mark), so the crashed batch can be retried without
+    double-appending.  Returns the number of uncommitted rows removed
+    (0 = healthy index, nothing rewritten — the detect scan is
+    stats-pruned to the uncommitted files).
+
+    The rewrite goes through a temp dir and swaps in (delete-old then
+    rename-new, the compaction posture): run it in a read-quiesced
+    window, as with ``compact_partitions``."""
+    import uuid
+
+    hw = _read_meta(spark, index_dir)
+    jvm = spark._jvm
+    fs, _ = _meta_path(spark, index_dir)
+    removed = 0
+    for name in ("bands", "hsets"):
+        live = f"{index_dir}/{name}.parquet"
+        raw = spark.read.parquet(live)
+        orphans = raw.filter(F.col("doc_id") > hw).count()
+        if orphans == 0:
+            continue
+        removed += orphans
+        tmp = f"{index_dir}/.{name}.vacuum-{uuid.uuid4().hex[:8]}"
+        raw.filter(F.col("doc_id") <= hw).write.parquet(tmp)
+        live_p = jvm.org.apache.hadoop.fs.Path(live)
+        fs.delete(live_p, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live_p)
+    return removed

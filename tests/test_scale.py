@@ -771,3 +771,54 @@ def test_d04_lsh_index_lifecycle_fences(spark, oracle_sf_dir):
         assert vals[fence] == 1, fence
     assert vals["06_folded_docs"] == vals["03_probe1_keep"] > 0
     assert vals["02_probe1_docs"] > 0 and vals["10_probe2_docs"] > 0
+
+
+def test_update_lsh_index_crash_recovery(spark, tmp_path, monkeypatch):
+    """The fold's crash protocol: data files append first, the meta
+    high-water mark publishes LAST (the commit). A crash in between
+    (simulated: _write_meta raises after both appends) must leave probes
+    serving the PRE-crash snapshot bit-for-bit; vacuum_lsh_index removes
+    the uncommitted rows so the batch retry lands exactly once — final
+    tables identical to a clean build over the union."""
+    import etl_bom_radiation_spark.lsh_index as L
+
+    base = _docs_frame(
+        spark,
+        [
+            (1, "seed document about broadcast joins and bucket pruning"),
+            (2, "another seed on watermark state eviction semantics"),
+        ],
+    )
+    batch = _docs_frame(
+        spark, [(10, "an arriving novel document about shingle sketches")]
+    )
+    d, full = str(tmp_path / "idx"), str(tmp_path / "full")
+    L.build_lsh_index(spark, base, d)
+    probe = _docs_frame(spark, [(99, "an arriving novel document about shingle caches")])
+    kp = lambda df: sorted(
+        (r.doc_id, r.n_index_cand, r.n_shard_cand, r.best_jaccard, r.decision)
+        for r in df.collect()
+    )
+    before = kp(L.probe_lsh_index(spark, d, probe))
+
+    real_write = L._write_meta
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(L, "_write_meta", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        L.update_lsh_index(spark, d, batch)
+    monkeypatch.setattr(L, "_write_meta", real_write)
+
+    # uncommitted leftovers exist on disk but every read hides them
+    raw = spark.read.parquet(f"{d}/bands.parquet")
+    assert raw.filter("doc_id > 2").count() > 0
+    assert kp(L.probe_lsh_index(spark, d, probe)) == before
+
+    # repair, retry, and the index must equal a clean build over the union
+    assert L.vacuum_lsh_index(spark, d) > 0
+    assert L.vacuum_lsh_index(spark, d) == 0  # idempotent / healthy
+    assert L.update_lsh_index(spark, d, batch) == 1
+    L.build_lsh_index(spark, base.unionByName(batch), full)
+    assert _index_rows(spark, d) == _index_rows(spark, full)
