@@ -2,18 +2,25 @@
 
 ``lsh_index`` gained ``update_lsh_index`` this round — the fold that
 admits a probed batch's keepers into the persisted index by append +
-local cap re-gate, no rebuild.  These two entries put the full
-build -> probe -> fold -> probe-again workflow (batch and streaming
-forms) under the driver's CORRECTNESS record, the d01/d02/d03 way:
-rows-only by nature (temp workspaces, a persisted parquet index, real
-streaming state — DuckDB has none of these to mirror), with every
-behavioral claim contributing a deterministic (step, value) row or
-verdict row, so any regression changes the returned relation.
+local cap re-gate, no rebuild.  These entries put the full
+build -> probe -> fold -> probe-again workflow under the driver's
+CORRECTNESS record:
+
+* ``d04`` (rows-only lifecycle, d01/d02/d03-style step rows) and
+  ``t11`` (rows-only, REAL streaming foreachBatch composition) carry
+  the side-effecting forms — temp workspaces, persisted parquet
+  index, streaming state: nothing DuckDB can mirror;
+* ``n50`` puts the fold's OUTPUT under the exact hash gate: the Spark
+  side runs the production API end-to-end, the oracle re-derives the
+  post-fold index generation declaratively (a from-scratch re-gate
+  over initial + batch-1 keeps) — a hash match certifies
+  fold == rebuild across engines, not just across two Spark runs.
 
 Net-new budget: VERDICT r8 #2 caps round 9 at <= 3 net-new entries;
-these are #1 and #2 (registered in a NEW module so no existing
+these are all three (registered in a NEW module so no existing
 module's evidence-freshness is invalidated by this file's commits —
-the ``_urgency`` discipline, queries/__init__).
+the ``_urgency`` discipline, queries/__init__); registry lands at the
+165 cap exactly.
 
 Reference parity: no reference analog (the reference's pipeline has no
 dedup); this is the arrival-time maintenance posture SURVEY §2.H's
@@ -26,6 +33,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import load_tables, register
+from .banded_lsh import DUCK_BANDS_CTE, DUCK_HSETS_CTE, THRESHOLD, duck_gated_cte
+from .llm_queries import _DUCK_TOKENS
+from .minhash_eval import _DUCK_SH2, _duck_sig_cte
 
 
 @register("d04_lsh_index_lifecycle", streaming=True)
@@ -220,3 +230,123 @@ def t11_stream_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(b, d, v) for b, d, v in sorted(log)],
         "batch bigint, doc_id bigint, decision string",
     )
+
+
+#: the two id cuts (low-80% = initial index, next decile = fold batch,
+#: top decile = second probe), derived from max(doc_id) on both engines
+_C1 = "(SELECT (MAX(doc_id)*8)//10 FROM documents)"
+_C2 = "(SELECT (MAX(doc_id)*9)//10 FROM documents)"
+
+
+def _verdict_ctes(tag: str, idx_gated: str, inc_gated: str) -> str:
+    """Oracle fragment: the n49 probe/verify/verdict assembly over named
+    gated frames — cand{tag}/verd{tag}/agg{tag} (the SQL mirror of
+    ``incremental_lsh.shard_verdicts``, parameterized so the fold
+    round-trip can run it twice against two index generations)."""
+    return f"""cand{tag} AS (
+        SELECT DISTINCT n.doc_id AS doc, i.doc_id AS other,
+               'index' AS kind
+        FROM {inc_gated} n JOIN {idx_gated} i
+          ON n.band = i.band AND n.bk = i.bk
+        UNION ALL
+        SELECT DISTINCT b.doc_id AS doc, a.doc_id AS other,
+               'shard' AS kind
+        FROM {inc_gated} a JOIN {inc_gated} b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ), verd{tag} AS (
+        SELECT c.doc, c.kind,
+               CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+               len(list_distinct(list_concat(x.hs, y.hs))) AS jac
+        FROM cand{tag} c
+        JOIN hsets x ON x.doc_id = c.doc
+        JOIN hsets y ON y.doc_id = c.other
+    ), agg{tag} AS (
+        SELECT doc,
+               CAST(SUM(CASE WHEN kind = 'index' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nic,
+               CAST(SUM(CASE WHEN kind = 'shard' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nsc,
+               MAX(jac) AS bj,
+               MAX(CASE WHEN kind = 'index' AND jac >= {THRESHOLD}
+                        THEN 1 ELSE 0 END) AS idx_dup,
+               MAX(CASE WHEN kind = 'shard' AND jac >= {THRESHOLD}
+                        THEN 1 ELSE 0 END) AS shard_dup
+        FROM verd{tag} GROUP BY doc
+    )"""
+
+
+@register(
+    "n50_fold_probe_roundtrip",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ), shs AS (
+        SELECT doc_id, {_DUCK_SH2} AS s FROM t
+    ), sh AS (
+        SELECT doc_id, unnest(s) AS sh FROM shs
+    ), {_duck_sig_cte().lstrip()}, {DUCK_BANDS_CTE}, {DUCK_HSETS_CTE},
+    {duck_gated_cte("idx1_gated", f"doc_id <= {_C1}")},
+    {duck_gated_cte("b1_gated", f"doc_id > {_C1} AND doc_id <= {_C2}")},
+    {_verdict_ctes("1", "idx1_gated", "b1_gated")},
+    keeps1 AS (
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN agg1 a ON a.doc = d.doc_id
+        WHERE d.doc_id > {_C1} AND d.doc_id <= {_C2}
+          AND COALESCE(a.idx_dup, 0) = 0 AND COALESCE(a.shard_dup, 0) = 0
+    ),
+    {duck_gated_cte(
+        "idx2_gated",
+        f"doc_id <= {_C1} OR doc_id IN (SELECT doc_id FROM keeps1)",
+    )},
+    {duck_gated_cte("b2_gated", f"doc_id > {_C2}")},
+    {_verdict_ctes("2", "idx2_gated", "b2_gated")}
+    SELECT d.doc_id,
+           COALESCE(a.nic, 0) AS n_index_cand,
+           COALESCE(a.nsc, 0) AS n_shard_cand,
+           ROUND(a.bj, 6) AS best_jaccard,
+           CASE WHEN a.idx_dup = 1 THEN 'drop_index_dup'
+                WHEN a.shard_dup = 1 THEN 'drop_shard_dup'
+                ELSE 'keep' END AS decision
+    FROM documents d LEFT JOIN agg2 a ON a.doc = d.doc_id
+    WHERE d.doc_id > {_C2}
+    """,
+)
+def n50_fold_probe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N50 (extension): the persisted-index FOLD under the exact hash
+    gate — d04 proves the lifecycle's fences rows-only; this entry makes
+    the driver hash-verify the production API's actual output against a
+    declarative oracle.  The Spark side RUNS ``build_lsh_index`` (low-80%
+    of doc_ids) -> ``probe_lsh_index`` (next decile) ->
+    ``update_lsh_index`` (fold the keepers) -> ``probe_lsh_index`` (top
+    decile) on a temp index and returns the second probe's verdicts; the
+    oracle computes the same verdicts from pure SQL with the SECOND index
+    generation expressed as a from-scratch re-gate over (initial docs +
+    batch-1 keeps) — so a hash match certifies, end-to-end, that the
+    incremental fold is indistinguishable from a rebuild (the module's
+    central scale claim), on top of the n49 probe semantics both engines
+    already share.  Result is localized (localCheckpoint) before the temp
+    index is deleted."""
+    import shutil
+    import tempfile
+
+    from ..lsh_index import build_lsh_index, probe_lsh_index, update_lsh_index
+
+    d = tempfile.mkdtemp(prefix="n50_idx_")
+    try:
+        docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+            "doc_id", "text"
+        )
+        mx = docs.agg(F.max("doc_id")).first()[0]
+        cut1, cut2 = (mx * 8) // 10, (mx * 9) // 10
+        build_lsh_index(spark, docs.filter(F.col("doc_id") <= cut1), d)
+        b1 = docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2))
+        v1 = probe_lsh_index(spark, d, b1).localCheckpoint()
+        update_lsh_index(
+            spark,
+            d,
+            b1.join(v1.filter(F.col("decision") == "keep").select("doc_id"), "doc_id"),
+        )
+        b2 = docs.filter(F.col("doc_id") > cut2)
+        return probe_lsh_index(spark, d, b2).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
