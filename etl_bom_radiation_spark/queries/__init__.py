@@ -33,10 +33,13 @@ class Query:
     fn: SparkQuery
     oracle: str | None
     doc: str
-    #: True for entries whose fn() side-effects a REAL streaming pipeline
-    #: over a temp workspace (t01/t05/t08): seconds of wall-clock + catalog
-    #: mutation per call. Registry-wide sweeps that only inspect plans
-    #: (window lint, gen_plans) should skip these (ADVICE r3).
+    #: True for entries whose fn() side-effects a REAL pipeline over a
+    #: temp workspace — streaming (t01/t05/t08) or lifecycle (d01-d04,
+    #: n50): seconds of wall-clock + catalog/filesystem mutation per
+    #: call. Registry-wide sweeps that only inspect plans (window lint,
+    #: gen_plans) should skip these (ADVICE r3). Orthogonal to the
+    #: oracle: a side-effecting entry WITH an oracle (n50) still gets
+    #: the driver's exact hash check.
     streaming: bool = False
     #: dotted module the implementation was registered from — the freshness
     #: ordering uses its git last-commit time to detect entries modified

@@ -277,6 +277,10 @@ def _verdict_ctes(tag: str, idx_gated: str, inc_gated: str) -> str:
 
 @register(
     "n50_fold_probe_roundtrip",
+    # streaming=True here means "side-effecting over a temp workspace;
+    # plan sweeps skip it" (the d02/d03 sense) — the driver still
+    # hash-checks it because the oracle is present
+    streaming=True,
     oracle=f"""
     WITH t AS (
         SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
