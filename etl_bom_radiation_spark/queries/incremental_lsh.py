@@ -183,6 +183,59 @@ def shard_verdicts(
     )
 
 
+def duck_verdict_ctes(tag: str, idx_gated: str, inc_gated: str) -> str:
+    """Oracle fragment: the probe/verify/verdict assembly over named gated
+    frames — ``cand{tag}``/``verd{tag}``/``agg{tag}``, the SQL mirror of
+    :func:`shard_verdicts` (expects ``hsets`` in scope).  ONE copy for
+    every oracle that runs the assembly (n49 once, n50 twice against two
+    index generations) — the banded_lsh parity discipline."""
+    return f"""cand{tag} AS (
+        SELECT DISTINCT n.doc_id AS doc, i.doc_id AS other,
+               'index' AS kind
+        FROM {inc_gated} n JOIN {idx_gated} i
+          ON n.band = i.band AND n.bk = i.bk
+        UNION ALL
+        SELECT DISTINCT b.doc_id AS doc, a.doc_id AS other,
+               'shard' AS kind
+        FROM {inc_gated} a JOIN {inc_gated} b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ), verd{tag} AS (
+        SELECT c.doc, c.kind,
+               CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+               len(list_distinct(list_concat(x.hs, y.hs))) AS jac
+        FROM cand{tag} c
+        JOIN hsets x ON x.doc_id = c.doc
+        JOIN hsets y ON y.doc_id = c.other
+    ), agg{tag} AS (
+        SELECT doc,
+               CAST(SUM(CASE WHEN kind = 'index' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nic,
+               CAST(SUM(CASE WHEN kind = 'shard' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nsc,
+               MAX(jac) AS bj,
+               MAX(CASE WHEN kind = 'index' AND jac >= {THRESHOLD}
+                        THEN 1 ELSE 0 END) AS idx_dup,
+               MAX(CASE WHEN kind = 'shard' AND jac >= {THRESHOLD}
+                        THEN 1 ELSE 0 END) AS shard_dup
+        FROM verd{tag} GROUP BY doc
+    )"""
+
+
+def duck_verdict_tail(tag: str, where: str) -> str:
+    """Oracle fragment: the per-incoming-doc verdict projection over
+    ``agg{tag}`` (the :func:`shard_verdicts` output contract), restricted
+    to the incoming spine by ``where``."""
+    return f"""SELECT d.doc_id,
+           COALESCE(a.nic, 0) AS n_index_cand,
+           COALESCE(a.nsc, 0) AS n_shard_cand,
+           ROUND(a.bj, 6) AS best_jaccard,
+           CASE WHEN a.idx_dup = 1 THEN 'drop_index_dup'
+                WHEN a.shard_dup = 1 THEN 'drop_shard_dup'
+                ELSE 'keep' END AS decision
+    FROM documents d LEFT JOIN agg{tag} a ON a.doc = d.doc_id
+    WHERE {where}"""
+
+
 @register(
     "n49_incremental_lsh_dedup",
     oracle=f"""
@@ -195,45 +248,9 @@ def shard_verdicts(
     ), {_duck_sig_cte().lstrip()}, {DUCK_BANDS_CTE},
     {duck_gated_cte("idx_gated", f"doc_id % {SHARD_MOD} <> {SHARD_REM}")},
     {duck_gated_cte("inc_gated", f"doc_id % {SHARD_MOD} = {SHARD_REM}")},
-    cand AS (
-        SELECT DISTINCT n.doc_id AS doc, i.doc_id AS other,
-               'index' AS kind
-        FROM inc_gated n JOIN idx_gated i
-          ON n.band = i.band AND n.bk = i.bk
-        UNION ALL
-        SELECT DISTINCT b.doc_id AS doc, a.doc_id AS other,
-               'shard' AS kind
-        FROM inc_gated a JOIN inc_gated b
-          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-    ), {DUCK_HSETS_CTE}, verd AS (
-        SELECT c.doc, c.kind,
-               CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
-               len(list_distinct(list_concat(x.hs, y.hs))) AS jac
-        FROM cand c
-        JOIN hsets x ON x.doc_id = c.doc
-        JOIN hsets y ON y.doc_id = c.other
-    ), agg AS (
-        SELECT doc,
-               CAST(SUM(CASE WHEN kind = 'index' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS nic,
-               CAST(SUM(CASE WHEN kind = 'shard' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS nsc,
-               MAX(jac) AS bj,
-               MAX(CASE WHEN kind = 'index' AND jac >= {THRESHOLD}
-                        THEN 1 ELSE 0 END) AS idx_dup,
-               MAX(CASE WHEN kind = 'shard' AND jac >= {THRESHOLD}
-                        THEN 1 ELSE 0 END) AS shard_dup
-        FROM verd GROUP BY doc
-    )
-    SELECT d.doc_id,
-           COALESCE(a.nic, 0) AS n_index_cand,
-           COALESCE(a.nsc, 0) AS n_shard_cand,
-           ROUND(a.bj, 6) AS best_jaccard,
-           CASE WHEN a.idx_dup = 1 THEN 'drop_index_dup'
-                WHEN a.shard_dup = 1 THEN 'drop_shard_dup'
-                ELSE 'keep' END AS decision
-    FROM documents d LEFT JOIN agg a ON a.doc = d.doc_id
-    WHERE d.doc_id % {SHARD_MOD} = {SHARD_REM}
+    {DUCK_HSETS_CTE},
+    {duck_verdict_ctes("", "idx_gated", "inc_gated")}
+    {duck_verdict_tail("", f"d.doc_id % {SHARD_MOD} = {SHARD_REM}")}
     """,
 )
 def n49_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

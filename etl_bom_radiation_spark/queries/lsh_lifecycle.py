@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import load_tables, register
-from .banded_lsh import DUCK_BANDS_CTE, DUCK_HSETS_CTE, THRESHOLD, duck_gated_cte
+from .banded_lsh import DUCK_BANDS_CTE, DUCK_HSETS_CTE, duck_gated_cte
+from .incremental_lsh import duck_verdict_ctes, duck_verdict_tail
 from .llm_queries import _DUCK_TOKENS
 from .minhash_eval import _DUCK_SH2, _duck_sig_cte
 
@@ -238,43 +239,6 @@ _C1 = "(SELECT (MAX(doc_id)*8)//10 FROM documents)"
 _C2 = "(SELECT (MAX(doc_id)*9)//10 FROM documents)"
 
 
-def _verdict_ctes(tag: str, idx_gated: str, inc_gated: str) -> str:
-    """Oracle fragment: the n49 probe/verify/verdict assembly over named
-    gated frames — cand{tag}/verd{tag}/agg{tag} (the SQL mirror of
-    ``incremental_lsh.shard_verdicts``, parameterized so the fold
-    round-trip can run it twice against two index generations)."""
-    return f"""cand{tag} AS (
-        SELECT DISTINCT n.doc_id AS doc, i.doc_id AS other,
-               'index' AS kind
-        FROM {inc_gated} n JOIN {idx_gated} i
-          ON n.band = i.band AND n.bk = i.bk
-        UNION ALL
-        SELECT DISTINCT b.doc_id AS doc, a.doc_id AS other,
-               'shard' AS kind
-        FROM {inc_gated} a JOIN {inc_gated} b
-          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-    ), verd{tag} AS (
-        SELECT c.doc, c.kind,
-               CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
-               len(list_distinct(list_concat(x.hs, y.hs))) AS jac
-        FROM cand{tag} c
-        JOIN hsets x ON x.doc_id = c.doc
-        JOIN hsets y ON y.doc_id = c.other
-    ), agg{tag} AS (
-        SELECT doc,
-               CAST(SUM(CASE WHEN kind = 'index' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS nic,
-               CAST(SUM(CASE WHEN kind = 'shard' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS nsc,
-               MAX(jac) AS bj,
-               MAX(CASE WHEN kind = 'index' AND jac >= {THRESHOLD}
-                        THEN 1 ELSE 0 END) AS idx_dup,
-               MAX(CASE WHEN kind = 'shard' AND jac >= {THRESHOLD}
-                        THEN 1 ELSE 0 END) AS shard_dup
-        FROM verd{tag} GROUP BY doc
-    )"""
-
-
 @register(
     "n50_fold_probe_roundtrip",
     # streaming=True here means "side-effecting over a temp workspace;
@@ -291,7 +255,7 @@ def _verdict_ctes(tag: str, idx_gated: str, inc_gated: str) -> str:
     ), {_duck_sig_cte().lstrip()}, {DUCK_BANDS_CTE}, {DUCK_HSETS_CTE},
     {duck_gated_cte("idx1_gated", f"doc_id <= {_C1}")},
     {duck_gated_cte("b1_gated", f"doc_id > {_C1} AND doc_id <= {_C2}")},
-    {_verdict_ctes("1", "idx1_gated", "b1_gated")},
+    {duck_verdict_ctes("1", "idx1_gated", "b1_gated")},
     keeps1 AS (
         SELECT d.doc_id FROM documents d
         LEFT JOIN agg1 a ON a.doc = d.doc_id
@@ -303,16 +267,8 @@ def _verdict_ctes(tag: str, idx_gated: str, inc_gated: str) -> str:
         f"doc_id <= {_C1} OR doc_id IN (SELECT doc_id FROM keeps1)",
     )},
     {duck_gated_cte("b2_gated", f"doc_id > {_C2}")},
-    {_verdict_ctes("2", "idx2_gated", "b2_gated")}
-    SELECT d.doc_id,
-           COALESCE(a.nic, 0) AS n_index_cand,
-           COALESCE(a.nsc, 0) AS n_shard_cand,
-           ROUND(a.bj, 6) AS best_jaccard,
-           CASE WHEN a.idx_dup = 1 THEN 'drop_index_dup'
-                WHEN a.shard_dup = 1 THEN 'drop_shard_dup'
-                ELSE 'keep' END AS decision
-    FROM documents d LEFT JOIN agg2 a ON a.doc = d.doc_id
-    WHERE d.doc_id > {_C2}
+    {duck_verdict_ctes("2", "idx2_gated", "b2_gated")}
+    {duck_verdict_tail("2", f"d.doc_id > {_C2}")}
     """,
 )
 def n50_fold_probe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
