@@ -49,8 +49,9 @@ Crash consistency: an update appends data files FIRST and publishes
 the meta high-water mark LAST — the mark is the commit.  Every read
 filters to the committed snapshot (ids at or below the mark; parquet
 min/max stats skip uncommitted append files outright, so the filter is
-free on a healthy index), and ``vacuum_lsh_index`` rewrites the
-leftovers away so a crashed batch can be retried.
+free on a healthy index), and ``vacuum_lsh_index`` deletes the
+leftover FILES (orphan rows never share a file with committed ones,
+so the repair rewrites nothing) so a crashed batch can be retried.
 
 Append-only id discipline: ``update_lsh_index`` requires every new
 doc_id to exceed ``max_doc_id`` recorded in the index meta (checked,
@@ -278,32 +279,40 @@ def update_lsh_index(
 
 
 def vacuum_lsh_index(spark: SparkSession, index_dir: str) -> int:
-    """Repair a crashed :func:`update_lsh_index`: rewrite the index
-    tables keeping only COMMITTED rows (ids at or below the meta
-    high-water mark), so the crashed batch can be retried without
-    double-appending.  Returns the number of uncommitted rows removed
-    (0 = healthy index, nothing rewritten — the detect scan is
-    stats-pruned to the uncommitted files).
+    """Repair a crashed :func:`update_lsh_index`: DELETE the uncommitted
+    append files (rows above the meta high-water mark), so the crashed
+    batch can be retried without double-appending.  Returns the number
+    of uncommitted rows removed (0 = healthy index, nothing touched).
 
-    The rewrite goes through a temp dir and swaps in (delete-old then
-    rename-new, the compaction posture): run it in a read-quiesced
-    window, as with ``compact_partitions``."""
-    import uuid
+    Orphans are FILE-exclusive by construction: the append-only id
+    guard means every committed file holds only ids at or below some
+    past high-water mark, and a crashed append's files hold only ids
+    ABOVE the current one — no file ever mixes the two.  So the repair
+    is file-granular: scan ``doc_id > hw`` (parquet min/max stats prune
+    the committed files, so only the orphan files are read), collect
+    the offending file paths via ``input_file_name``, and delete
+    exactly those — the committed table bytes are never rewritten,
+    which at the module's posture is the difference between deleting a
+    crashed batch's few files and rewriting a 100 TB table.
 
+    Concurrent readers are already blind to these files' ROWS
+    (``_committed`` filters above the mark); a reader that listed the
+    directory before the delete can still hit a vanished-file error on
+    the orphan itself — retry, or set
+    ``spark.sql.files.ignoreMissingFiles`` during repair windows."""
     hw = _read_meta(spark, index_dir)
     jvm = spark._jvm
     fs, _ = _meta_path(spark, index_dir)
     removed = 0
     for name in ("bands", "hsets"):
-        live = f"{index_dir}/{name}.parquet"
-        raw = spark.read.parquet(live)
-        orphans = raw.filter(F.col("doc_id") > hw).count()
-        if orphans == 0:
-            continue
-        removed += orphans
-        tmp = f"{index_dir}/.{name}.vacuum-{uuid.uuid4().hex[:8]}"
-        raw.filter(F.col("doc_id") <= hw).write.parquet(tmp)
-        live_p = jvm.org.apache.hadoop.fs.Path(live)
-        fs.delete(live_p, True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live_p)
+        orphan_files = (
+            spark.read.parquet(f"{index_dir}/{name}.parquet")
+            .filter(F.col("doc_id") > hw)
+            .groupBy(F.input_file_name().alias("path"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        for r in orphan_files:
+            removed += r["n"]
+            fs.delete(jvm.org.apache.hadoop.fs.Path(r["path"]), False)
     return removed

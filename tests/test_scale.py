@@ -4,6 +4,7 @@ skew join (row-identical to the plain join)."""
 from __future__ import annotations
 
 import pytest
+from pathlib import Path
 from pyspark.sql import functions as F
 
 from etl_bom_radiation_spark import scale
@@ -816,9 +817,25 @@ def test_update_lsh_index_crash_recovery(spark, tmp_path, monkeypatch):
     assert raw.filter("doc_id > 2").count() > 0
     assert kp(L.probe_lsh_index(spark, d, probe)) == before
 
-    # repair, retry, and the index must equal a clean build over the union
+    # repair is FILE-granular: orphan rows never share a file with
+    # committed ones, so vacuum deletes the crashed append's files and
+    # leaves every committed data file byte-identical in place (at the
+    # module's posture: no 100 TB rewrite to repair a crashed batch)
+    def _files(name):
+        p = Path(d) / f"{name}.parquet"
+        return {
+            f.name: f.stat().st_mtime_ns
+            for f in p.iterdir()
+            if f.name.startswith("part-")
+        }
+
+    pre = {n: _files(n) for n in ("bands", "hsets")}
     assert L.vacuum_lsh_index(spark, d) > 0
     assert L.vacuum_lsh_index(spark, d) == 0  # idempotent / healthy
+    for name in ("bands", "hsets"):
+        post = _files(name)
+        assert set(post) < set(pre[name])  # only deletions, no rewrites
+        assert all(pre[name][f] == mt for f, mt in post.items())  # untouched
     assert L.update_lsh_index(spark, d, batch) == 1
     L.build_lsh_index(spark, base.unionByName(batch), full)
     assert _index_rows(spark, d) == _index_rows(spark, full)
