@@ -69,6 +69,7 @@ NOTES = {
     "n46_source_overlap_theta": "per-source theta sketches built in one fact pass (map-side partials), then the pair matrix is a broadcast cross of |sources| sketch rows with theta_intersection per pair — no corpus-scale join anywhere; exact-fenced against n35 below nominal entries",
     "n47_source_pagerank": "iterative operator: the corpus is touched ONCE (n35's distinct fingerprint collapse) into a checkpoint-pinned edge frame; each of the 8 fixed iterations joins the |sources|-row rank frame (broadcast) against it and re-aggregates — per-iteration lineage truncation keeps analysis linear, so the final plan shows only the last iteration over Scan ExistingRDD (the checkpoints); nothing in the loop rescans or reshuffles the corpus",
     "n48_authority_weighted_sampling": "composed sampler: n47's rank chain plus ONE pinned (doc_id, source, u24) projection shared by the per-source counts and the keep decision; the |sources|-row alloc table broadcasts back onto the pinned projection, so the corpus never shuffles for the draw — the only corpus-scale exchanges are the rank chain's fingerprint collapse and the final |sources|-key aggregation of keep flags",
+    "n49_incremental_lsh_dedup": "arrival-posture near-dedup: the INDEX side (banded membership + hashed shingle sets — at production scale a persisted parquet index, see lsh_index.py) is only ever scanned; the arriving shard's band frame, hset slice, candidate frame and verdict aggregate all BROADCAST onto it, so every join is BroadcastHashJoin and the plan contains zero SortMergeJoin — the index never shuffles for an increment (asserted in tests/test_plans.py); both bucket memberships are BUCKET_CAP-gated so the candidate join is O(colliding pairs) with per-bucket fan-out bounded (CI pair-volume fence)",
     "x10_heavy_hitters": "exact heavy hitters: partial map-side count below the single key Exchange, TakeOrderedAndProject heaps above it (k rows to the driver, never a global sort) — but note the Exchange carries one row per DISTINCT key, which is why x10b exists",
     "x10b_heavy_hitters_mg": "bounded-memory form: ONE hash-shard Exchange + in-partition sort pins a deterministic arrival order, then an Arrow-batched mapInPandas folds Misra-Gries counters (<= N_BUCKETS*K_COUNTERS state total, independent of key cardinality); the candidate frame is metadata-sized and the final top-k is a per-partition heap",
 }
