@@ -156,6 +156,65 @@ def test_candidate_pair_growth_bounded(spark, corpora, name):
 
 
 @pytest.mark.slow
+def test_fold_cost_is_batch_bounded(spark, corpora):
+    """Index-maintenance fence: folding the SAME fixed batch into a 10x
+    index must cost ~the same as into a 1x one (``update_lsh_index``'s
+    only index-proportional term is the map-side occupancy scan of the
+    small bands table — no shuffle of the index, no hset read).  The
+    probe's ``--fold`` mode measured 0.92 at M=10 (r9); fence at 2.5,
+    the stable-band convention — a fold that re-processed the index
+    (the rebuild the API avoids) would land near M."""
+    from pyspark.sql import functions as F
+
+    from etl_bom_radiation_spark.lsh_index import build_lsh_index, update_lsh_index
+
+    d1, dm = corpora["real"]
+    base = tempfile.mkdtemp(prefix="foldfence_")
+    try:
+        batch = (
+            spark.read.parquet(f"{d1}/documents.parquet")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") % 10 == 3)
+            .limit(500)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+            .localCheckpoint()
+        )
+        batch.count()  # materialize outside the timers
+
+        def timed_fold(corpus_dir: str, tag: str) -> float:
+            import time
+
+            idx = os.path.join(base, f"idx_{tag}")
+            docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").select(
+                "doc_id", "text"
+            )
+            build_lsh_index(spark, docs, idx)
+            best = float("inf")
+            for i in range(3):  # first run is the warmup
+                scratch = os.path.join(base, f"scratch_{tag}_{i}")
+                shutil.copytree(idx, scratch)
+                t0 = time.time()
+                update_lsh_index(spark, scratch, batch)
+                dt = time.time() - t0
+                shutil.rmtree(scratch, ignore_errors=True)
+                if i > 0:
+                    best = min(best, dt)
+            return best
+
+        t1 = timed_fold(d1, "1x")
+        tm = timed_fold(dm, f"{M}x")
+        ratio = tm / t1 if t1 > 0 else float("inf")
+        assert ratio < 2.5, (
+            f"update_lsh_index: fold into 1x index={t1:.3f}s, into {M}x "
+            f"index={tm:.3f}s, ratio={ratio:.2f} >= 2.5 — the fold is no "
+            "longer batch-bounded (index being re-processed?); see "
+            "tools/scaling_probe.py --fold"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.mark.slow
 def test_fence_is_live_uncapped(spark, corpora, monkeypatch):
     """Re-introduce the round-6 quadratic on purpose (caps -> 10**9) and
     assert BOTH pair fences' predicates now fail — the fence demonstrably

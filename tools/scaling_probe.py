@@ -422,6 +422,69 @@ def time_op(spark, fn, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def fold_main(mult: int) -> int:
+    """Index-maintenance scaling (``--fold``): does ``update_lsh_index``
+    stay batch-bounded as the INDEX grows?  Build the persisted LSH
+    index over a 1x and an Mx corpus, then time folding the SAME
+    fixed-size batch (BASE_DOCS//10 novel docs, ids above both corpora)
+    into each.  The fold's only index-proportional term is the map-side
+    occupancy scan of the bands table (8 small rows/doc, no shuffle of
+    the index, no hset read at all) — so the ratio should sit far below
+    M; a ratio near M would mean the fold re-processes the index, i.e.
+    the rebuild the API exists to avoid.  Each timed run folds into a
+    FRESH copy of the index (the fold mutates it); the copy is outside
+    the timer.  Prints {"m": M, "fold": {"t1", "tm", "ratio"}}."""
+    from pyspark.sql import functions as F
+
+    from etl_bom_radiation_spark.lsh_index import build_lsh_index, update_lsh_index
+    from etl_bom_radiation_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling_probe_fold")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = tempfile.mkdtemp(prefix="probe_fold_")
+    out = {}
+    try:
+        c1, cm = f"{base}/c1", f"{base}/cm"
+        gen_corpus(spark, c1, 1)
+        gen_corpus(spark, cm, mult)
+        docs1 = spark.read.parquet(f"{c1}/documents.parquet").select("doc_id", "text")
+        docsm = spark.read.parquet(f"{cm}/documents.parquet").select("doc_id", "text")
+        build_lsh_index(spark, docs1, f"{base}/idx1")
+        build_lsh_index(spark, docsm, f"{base}/idxm")
+        # fixed arriving batch, identical for both index sizes: novel ids
+        # above both corpora, text drawn from the 1x generator's shape
+        batch = (
+            docs1.filter(F.col("doc_id") % 10 == 3)
+            .limit(BASE_DOCS // 10)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+            .localCheckpoint()
+        )
+        batch.count()  # materialize outside every timer
+
+        def timed_fold(idx: str) -> float:
+            best = float("inf")
+            for i in range(3):  # first run is the warmup
+                scratch = f"{base}/scratch_{os.path.basename(idx)}_{i}"
+                shutil.copytree(idx, scratch)
+                t0 = time.time()
+                update_lsh_index(spark, scratch, batch)
+                dt = time.time() - t0
+                shutil.rmtree(scratch, ignore_errors=True)
+                if i > 0:
+                    best = min(best, dt)
+            return round(best, 3)
+
+        t1 = timed_fold(f"{base}/idx1")
+        tm = timed_fold(f"{base}/idxm")
+        out = {"t1": t1, "tm": tm, "ratio": round(tm / t1, 2) if t1 else None}
+        print(f"fold into 1x index={t1}s {mult}x index={tm}s "
+              f"ratio={out['ratio']}", file=sys.stderr)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"m": mult, "fold": out}))
+    return 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     # M is optional: a leading non-numeric positional is an op filter
@@ -431,6 +494,8 @@ def main() -> int:
         mult, filters = 10, args
     if "--streaming" in sys.argv:
         return stream_main(mult, filters)
+    if "--fold" in sys.argv:
+        return fold_main(mult)
     relational = "--relational" in sys.argv
     hot = "--hot" in sys.argv
     from etl_bom_radiation_spark.queries import load_all
