@@ -41,9 +41,9 @@ and the per-doc verdict aggregate — so the real bound is that the
 BATCH (not the index) plus its candidate fan-out must fit Spark's
 broadcast limit (``spark.sql.autoBroadcastJoinThreshold`` semantics;
 hard ceiling 8 GB).  A 100 TB INDEX is fine; a 100 GB arriving batch
-is not one probe call — split it into broadcast-sized sub-batches
-(each probed and folded independently; the min-id survivor convention
-makes sub-batch order irrelevant across DISJOINT id ranges).
+is not one probe call — ``admit_batch(..., max_docs=N)`` splits it
+into id-ordered broadcast-sized sub-batches, probing and folding each
+in turn (admission contract in its docstring).
 
 Crash consistency: an update appends data files FIRST and publishes
 the meta high-water mark LAST — the mark is the commit.  Every read
@@ -276,6 +276,65 @@ def update_lsh_index(
     new_hsets.write.mode("append").parquet(f"{index_dir}/hsets.parquet")
     _write_meta(spark, index_dir, int(mn_mx["mx"]))  # <- the commit point
     return int(mn_mx["n"])
+
+
+def admit_batch(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    max_docs: int | None = None,
+) -> DataFrame:
+    """Probe-and-fold an arriving ``batch`` (doc_id, text, ...) in one
+    call: verdicts from :func:`probe_lsh_index`, keepers folded via
+    :func:`update_lsh_index`, returning the per-doc verdict frame.
+
+    ``max_docs`` closes the module's scale caveat with code instead of a
+    docstring instruction: the probe broadcasts the BATCH and its
+    candidate fan-out, so an arrival too big for the broadcast limit
+    must be split.  When the batch exceeds ``max_docs`` it is cut into
+    ``ceil(n / max_docs)`` id-ordered sub-batches (ntile over doc_id —
+    a single-partition sort, bounded by the very broadcast contract
+    that forced the split), each probed and folded IN ID ORDER so the
+    fold's append-only guard holds across sub-batches.
+
+    Admission contract vs one-shot (``max_docs=None``), pytest-locked:
+
+    * the admitted set always satisfies the near-dup-free invariant —
+      no admitted doc is a verified near-dup of the prior index or of
+      any doc admitted before it;
+    * on batches where no near-dup chain crosses a sub-batch boundary
+      through a DROPPED doc, admission is IDENTICAL to one-shot (the
+      real-corpus case);
+    * on chain-crossing batches, sub-batching is never LESS admissive:
+      one-shot's shard rule drops doc B for a lower-id near-dup A even
+      when A itself was dropped (pairwise, n49 semantics), while B in a
+      later sub-batch is judged only against the index + folded
+      keepers — every comparison one-shot would also make — so B can
+      only flip drop -> keep, never keep -> drop.  A cross-sub-batch
+      near-dup of a KEPT doc reports ``drop_index_dup`` where one-shot
+      says ``drop_shard_dup`` (same admission, the survivor is already
+      folded)."""
+    n = batch.count()
+    k = 1 if max_docs is None or n <= max_docs else -(-n // max_docs)
+    if k == 1:
+        verdicts = probe_lsh_index(spark, index_dir, batch).localCheckpoint()
+        keeps = batch.join(
+            verdicts.filter(F.col("decision") == "keep").select("doc_id"),
+            "doc_id",
+        )
+        update_lsh_index(spark, index_dir, keeps)
+        return verdicts
+    tagged = batch.withColumn(
+        "_sub", F.ntile(k).over(Window.orderBy("doc_id"))
+    ).localCheckpoint()
+    parts = []
+    for i in range(1, k + 1):
+        sub = tagged.filter(F.col("_sub") == i).drop("_sub")
+        parts.append(admit_batch(spark, index_dir, sub))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def vacuum_lsh_index(spark: SparkSession, index_dir: str) -> int:

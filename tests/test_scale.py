@@ -774,6 +774,81 @@ def test_d04_lsh_index_lifecycle_fences(spark, oracle_sf_dir):
     assert vals["02_probe1_docs"] > 0 and vals["10_probe2_docs"] > 0
 
 
+def test_admit_batch_subbatching_matches_oneshot_on_real_corpus(
+    spark, tmp_path, oracle_sf_dir
+):
+    """admit_batch(max_docs=N) — the broadcast-envelope splitter — must
+    reproduce the one-shot probe-and-fold EXACTLY on the real corpus:
+    same admitted set, final index tables row-identical (the fixture has
+    no near-dup chain crossing a sub-batch boundary through a dropped
+    doc, so the contract's identical-admission case applies)."""
+    from etl_bom_radiation_spark.lsh_index import admit_batch, build_lsh_index
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    initial = docs.filter(F.col("doc_id") <= (mx * 8) // 10)
+    batch = docs.filter(F.col("doc_id") > (mx * 8) // 10)
+    one, sub = str(tmp_path / "one"), str(tmp_path / "sub")
+    build_lsh_index(spark, initial, one)
+    build_lsh_index(spark, initial, sub)
+
+    v_one = admit_batch(spark, one, batch)  # single probe+fold
+    n = batch.count()
+    v_sub = admit_batch(spark, sub, batch, max_docs=max(1, n // 3))  # 3 subs
+
+    keeps = lambda v: sorted(
+        r.doc_id for r in v.filter("decision = 'keep'").collect()
+    )
+    assert keeps(v_sub) == keeps(v_one)
+    assert _index_rows(spark, sub) == _index_rows(spark, one)
+
+
+def test_admit_batch_chain_divergence_is_admissive_never_lossy(spark, tmp_path):
+    """The documented divergence case, pinned: I indexed, batch = [A, B]
+    with A a near-dup of I (J~0.52), B a near-dup of A (J~0.52) but NOT
+    of I (J~0.23 < 0.35).  One-shot drops BOTH (A: index dup; B: shard
+    dup of A — pairwise n49 semantics, even though A itself was
+    dropped).  Split so A and B land in different sub-batches: A drops,
+    is NOT folded, and B — judged only against the index + folded
+    keepers — flips to keep.  Sub-batching must only ever flip
+    drop -> keep (never lose a doc one-shot admits), and the admitted
+    set must stay near-dup-free: B admitted alone satisfies it (B is
+    not a verified near-dup of I)."""
+    from etl_bom_radiation_spark.lsh_index import admit_batch, build_lsh_index
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()
+    a = list(base)
+    a[3], a[8], a[14] = "dolphin", "iguana", "ostrich"
+    b = list(a)
+    b[5], b[11], b[17] = "falcon", "lemur", "rhino"
+    seed = _docs_frame(spark, [(1, " ".join(base))])
+    batch = _docs_frame(spark, [(10, " ".join(a)), (20, " ".join(b))])
+    one, sub = str(tmp_path / "one"), str(tmp_path / "sub")
+    build_lsh_index(spark, seed, one)
+    build_lsh_index(spark, seed, sub)
+
+    dec = lambda v: {r.doc_id: r.decision for r in v.collect()}
+    d_one = dec(admit_batch(spark, one, batch))
+    d_sub = dec(admit_batch(spark, sub, batch, max_docs=1))
+
+    assert d_one == {10: "drop_index_dup", 20: "drop_shard_dup"}
+    assert d_sub == {10: "drop_index_dup", 20: "keep"}
+    # never lossy: every one-shot keep is a sub-batched keep
+    assert {d for d, v in d_one.items() if v == "keep"} <= {
+        d for d, v in d_sub.items() if v == "keep"
+    }
+    # the folded index reflects exactly the sub-batched admission
+    bands = spark.read.parquet(f"{sub}/bands.parquet")
+    assert sorted(
+        r.doc_id for r in bands.select("doc_id").distinct().collect()
+    ) == [1, 20]
+
+
 def test_update_lsh_index_crash_recovery(spark, tmp_path, monkeypatch):
     """The fold's crash protocol: data files append first, the meta
     high-water mark publishes LAST (the commit). A crash in between
