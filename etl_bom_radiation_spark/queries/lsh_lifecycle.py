@@ -156,7 +156,7 @@ def t11_stream_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..lsh_index import build_lsh_index, probe_lsh_index, update_lsh_index
+    from ..lsh_index import admit_batch, build_lsh_index
 
     base = tempfile.mkdtemp(prefix="t11_lsh_")
     src, ckpt, idx = f"{base}/src", f"{base}/ckpt", f"{base}/idx"
@@ -176,12 +176,9 @@ def t11_stream_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     def admit(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch = batch_df.localCheckpoint()
-        verdicts = probe_lsh_index(spark, idx, batch).localCheckpoint()
-        keeps = batch.join(
-            verdicts.filter(F.col("decision") == "keep").select("doc_id"), "doc_id"
-        )
-        update_lsh_index(spark, idx, keeps)
+        # the ONE probe-and-fold implementation (lsh_index.admit_batch) —
+        # the streaming loop must not re-state it (parity discipline)
+        verdicts = admit_batch(spark, idx, batch_df.localCheckpoint())
         log.extend(
             (int(epoch_id), int(r["doc_id"]), r["decision"])
             for r in verdicts.select("doc_id", "decision").collect()
