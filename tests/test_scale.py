@@ -849,6 +849,62 @@ def test_admit_batch_chain_divergence_is_admissive_never_lossy(spark, tmp_path):
     ) == [1, 20]
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_admit_batch_invariant_randomized(spark, tmp_path, seed):
+    """Closed-loop invariant of sub-batched admission on seeded random
+    corpora (heavy near-dup structure; corpora small enough that
+    BUCKET_CAP never binds, so the banding's notion of near-dup is
+    exact):
+
+    * superset: every doc the one-shot probe admits, sub-batching also
+      admits (the chain divergence only ever flips drop -> keep);
+    * near-dup-free: RE-probing the admitted docs against the final
+      folded index (whose anti-join judges each doc against the index
+      minus itself) returns `keep` for every one of them — no admitted
+      doc is a verified near-dup of the seed corpus or of any other
+      admitted doc, by the production probe's own measure."""
+    import random
+
+    from etl_bom_radiation_spark.lsh_index import admit_batch, build_lsh_index, probe_lsh_index
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = []
+    for i in range(48):
+        if i >= 12 and rng.random() < 0.45:
+            # near-dup of an earlier doc: mutate 0-3 words of a copy
+            words = list(docs[rng.randrange(len(docs))][1])
+            for _ in range(rng.randrange(4)):
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+        else:
+            words = [rng.choice(vocab) for _ in range(12)]
+        docs.append((i, words))
+    frame = _docs_frame(spark, [(i, " ".join(w)) for i, w in docs])
+    seed_docs = frame.filter(F.col("doc_id") < 24)
+    batch = frame.filter(F.col("doc_id") >= 24)
+
+    one, sub = str(tmp_path / "one"), str(tmp_path / "sub")
+    build_lsh_index(spark, seed_docs, one)
+    build_lsh_index(spark, seed_docs, sub)
+    keeps = lambda v: {
+        r.doc_id for r in v.filter("decision = 'keep'").collect()
+    }
+    k_one = keeps(admit_batch(spark, one, batch))
+    k_sub = keeps(admit_batch(spark, sub, batch, max_docs=5))
+    assert k_one <= k_sub
+
+    admitted = batch.join(
+        spark.createDataFrame([(d,) for d in sorted(k_sub)], "doc_id bigint"),
+        "doc_id",
+    )
+    if k_sub:
+        reprobe = probe_lsh_index(spark, sub, admitted)
+        assert keeps(reprobe) == k_sub, (
+            "an admitted doc re-probes as a near-dup of the final index: "
+            + str(reprobe.filter("decision <> 'keep'").collect())
+        )
+
+
 def test_update_lsh_index_crash_recovery(spark, tmp_path, monkeypatch):
     """The fold's crash protocol: data files append first, the meta
     high-water mark publishes LAST (the commit). A crash in between
