@@ -681,6 +681,39 @@ def main() -> int:
             lambda: probe_lsh_index(spark, f"{lsh_dir}/warm", lsh_batch),
             io_name="lsh_probe_warm",
         )
+
+        # sub-batched admission overhead (the broadcast-envelope lever):
+        # admit the same arriving decile one-shot vs split into 4
+        # id-ordered sub-batches (admit_batch max_docs). Each run folds
+        # into a FRESH copy of the warm index (copytree inside the timer,
+        # identical in both variants, ~MB here) — the DELTA prices the
+        # splitter itself: 3 extra probe/fold rounds of batch-sized work,
+        # what an oversized arrival pays to stay inside the broadcast
+        # limit.
+        from etl_bom_radiation_spark.lsh_index import admit_batch
+
+        # the fold's append-only guard (correctly) refuses the n49 shard's
+        # interleaved ids — shift the arriving batch above the index
+        admit_src = lsh_batch.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        )
+        n_lsh_batch = admit_src.count()
+
+        def _admit(tag, max_docs):
+            def run():
+                tgt = f"{lsh_dir}/admit_{tag}_{time.time_ns()}"
+                shutil.copytree(f"{lsh_dir}/warm", tgt)
+                return admit_batch(spark, tgt, admit_src, max_docs=max_docs)
+
+            return run
+
+        timings["lsh_admit_oneshot"] = _timed_noop(
+            _admit("one", None), io_name="lsh_admit_oneshot"
+        )
+        timings["lsh_admit_split4"] = _timed_noop(
+            _admit("four", max(1, -(-n_lsh_batch // 4))),
+            io_name="lsh_admit_split4",
+        )
     finally:
         shutil.rmtree(lsh_dir, ignore_errors=True)
 
