@@ -166,6 +166,34 @@ def build_lsh_index(spark: SparkSession, docs: DataFrame, index_dir: str) -> Non
     _write_meta(spark, index_dir, -(2**62) if mx is None else int(mx))
 
 
+def _probe_frames(
+    spark: SparkSession,
+    index_dir: str,
+    spine: DataFrame,
+    inc_gated: DataFrame,
+    inc_hsets: DataFrame,
+) -> DataFrame:
+    """The probe on PRE-SKETCHED batch frames — shared by
+    :func:`probe_lsh_index` (which sketches then probes) and
+    :func:`admit_batch` (which sketches ONCE and feeds probe and fold
+    from the same frames)."""
+    hw = _read_meta(spark, index_dir)
+    ids = F.broadcast(spine)
+    idx_bands = _committed(spark, index_dir, "bands", hw).join(
+        ids, "doc_id", "left_anti"
+    )
+    idx_hsets = _committed(spark, index_dir, "hsets", hw).join(
+        ids, "doc_id", "left_anti"
+    )
+    return shard_verdicts(
+        idx_bands,
+        inc_gated,
+        idx_hsets.unionByName(inc_hsets),
+        inc_hsets,
+        spine,
+    )
+
+
 def probe_lsh_index(
     spark: SparkSession, index_dir: str, batch: DataFrame
 ) -> DataFrame:
@@ -177,31 +205,20 @@ def probe_lsh_index(
     Broadcast-bound (ADVICE r8): the batch band frame, batch hset
     slice, candidate frame and verdict aggregate are all broadcast, so
     the BATCH and its candidate fan-out must fit the broadcast limit —
-    split over-sized arrivals into sub-batches before probing.
+    split over-sized arrivals into sub-batches before probing
+    (:func:`admit_batch` does).
 
     A doc_id present in BOTH the index and the batch (a re-arrival) is
     judged against the index minus itself: the defensive anti-joins
-    below drop its index-side band rows and hset before the union, so
-    the verify join cannot fan out across generations (ADVICE r8).
+    drop its index-side band rows and hset before the union, so the
+    verify join cannot fan out across generations (ADVICE r8).
 
     Reads are the COMMITTED snapshot (ids at or below the meta
     high-water mark): leftovers of a crashed ``update_lsh_index`` are
     invisible until :func:`vacuum_lsh_index` repairs them."""
-    hw = _read_meta(spark, index_dir)
-    ids = F.broadcast(batch.select("doc_id"))
-    idx_bands = _committed(spark, index_dir, "bands", hw).join(
-        ids, "doc_id", "left_anti"
-    )
-    idx_hsets = _committed(spark, index_dir, "hsets", hw).join(
-        ids, "doc_id", "left_anti"
-    )
     inc_bands, inc_hsets = _sketch_frames(spark, batch)
-    return shard_verdicts(
-        idx_bands,
-        inc_bands,
-        idx_hsets.unionByName(inc_hsets),
-        inc_hsets,
-        batch.select("doc_id"),
+    return _probe_frames(
+        spark, index_dir, batch.select("doc_id"), inc_bands, inc_hsets
     )
 
 
@@ -239,7 +256,23 @@ def update_lsh_index(
     (``_committed``); run :func:`vacuum_lsh_index` before RETRYING the
     crashed batch, or the retry's append would double the uncommitted
     rows and the commit would expose both copies."""
-    mn_mx = kept_batch.agg(
+    new_bands, new_hsets = _sketch_frames(spark, kept_batch, gate=False)
+    return _fold_frames(
+        spark, index_dir, kept_batch.select("doc_id"), new_bands, new_hsets
+    )
+
+
+def _fold_frames(
+    spark: SparkSession,
+    index_dir: str,
+    kept_ids: DataFrame,
+    new_bands: DataFrame,
+    new_hsets: DataFrame,
+) -> int:
+    """The fold on PRE-SKETCHED keeper frames (``new_bands`` UNGATED) —
+    shared by :func:`update_lsh_index` (which sketches then folds) and
+    :func:`admit_batch` (one sketch for probe and fold)."""
+    mn_mx = kept_ids.agg(
         F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"), F.count("*").alias("n")
     ).first()
     if mn_mx["n"] == 0:
@@ -251,7 +284,6 @@ def update_lsh_index(
             f"{mn_mx['mn']} <= indexed max {high_water} (re-arrival or "
             f"out-of-order fold — rebuild or re-id the batch)"
         )
-    new_bands, new_hsets = _sketch_frames(spark, kept_batch, gate=False)
     new_bands = F.broadcast(new_bands.localCheckpoint())  # batch-sized
 
     # occupancy of ONLY the touched buckets: broadcast semi-join keeps the
@@ -317,12 +349,30 @@ def admit_batch(
     n = batch.count()
     k = 1 if max_docs is None or n <= max_docs else -(-n // max_docs)
     if k == 1:
-        verdicts = probe_lsh_index(spark, index_dir, batch).localCheckpoint()
-        keeps = batch.join(
-            verdicts.filter(F.col("decision") == "keep").select("doc_id"),
-            "doc_id",
+        # sketch ONCE: the probe and the fold read the same materialized
+        # band/hset frames (the sketch is the arrival's dominant linear
+        # term — update_lsh_index re-sketching the keepers from text
+        # would double it)
+        bands_u, hsets_b = _sketch_frames(spark, batch, gate=False)
+        bands_u = bands_u.localCheckpoint()
+        hsets_b = hsets_b.localCheckpoint()
+        verdicts = _probe_frames(
+            spark,
+            index_dir,
+            batch.select("doc_id"),
+            gate_buckets(bands_u),
+            hsets_b,
+        ).localCheckpoint()
+        keep_ids = F.broadcast(
+            verdicts.filter(F.col("decision") == "keep").select("doc_id")
         )
-        update_lsh_index(spark, index_dir, keeps)
+        _fold_frames(
+            spark,
+            index_dir,
+            keep_ids,
+            bands_u.join(keep_ids, "doc_id"),
+            hsets_b.join(keep_ids, "doc_id"),
+        )
         return verdicts
     tagged = batch.withColumn(
         "_sub", F.ntile(k).over(Window.orderBy("doc_id"))

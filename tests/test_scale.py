@@ -779,10 +779,19 @@ def test_admit_batch_subbatching_matches_oneshot_on_real_corpus(
 ):
     """admit_batch(max_docs=N) — the broadcast-envelope splitter — must
     reproduce the one-shot probe-and-fold EXACTLY on the real corpus:
-    same admitted set, final index tables row-identical (the fixture has
-    no near-dup chain crossing a sub-batch boundary through a dropped
-    doc, so the contract's identical-admission case applies)."""
-    from etl_bom_radiation_spark.lsh_index import admit_batch, build_lsh_index
+    same verdicts, same admitted set, final index tables row-identical
+    (the fixture has no near-dup chain crossing a sub-batch boundary
+    through a dropped doc, so the contract's identical-admission case
+    applies).  The one-shot admit itself must equal the MANUAL
+    probe_lsh_index -> update_lsh_index sequence — admit's sketch-once
+    internals (shared _probe_frames/_fold_frames) cannot drift from the
+    public two-call path."""
+    from etl_bom_radiation_spark.lsh_index import (
+        admit_batch,
+        build_lsh_index,
+        probe_lsh_index,
+        update_lsh_index,
+    )
 
     docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet").select(
         "doc_id", "text"
@@ -790,19 +799,28 @@ def test_admit_batch_subbatching_matches_oneshot_on_real_corpus(
     mx = docs.agg(F.max("doc_id")).first()[0]
     initial = docs.filter(F.col("doc_id") <= (mx * 8) // 10)
     batch = docs.filter(F.col("doc_id") > (mx * 8) // 10)
-    one, sub = str(tmp_path / "one"), str(tmp_path / "sub")
-    build_lsh_index(spark, initial, one)
-    build_lsh_index(spark, initial, sub)
+    one, sub, man = str(tmp_path / "one"), str(tmp_path / "sub"), str(tmp_path / "man")
+    for d in (one, sub, man):
+        build_lsh_index(spark, initial, d)
 
     v_one = admit_batch(spark, one, batch)  # single probe+fold
     n = batch.count()
     v_sub = admit_batch(spark, sub, batch, max_docs=max(1, n // 3))  # 3 subs
+    v_man = probe_lsh_index(spark, man, batch).localCheckpoint()
+    update_lsh_index(
+        spark,
+        man,
+        batch.join(v_man.filter("decision = 'keep'").select("doc_id"), "doc_id"),
+    )
 
+    rows = lambda v: sorted(map(tuple, v.collect()))
+    assert rows(v_one) == rows(v_man)
     keeps = lambda v: sorted(
         r.doc_id for r in v.filter("decision = 'keep'").collect()
     )
     assert keeps(v_sub) == keeps(v_one)
     assert _index_rows(spark, sub) == _index_rows(spark, one)
+    assert _index_rows(spark, man) == _index_rows(spark, one)
 
 
 def test_admit_batch_chain_divergence_is_admissive_never_lossy(spark, tmp_path):
