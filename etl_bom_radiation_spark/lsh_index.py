@@ -45,6 +45,18 @@ is not one probe call — ``admit_batch(..., max_docs=N)`` splits it
 into id-ordered broadcast-sized sub-batches, probing and folding each
 in turn (admission contract in its docstring).
 
+Per-arrival IO floor: a probe scans BOTH index tables once, map-side,
+shuffle-free — the bands table (8 short rows/doc, ~3% of corpus bytes)
+and the hset table (the hashed shingle sets, ~10-15% of corpus bytes,
+the dominant term).  That floor is embarrassingly parallel and paid
+once per arrival, not per candidate; if arrival cadence ever makes it
+bind, the lever is candidate-id pushdown — the candidate set is
+batch-bounded and each update generation's files cover a disjoint id
+range, so a static ``doc_id IN (...)`` predicate on the verify scan
+file-prunes to the generations that hold candidates.  Not implemented:
+at bench scale both tables are sub-MB and the win is unmeasurable, so
+the cut would be speculative code.
+
 Crash consistency: an update appends data files FIRST and publishes
 the meta high-water mark LAST — the mark is the commit.  Every read
 filters to the committed snapshot (ids at or below the mark; parquet
