@@ -329,8 +329,15 @@ def admit_batch(
     max_docs: int | None = None,
 ) -> DataFrame:
     """Probe-and-fold an arriving ``batch`` (doc_id, text, ...) in one
-    call: verdicts from :func:`probe_lsh_index`, keepers folded via
-    :func:`update_lsh_index`, returning the per-doc verdict frame.
+    call, returning the per-doc verdict frame — result-identical to
+    :func:`probe_lsh_index` then :func:`update_lsh_index` on the
+    keepers (pytest-pinned), but the batch is sketched ONCE and the
+    probe and fold share the materialized frames (the sketch is the
+    arrival's dominant linear term; the two-call path pays it twice).
+
+    Fails fast if any batch id is at or below the index high-water
+    mark (checked BEFORE any sub-batch folds, so a multi-sub-batch
+    admission can never stop half-folded on the id guard).
 
     ``max_docs`` closes the module's scale caveat with code instead of a
     docstring instruction: the probe broadcasts the BATCH and its
@@ -358,7 +365,18 @@ def admit_batch(
       near-dup of a KEPT doc reports ``drop_index_dup`` where one-shot
       says ``drop_shard_dup`` (same admission, the survivor is already
       folded)."""
-    n = batch.count()
+    stats = batch.agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("mn")
+    ).first()
+    n = stats["n"]
+    if n > 0:
+        hw = _read_meta(spark, index_dir)
+        if stats["mn"] <= hw:
+            raise ValueError(
+                f"admit_batch requires append-only doc_ids: batch min "
+                f"{stats['mn']} <= indexed max {hw} (re-arrival or "
+                f"out-of-order arrival — re-id the batch)"
+            )
     k = 1 if max_docs is None or n <= max_docs else -(-n // max_docs)
     if k == 1:
         # sketch ONCE: the probe and the fold read the same materialized

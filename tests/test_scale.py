@@ -723,6 +723,24 @@ def test_update_lsh_index_rejects_out_of_order_ids(spark, tmp_path):
     empty = _docs_frame(spark, [])
     assert update_lsh_index(spark, d, empty) == 0
 
+    # admit_batch fails FAST on the same precondition — before any
+    # sub-batch folds, so a split admission can never stop half-folded
+    # (here: id 5 is stale but 11/12 are foldable; nothing must land)
+    from etl_bom_radiation_spark.lsh_index import admit_batch
+
+    mixed = _docs_frame(
+        spark,
+        [
+            (5, "an out of order arrival"),
+            (11, "a perfectly foldable arrival text"),
+            (12, "another perfectly foldable arrival text"),
+        ],
+    )
+    pre = _index_rows(spark, d)
+    with pytest.raises(ValueError, match="append-only"):
+        admit_batch(spark, d, mixed, max_docs=1)
+    assert _index_rows(spark, d) == pre  # nothing folded
+
 
 def test_probe_lsh_index_rearrival_not_inflated(spark, tmp_path):
     """A doc_id present in both the index and the batch (re-arrival) is
