@@ -64,6 +64,9 @@ min/max stats skip uncommitted append files outright, so the filter is
 free on a healthy index), and ``vacuum_lsh_index`` deletes the
 leftover FILES (orphan rows never share a file with committed ones,
 so the repair rewrites nothing) so a crashed batch can be retried.
+``compact_lsh_index`` periodically folds the accumulated per-update
+generation files back into a few id-sorted files per table — layout
+only, content and probe results identical.
 
 Append-only id discipline: ``update_lsh_index`` requires every new
 doc_id to exceed ``max_doc_id`` recorded in the index meta (checked,
@@ -417,11 +420,127 @@ def admit_batch(
     return out
 
 
+def compact_lsh_index(
+    spark: SparkSession, index_dir: str, files_per_table: int = 8
+) -> dict[str, int]:
+    """Fold the per-update append generations back into ``files_per_table``
+    id-sorted files per index table — the ``compact_partitions``
+    discipline applied to the LSH index.  Daily folds accumulate one-plus
+    small files each; after years of arrivals every probe pays listing +
+    footer overhead per generation.  Compaction is the deliberate,
+    amortized rewrite (the opposite trade from ``vacuum_lsh_index``'s
+    surgical file deletes): read the COMMITTED snapshot, rewrite it
+    range-partitioned and sorted on doc_id, swap in.  Returns
+    ``{table: files_before}``.
+
+    Invariants preserved:
+
+    * only committed rows are rewritten, so compacted files hold only
+      ids at or below the high-water mark — a LATER crashed update's
+      orphans still sit in their own files above the mark, keeping the
+      file-exclusivity property ``vacuum_lsh_index`` relies on (any
+      orphans present NOW are dropped, which is vacuum's repair);
+    * the id-sorted layout keeps per-file min/max stats tight, so the
+      committed-snapshot filter and any future candidate-id pushdown
+      stay file-prunable;
+    * ``meta.json`` is untouched — compaction changes layout, never
+      content (probe results bit-identical, pytest-locked).
+
+    Like ``compact_partitions``, the swap (delete-old, rename-new) wants
+    a read-quiesced window: a reader that listed files before the swap
+    can hit vanished files.  Crash protocol (the d03 repair discipline):
+    the rewrite lands complete in a dot-prefixed temp dir (Spark's
+    ``_SUCCESS`` marker) BEFORE the live dir is deleted, so a crash
+    inside the swap leaves a finished replacement next to the missing
+    table — :func:`_repair_compaction` (run at the head of every
+    compact AND of :func:`vacuum_lsh_index`) renames it in; a crash
+    before the delete leaves the live table authoritative and the temp
+    is discarded.  In between, probes fail loudly on the missing path —
+    never a torn read (content is identical either way: compaction is
+    layout-only)."""
+    import uuid
+
+    _repair_compaction(spark, index_dir)
+    hw = _read_meta(spark, index_dir)
+    jvm = spark._jvm
+    fs, _ = _meta_path(spark, index_dir)
+    out = {}
+    for name in ("bands", "hsets"):
+        live = f"{index_dir}/{name}.parquet"
+        live_p = jvm.org.apache.hadoop.fs.Path(live)
+        n_before = sum(
+            1
+            for f in fs.listStatus(live_p)
+            if f.getPath().getName().startswith("part-")
+        )
+        out[name] = n_before
+        if n_before <= files_per_table:
+            continue
+        tmp = f"{index_dir}/.{name}.compact-{uuid.uuid4().hex[:8]}"
+        (
+            spark.read.parquet(live)
+            .filter(F.col("doc_id") <= hw)
+            .repartitionByRange(files_per_table, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.parquet(tmp)
+        )
+        fs.delete(live_p, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live_p)
+    return out
+
+
+def _repair_compaction(spark: SparkSession, index_dir: str) -> bool:
+    """Complete or discard a crashed :func:`compact_lsh_index` swap;
+    returns whether anything was repaired.  The swap's invariant makes
+    this unambiguous: the rewrite is COMPLETE (``_SUCCESS``-marked temp
+    dir) before the live dir is deleted, so
+
+    * live table present -> it is authoritative; any ``.{name}.compact-*``
+      temp is partial or superseded — discard it (compaction is
+      layout-only, so finishing vs. discarding give identical content;
+      discarding is the conservative, idempotent choice);
+    * live table MISSING -> the crash happened between delete and
+      rename, therefore a complete temp exists — rename it in.  A
+      missing live with no complete temp is real corruption (someone
+      deleted data out-of-band) and raises instead of guessing."""
+    jvm = spark._jvm
+    fs, _ = _meta_path(spark, index_dir)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(index_dir)
+    repaired = False
+    for name in ("bands", "hsets"):
+        live = HPath(f"{index_dir}/{name}.parquet")
+        tmps = [
+            f.getPath()
+            for f in fs.listStatus(root)
+            if f.getPath().getName().startswith(f".{name}.compact-")
+        ]
+        if fs.exists(live):
+            for t in tmps:
+                fs.delete(t, True)
+        else:
+            done = [t for t in tmps if fs.exists(HPath(t, "_SUCCESS"))]
+            if not done:
+                raise RuntimeError(
+                    f"LSH index table {name}.parquet is missing and no "
+                    f"completed compaction temp exists under {index_dir} — "
+                    f"not a crashed swap; restore from a rebuild"
+                )
+            fs.rename(done[0], live)
+            for t in done[1:]:
+                fs.delete(t, True)
+            repaired = True
+    return repaired
+
+
 def vacuum_lsh_index(spark: SparkSession, index_dir: str) -> int:
     """Repair a crashed :func:`update_lsh_index`: DELETE the uncommitted
     append files (rows above the meta high-water mark), so the crashed
     batch can be retried without double-appending.  Returns the number
     of uncommitted rows removed (0 = healthy index, nothing touched).
+    Also completes a crashed :func:`compact_lsh_index` swap first
+    (:func:`_repair_compaction`) — vacuum is the index's one repair
+    entry point.
 
     Orphans are FILE-exclusive by construction: the append-only id
     guard means every committed file holds only ids at or below some
@@ -439,6 +558,7 @@ def vacuum_lsh_index(spark: SparkSession, index_dir: str) -> int:
     directory before the delete can still hit a vanished-file error on
     the orphan itself — retry, or set
     ``spark.sql.files.ignoreMissingFiles`` during repair windows."""
+    _repair_compaction(spark, index_dir)
     hw = _read_meta(spark, index_dir)
     jvm = spark._jvm
     fs, _ = _meta_path(spark, index_dir)

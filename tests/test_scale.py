@@ -771,7 +771,9 @@ def test_d04_lsh_index_lifecycle_fences(spark, oracle_sf_dir):
     """The d04 entry's own fences, pinned so a regression fails CI before
     the driver sees it (the d03 convention): fold==keeps, band+hset
     rebuild parity, probe equivalence on folded vs rebuilt, refold
-    refused by the append-only id guard."""
+    refused by the append-only id guard, compaction layout-only
+    (one file per table, rows conserved, probe bit-identical) and
+    vacuum a no-op on the healthy compacted index."""
     from etl_bom_radiation_spark.queries import load_all
 
     vals = {
@@ -786,6 +788,10 @@ def test_d04_lsh_index_lifecycle_fences(spark, oracle_sf_dir):
         "09_hsets_parity_with_rebuild",
         "11_probe2_equal_on_folded_vs_rebuilt",
         "12_refold_refused_by_id_guard",
+        "13_compact_to_one_file_per_table",
+        "14_compact_rows_conserved",
+        "15_probe2_equal_after_compaction",
+        "16_vacuum_after_compaction_noop",
     ):
         assert vals[fence] == 1, fence
     assert vals["06_folded_docs"] == vals["03_probe1_keep"] > 0
@@ -939,6 +945,142 @@ def test_admit_batch_invariant_randomized(spark, tmp_path, seed):
             "an admitted doc re-probes as a near-dup of the final index: "
             + str(reprobe.filter("decision <> 'keep'").collect())
         )
+
+
+def test_compact_lsh_index_layout_only(spark, tmp_path):
+    """Compaction folds the per-update generation files into a few
+    id-sorted files without changing CONTENT: rows identical, a probe
+    bit-identical across the rewrite, the meta mark untouched, and
+    below-threshold tables are left alone (second run no-op)."""
+    from etl_bom_radiation_spark.lsh_index import (
+        admit_batch,
+        build_lsh_index,
+        compact_lsh_index,
+        probe_lsh_index,
+    )
+
+    seed = _docs_frame(
+        spark,
+        [(i, f"seed doc w{i} about topic t{i % 5} with shared filler words")
+         for i in range(10)],
+    )
+    d = str(tmp_path / "idx")
+    build_lsh_index(spark, seed, d)
+    for lo in (100, 200, 300):  # three fold generations
+        batch = _docs_frame(
+            spark,
+            [(lo + j, f"arrival doc w{lo + j} on fresh topic f{lo + j}")
+             for j in range(3)],
+        )
+        admit_batch(spark, d, batch)
+
+    def n_files(name):
+        p = Path(d) / f"{name}.parquet"
+        return sum(1 for f in p.iterdir() if f.name.startswith("part-"))
+
+    probe = _docs_frame(
+        spark, [(999, "arrival doc w100 on fresh topic f100")]  # near-dup of 100
+    )
+    kp = lambda: sorted(
+        (r.doc_id, r.n_index_cand, r.n_shard_cand, r.best_jaccard, r.decision)
+        for r in probe_lsh_index(spark, d, probe).collect()
+    )
+    before_rows, before_verdict = _index_rows(spark, d), kp()
+    assert any(v[4] == "drop_index_dup" for v in before_verdict)  # dup of a FOLDED doc
+    assert n_files("bands") > 2 and n_files("hsets") > 2
+
+    counts = compact_lsh_index(spark, d, files_per_table=2)
+    assert counts["bands"] > 2 and counts["hsets"] > 2
+    assert n_files("bands") <= 2 and n_files("hsets") <= 2
+    assert _index_rows(spark, d) == before_rows
+    assert kp() == before_verdict
+
+    # second run: already at/below threshold -> layout untouched
+    pre = {f.name for f in (Path(d) / "bands.parquet").iterdir()}
+    compact_lsh_index(spark, d, files_per_table=2)
+    assert {f.name for f in (Path(d) / "bands.parquet").iterdir()} == pre
+
+    # the lifecycle continues across the rewrite: another fold + probe
+    nxt = _docs_frame(spark, [(1000, "post compaction arrival on topic g1")])
+    assert {r.decision for r in admit_batch(spark, d, nxt).collect()} == {"keep"}
+    redup = _docs_frame(spark, [(1001, "post compaction arrival on topic g1")])
+    assert {r.decision for r in probe_lsh_index(spark, d, redup).collect()} == {
+        "drop_index_dup"
+    }
+
+
+def test_compact_lsh_index_crash_repair(spark, tmp_path):
+    """The compaction swap's two crash states are both repairable and
+    unambiguous (live-table presence is the discriminator):
+
+    * crash BETWEEN delete-live and rename-in: the complete
+      ``_SUCCESS``-marked temp is renamed in (by ``vacuum_lsh_index`` —
+      the one repair entry point), and probes come back bit-identical;
+    * crash BEFORE the delete: the live table is authoritative and the
+      next ``compact_lsh_index`` discards the stray temp;
+    * a missing table with NO complete temp is real corruption and
+      raises instead of guessing."""
+    import shutil
+
+    from etl_bom_radiation_spark.lsh_index import (
+        admit_batch,
+        build_lsh_index,
+        compact_lsh_index,
+        probe_lsh_index,
+        vacuum_lsh_index,
+    )
+
+    seed = _docs_frame(
+        spark,
+        [(i, f"seed doc w{i} about topic t{i % 5} with shared filler words")
+         for i in range(10)],
+    )
+    d = str(tmp_path / "idx")
+    build_lsh_index(spark, seed, d)
+    admit_batch(
+        spark,
+        d,
+        _docs_frame(
+            spark,
+            [(100 + j, f"arrival doc w{100 + j} on fresh topic f{100 + j}")
+             for j in range(3)],
+        ),
+    )
+
+    probe = _docs_frame(spark, [(999, "arrival doc w100 on fresh topic f100")])
+    kp = lambda: sorted(
+        (r.doc_id, r.n_index_cand, r.n_shard_cand, r.best_jaccard, r.decision)
+        for r in probe_lsh_index(spark, d, probe).collect()
+    )
+    before_rows, before_verdict = _index_rows(spark, d), kp()
+
+    # -- crash BETWEEN delete and rename: rewrite landed complete, live gone
+    live = Path(d) / "bands.parquet"
+    spark.read.parquet(str(live)).coalesce(1).write.parquet(
+        f"{d}/.bands.compact-crash1"
+    )
+    assert (Path(d) / ".bands.compact-crash1" / "_SUCCESS").exists()
+    shutil.rmtree(live)
+    with pytest.raises(Exception):  # loud failure, never a torn read
+        kp()
+    assert vacuum_lsh_index(spark, d) == 0  # repair, no orphan rows involved
+    assert live.exists() and not (Path(d) / ".bands.compact-crash1").exists()
+    assert _index_rows(spark, d) == before_rows
+    assert kp() == before_verdict
+
+    # -- crash BEFORE the delete: live authoritative, stray temp discarded
+    spark.read.parquet(f"{d}/hsets.parquet").coalesce(1).write.parquet(
+        f"{d}/.hsets.compact-crash2"
+    )
+    compact_lsh_index(spark, d, files_per_table=64)  # head repair; no rewrite
+    assert not (Path(d) / ".hsets.compact-crash2").exists()
+    assert _index_rows(spark, d) == before_rows
+    assert kp() == before_verdict
+
+    # -- missing table, no complete temp: corruption, not a crashed swap
+    shutil.rmtree(Path(d) / "hsets.parquet")
+    with pytest.raises(RuntimeError, match="restore from a rebuild"):
+        vacuum_lsh_index(spark, d)
 
 
 def test_update_lsh_index_crash_recovery(spark, tmp_path, monkeypatch):
