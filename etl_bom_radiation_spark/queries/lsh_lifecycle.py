@@ -54,15 +54,27 @@ def d04_lsh_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
       FOLDED index equals the same probe against the REBUILT index;
     * the append-only guard holds — re-folding the same batch (ids at
       or below the recorded high-water mark) is refused, because
-      admitting it would require evicting persisted rows (a rewrite).
+      admitting it would require evicting persisted rows (a rewrite);
+    * compaction is layout-only — ``compact_lsh_index`` folds the
+      build + append generations to one id-sorted file per table with
+      rows conserved and the top-decile probe bit-identical, and
+      ``vacuum_lsh_index`` on the healthy compacted index removes
+      nothing (the maintenance pair never changes content).
 
     Rows-only by nature (persisted parquet index in a temp workspace),
-    d02/d03-style: 12 deterministic (step, value) rows — every count a
+    d02/d03-style: 16 deterministic (step, value) rows — every count a
     pure function of the fixture (the id cuts derive from max(doc_id))."""
+    import os
     import shutil
     import tempfile
 
-    from ..lsh_index import build_lsh_index, probe_lsh_index, update_lsh_index
+    from ..lsh_index import (
+        build_lsh_index,
+        compact_lsh_index,
+        probe_lsh_index,
+        update_lsh_index,
+        vacuum_lsh_index,
+    )
 
     base = tempfile.mkdtemp(prefix="d04_lshidx_")
     inc_dir, reb_dir = f"{base}/folded", f"{base}/rebuilt"
@@ -95,7 +107,9 @@ def d04_lsh_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         kp = ["doc_id", "n_index_cand", "n_shard_cand", "best_jaccard", "decision"]
-        v2_folded = probe_lsh_index(spark, inc_dir, batch2).select(*kp)
+        # localized: reused below as the pre-compaction reference, after
+        # the files it would lazily re-read have been rewritten
+        v2_folded = probe_lsh_index(spark, inc_dir, batch2).select(*kp).localCheckpoint()
         v2_rebuilt = probe_lsh_index(spark, reb_dir, batch2).select(*kp)
         probe2_equal = int(
             v2_folded.exceptAll(v2_rebuilt).isEmpty()
@@ -106,6 +120,24 @@ def d04_lsh_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             refold_refused = 0
         except ValueError:
             refold_refused = 1
+
+        def _rows(name: str) -> int:
+            return spark.read.parquet(f"{inc_dir}/{name}.parquet").count()
+
+        def _files(name: str) -> int:
+            return sum(
+                1
+                for f in os.listdir(f"{inc_dir}/{name}.parquet")
+                if f.startswith("part-")
+            )
+
+        rows_pre = (_rows("bands"), _rows("hsets"))
+        compact_lsh_index(spark, inc_dir, files_per_table=1)
+        v2_compacted = probe_lsh_index(spark, inc_dir, batch2).select(*kp)
+        probe2_after_compact = int(
+            v2_compacted.exceptAll(v2_folded).isEmpty()
+            and v2_folded.exceptAll(v2_compacted).isEmpty()
+        )
 
         d1 = {r["decision"]: r["n"] for r in
               v1.groupBy("decision").agg(F.count("*").alias("n")).collect()}
@@ -122,6 +154,13 @@ def d04_lsh_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("10_probe2_docs", batch2.count()),
             ("11_probe2_equal_on_folded_vs_rebuilt", probe2_equal),
             ("12_refold_refused_by_id_guard", refold_refused),
+            ("13_compact_to_one_file_per_table",
+             int(_files("bands") == 1 and _files("hsets") == 1)),
+            ("14_compact_rows_conserved",
+             int((_rows("bands"), _rows("hsets")) == rows_pre)),
+            ("15_probe2_equal_after_compaction", probe2_after_compact),
+            ("16_vacuum_after_compaction_noop",
+             int(vacuum_lsh_index(spark, inc_dir) == 0)),
         ]
         return spark.createDataFrame(rows, "step string, value long").orderBy("step")
     finally:
