@@ -68,6 +68,16 @@ so the repair rewrites nothing) so a crashed batch can be retried.
 generation files back into a few id-sorted files per table — layout
 only, content and probe results identical.
 
+Exactly-once streaming admission: ``admit_batch(..., epoch=N)`` is an
+idempotent ``foreachBatch`` sink — fold commits record the epoch
+atomically with the high-water mark, so a restarted stream's replayed
+micro-batch reproduces its verdicts bit-identically (each sub-batch
+probed against the reconstructed as-of index view, exact under
+append-only ids) and skips the folds that already committed, instead
+of tripping the stale-id guard (protocol in the ``admit_batch``
+docstring; pytest-locked for full, mid-sub-batch and mid-append
+crash replays).
+
 Append-only id discipline: ``update_lsh_index`` requires every new
 doc_id to exceed ``max_doc_id`` recorded in the index meta (checked,
 not assumed).  Under it, append-plus-local-gate is EXACTLY the capped
@@ -127,31 +137,44 @@ def _meta_path(spark: SparkSession, index_dir: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
 
 
-def _write_meta(spark: SparkSession, index_dir: str, max_doc_id: int) -> None:
+def _write_meta(
+    spark: SparkSession, index_dir: str, max_doc_id: int, epoch=None
+) -> None:
     """Publish the high-water mark — the COMMIT of an update (see
     ``update_lsh_index``): written to a temp name first, then swapped in
     (delete + rename; a crash inside the tiny swap window leaves NO meta
     rather than a torn one, and reads fail loudly instead of serving a
-    corrupt snapshot)."""
+    corrupt snapshot).  ``epoch`` is the admission-transaction id
+    :func:`admit_batch` uses for replay detection — recorded with the
+    SAME write as the mark, so a commit and its epoch are indivisible."""
     fs, p = _meta_path(spark, index_dir)
     jvm = spark._jvm
     tmp = jvm.org.apache.hadoop.fs.Path(p.toString() + ".tmp")
     out = fs.create(tmp, True)
-    out.write(bytearray(json.dumps({"max_doc_id": max_doc_id}), "utf-8"))
+    out.write(
+        bytearray(
+            json.dumps({"max_doc_id": max_doc_id, "epoch": epoch}), "utf-8"
+        )
+    )
     out.close()
     if fs.exists(p):
         fs.delete(p, False)
     fs.rename(tmp, p)
 
 
-def _read_meta(spark: SparkSession, index_dir: str) -> int:
+def _read_meta(spark: SparkSession, index_dir: str) -> dict:
+    """The index meta: ``max_doc_id`` (the committed high-water mark,
+    always present) and ``epoch`` (last admission-transaction id, may be
+    absent/None on indexes written before epochs existed)."""
     fs, p = _meta_path(spark, index_dir)
     stream = fs.open(p)
     try:
         raw = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
     finally:
         stream.close()
-    return int(json.loads(raw)["max_doc_id"])
+    meta = json.loads(raw)
+    meta["max_doc_id"] = int(meta["max_doc_id"])
+    return meta
 
 
 def _committed(spark: SparkSession, index_dir: str, name: str, hw: int) -> DataFrame:
@@ -187,19 +210,28 @@ def _probe_frames(
     spine: DataFrame,
     inc_gated: DataFrame,
     inc_hsets: DataFrame,
+    as_of_id: int | None = None,
 ) -> DataFrame:
     """The probe on PRE-SKETCHED batch frames — shared by
     :func:`probe_lsh_index` (which sketches then probes) and
     :func:`admit_batch` (which sketches ONCE and feeds probe and fold
-    from the same frames)."""
-    hw = _read_meta(spark, index_dir)
+    from the same frames).
+
+    ``as_of_id`` reconstructs a PAST index view for replay
+    (:func:`admit_batch`'s epoch protocol): only ids strictly below it
+    count as the index.  The append-only discipline makes this exact —
+    everything folded after a batch began has ids above the batch's
+    minimum, so ``as_of_id = min(batch ids)`` is precisely the index
+    the batch's original probe saw."""
+    hw = _read_meta(spark, index_dir)["max_doc_id"]
     ids = F.broadcast(spine)
-    idx_bands = _committed(spark, index_dir, "bands", hw).join(
-        ids, "doc_id", "left_anti"
-    )
-    idx_hsets = _committed(spark, index_dir, "hsets", hw).join(
-        ids, "doc_id", "left_anti"
-    )
+    idx_bands = _committed(spark, index_dir, "bands", hw)
+    idx_hsets = _committed(spark, index_dir, "hsets", hw)
+    if as_of_id is not None:
+        idx_bands = idx_bands.filter(F.col("doc_id") < as_of_id)
+        idx_hsets = idx_hsets.filter(F.col("doc_id") < as_of_id)
+    idx_bands = idx_bands.join(ids, "doc_id", "left_anti")
+    idx_hsets = idx_hsets.join(ids, "doc_id", "left_anti")
     return shard_verdicts(
         idx_bands,
         inc_gated,
@@ -283,16 +315,18 @@ def _fold_frames(
     kept_ids: DataFrame,
     new_bands: DataFrame,
     new_hsets: DataFrame,
+    epoch=None,
 ) -> int:
     """The fold on PRE-SKETCHED keeper frames (``new_bands`` UNGATED) —
     shared by :func:`update_lsh_index` (which sketches then folds) and
-    :func:`admit_batch` (one sketch for probe and fold)."""
+    :func:`admit_batch` (one sketch for probe and fold; passes its
+    ``epoch`` so the commit records the admission transaction)."""
     mn_mx = kept_ids.agg(
         F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"), F.count("*").alias("n")
     ).first()
     if mn_mx["n"] == 0:
         return 0
-    high_water = _read_meta(spark, index_dir)
+    high_water = _read_meta(spark, index_dir)["max_doc_id"]
     if mn_mx["mn"] <= high_water:
         raise ValueError(
             f"update_lsh_index requires append-only doc_ids: batch min "
@@ -321,7 +355,7 @@ def _fold_frames(
     )
     admitted.write.mode("append").parquet(f"{index_dir}/bands.parquet")
     new_hsets.write.mode("append").parquet(f"{index_dir}/hsets.parquet")
-    _write_meta(spark, index_dir, int(mn_mx["mx"]))  # <- the commit point
+    _write_meta(spark, index_dir, int(mn_mx["mx"]), epoch)  # <- the commit point
     return int(mn_mx["n"])
 
 
@@ -330,6 +364,8 @@ def admit_batch(
     index_dir: str,
     batch: DataFrame,
     max_docs: int | None = None,
+    epoch=None,
+    _replay: bool | None = None,
 ) -> DataFrame:
     """Probe-and-fold an arriving ``batch`` (doc_id, text, ...) in one
     call, returning the per-doc verdict frame — result-identical to
@@ -367,13 +403,40 @@ def admit_batch(
       only flip drop -> keep, never keep -> drop.  A cross-sub-batch
       near-dup of a KEPT doc reports ``drop_index_dup`` where one-shot
       says ``drop_shard_dup`` (same admission, the survivor is already
-      folded)."""
+      folded).
+
+    ``epoch`` makes admission EXACTLY-ONCE under redelivery — the
+    Spark ``foreachBatch`` idempotent-sink protocol (a restarted
+    streaming query replays its last uncommitted micro-batch with the
+    SAME epoch id and content; that redelivery contract is the
+    precondition).  Every fold commit records the epoch atomically
+    with the high-water mark, so on entry:
+
+    * epoch given at all -> ``vacuum_lsh_index`` first, making a fold
+      that crashed MID-APPEND (orphan rows, no commit) retryable
+      without double-appending (a metadata-priced pass: the orphan
+      scan is parquet-stats-pruned to zero row groups when healthy);
+    * stored epoch == this epoch -> REPLAY: some sub-batches may have
+      committed before the crash.  Each sub-batch's probe reconstructs
+      the index view its ORIGINAL run saw — ``as_of_id = min(sub-batch
+      ids)`` is exact, because append-only ids mean everything folded
+      later sits strictly above it — so verdicts reproduce
+      bit-identically (pytest-locked); a sub-batch whose keepers are
+      all at or below the committed mark already folded and is
+      skipped, the rest fold normally.  The stale-id fail-fast is
+      waived (a replay's ids are legitimately at or below the mark).
+
+    Without ``epoch`` the stale-id guard treats any redelivery as the
+    error it then is (out-of-order arrival or re-id bug)."""
+    if _replay is None and epoch is not None:
+        _replay = _read_meta(spark, index_dir).get("epoch") == epoch
+        vacuum_lsh_index(spark, index_dir)
     stats = batch.agg(
         F.count("*").alias("n"), F.min("doc_id").alias("mn")
     ).first()
     n = stats["n"]
-    if n > 0:
-        hw = _read_meta(spark, index_dir)
+    if n > 0 and not _replay:
+        hw = _read_meta(spark, index_dir)["max_doc_id"]
         if stats["mn"] <= hw:
             raise ValueError(
                 f"admit_batch requires append-only doc_ids: batch min "
@@ -395,16 +458,24 @@ def admit_batch(
             batch.select("doc_id"),
             gate_buckets(bands_u),
             hsets_b,
+            as_of_id=stats["mn"] if _replay else None,
         ).localCheckpoint()
-        keep_ids = F.broadcast(
-            verdicts.filter(F.col("decision") == "keep").select("doc_id")
-        )
+        keeps = verdicts.filter(F.col("decision") == "keep")
+        if _replay:
+            mx_keep = keeps.agg(F.max("doc_id")).first()[0]
+            if (
+                mx_keep is not None
+                and mx_keep <= _read_meta(spark, index_dir)["max_doc_id"]
+            ):
+                return verdicts  # this (sub-)batch's fold already committed
+        keep_ids = F.broadcast(keeps.select("doc_id"))
         _fold_frames(
             spark,
             index_dir,
             keep_ids,
             bands_u.join(keep_ids, "doc_id"),
             hsets_b.join(keep_ids, "doc_id"),
+            epoch=epoch,
         )
         return verdicts
     tagged = batch.withColumn(
@@ -413,7 +484,9 @@ def admit_batch(
     parts = []
     for i in range(1, k + 1):
         sub = tagged.filter(F.col("_sub") == i).drop("_sub")
-        parts.append(admit_batch(spark, index_dir, sub))
+        parts.append(
+            admit_batch(spark, index_dir, sub, epoch=epoch, _replay=_replay)
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -461,7 +534,7 @@ def compact_lsh_index(
     import uuid
 
     _repair_compaction(spark, index_dir)
-    hw = _read_meta(spark, index_dir)
+    hw = _read_meta(spark, index_dir)["max_doc_id"]
     jvm = spark._jvm
     fs, _ = _meta_path(spark, index_dir)
     out = {}
@@ -559,7 +632,7 @@ def vacuum_lsh_index(spark: SparkSession, index_dir: str) -> int:
     the orphan itself — retry, or set
     ``spark.sql.files.ignoreMissingFiles`` during repair windows."""
     _repair_compaction(spark, index_dir)
-    hw = _read_meta(spark, index_dir)
+    hw = _read_meta(spark, index_dir)["max_doc_id"]
     jvm = spark._jvm
     fs, _ = _meta_path(spark, index_dir)
     removed = 0

@@ -185,6 +185,13 @@ def t11_stream_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     * b2: a near-dup of b1's admitted doc — droppable ONLY because the
       fold ran between batches (drop_index_dup), plus a novel keep.
 
+    The sink is exactly-once across restarts: each ``admit_batch`` call
+    carries the micro-batch's epoch id, so a replayed batch (Spark
+    redelivers the last uncommitted one after a restart) reproduces its
+    verdicts and skips already-committed folds instead of tripping the
+    append-only guard (the epoch protocol is pytest-locked at the
+    ``admit_batch`` level in tests/test_scale.py).
+
     Returns the per-doc verdict log (collected per batch on the driver —
     foreachBatch runs there; the verdict relation is batch-sized by the
     probe's own broadcast bound, so localizing it is the d01 temp-sink
@@ -216,8 +223,13 @@ def t11_stream_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         if batch_df.isEmpty():
             return
         # the ONE probe-and-fold implementation (lsh_index.admit_batch) —
-        # the streaming loop must not re-state it (parity discipline)
-        verdicts = admit_batch(spark, idx, batch_df.localCheckpoint())
+        # the streaming loop must not re-state it (parity discipline).
+        # epoch_id makes the sink exactly-once: a restart's replayed
+        # micro-batch reproduces its verdicts and skips committed folds
+        # instead of tripping the stale-id guard (admit_batch docstring)
+        verdicts = admit_batch(
+            spark, idx, batch_df.localCheckpoint(), epoch=epoch_id
+        )
         log.extend(
             (int(epoch_id), int(r["doc_id"]), r["decision"])
             for r in verdicts.select("doc_id", "decision").collect()

@@ -1148,3 +1148,131 @@ def test_update_lsh_index_crash_recovery(spark, tmp_path, monkeypatch):
     assert L.update_lsh_index(spark, d, batch) == 1
     L.build_lsh_index(spark, base.unionByName(batch), full)
     assert _index_rows(spark, d) == _index_rows(spark, full)
+
+
+_EPOCH_SEED = [
+    (1, "seed doc about broadcast joins and shuffle pruning"),
+    (2, "seed doc about watermark state eviction rules"),
+]
+#: 3 sub-batches at max_docs=2, exercising every verdict path ACROSS
+#: sub-batch boundaries: 11 dups the seed, 12 dups 10 (same sub-batch
+#: one-shot / folded keeper when split), 14 dups 13 across sub-batches
+_EPOCH_BATCH = [
+    (10, "novel arrival text about parquet footer statistics"),
+    (11, "seed doc about broadcast joins and shuffle tuning"),
+    (12, "novel arrival text about parquet footer statistic"),
+    (13, "fresh topic on morton codes and zorder clustering"),
+    (14, "fresh topic on morton codes and zorder clusters"),
+    (15, "totally different content about session windows"),
+]
+
+
+def _kp(df):
+    return sorted(
+        (r.doc_id, r.n_index_cand, r.n_shard_cand, r.best_jaccard, r.decision)
+        for r in df.collect()
+    )
+
+
+def test_admit_batch_epoch_replay_idempotent(spark, tmp_path):
+    """The foreachBatch exactly-once protocol, full-replay case: after a
+    COMPLETE admission, re-admitting the same batch with the same epoch
+    (Spark redelivers the last uncommitted micro-batch on restart)
+    reproduces the verdicts bit-identically and folds nothing — while a
+    redelivery with a NEW epoch, or of an OLD epoch after a newer
+    commit, still trips the stale-id guard (a genuine re-arrival bug
+    must stay loud)."""
+    import etl_bom_radiation_spark.lsh_index as L
+
+    d = str(tmp_path / "idx")
+    L.build_lsh_index(spark, _docs_frame(spark, _EPOCH_SEED), d)
+    batch = _docs_frame(spark, _EPOCH_BATCH)
+
+    v1 = _kp(L.admit_batch(spark, d, batch, max_docs=2, epoch=0))
+    assert {x[4] for x in v1} == {"keep", "drop_index_dup"}
+    rows1 = _index_rows(spark, d)
+
+    v2 = _kp(L.admit_batch(spark, d, batch, max_docs=2, epoch=0))  # replay
+    assert v2 == v1
+    assert _index_rows(spark, d) == rows1
+
+    # the stream moves on: a new epoch admits normally...
+    nxt = _docs_frame(
+        spark, [(20, "post restart arrival about adaptive query execution")]
+    )
+    assert _kp(L.admit_batch(spark, d, nxt, epoch=1))[0][4] == "keep"
+    # ...and the old epoch is no longer a replay — guard stays loud
+    with pytest.raises(ValueError, match="append-only doc_ids"):
+        L.admit_batch(spark, d, batch, max_docs=2, epoch=0)
+
+
+def test_admit_batch_epoch_replay_mid_subbatch_crash(spark, tmp_path, monkeypatch):
+    """Crash AFTER the first sub-batch's fold committed: the replay must
+    reproduce every sub-batch's verdicts bit-identically (committed
+    sub-batches probed against the reconstructed as-of index view, not
+    the post-fold one), skip the committed fold, fold the rest — final
+    verdicts and tables equal to an uncrashed control run."""
+    import etl_bom_radiation_spark.lsh_index as L
+
+    batch = _docs_frame(spark, _EPOCH_BATCH)
+    ctrl, d = str(tmp_path / "ctrl"), str(tmp_path / "idx")
+    for p in (ctrl, d):
+        L.build_lsh_index(spark, _docs_frame(spark, _EPOCH_SEED), p)
+    want = _kp(L.admit_batch(spark, ctrl, batch, max_docs=2, epoch=0))
+
+    real_fold, calls = L._fold_frames, []
+
+    def fold_then_crash(*a, **k):
+        calls.append(1)
+        if len(calls) == 2:
+            raise RuntimeError("simulated crash before second sub-batch fold")
+        return real_fold(*a, **k)
+
+    monkeypatch.setattr(L, "_fold_frames", fold_then_crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        L.admit_batch(spark, d, batch, max_docs=2, epoch=0)
+    monkeypatch.setattr(L, "_fold_frames", real_fold)
+
+    folds = []
+
+    def counting_fold(*a, **k):
+        folds.append(1)
+        return real_fold(*a, **k)
+
+    monkeypatch.setattr(L, "_fold_frames", counting_fold)
+    got = _kp(L.admit_batch(spark, d, batch, max_docs=2, epoch=0))
+    assert got == want
+    assert len(folds) == 2  # sub-batch 1's committed fold was SKIPPED
+    assert _index_rows(spark, d) == _index_rows(spark, ctrl)
+
+
+def test_admit_batch_epoch_replay_mid_append_crash(spark, tmp_path, monkeypatch):
+    """Crash INSIDE the fold (data files appended, mark never published):
+    the stored epoch never became this epoch, so the redelivery takes
+    the NORMAL path — but because an epoch was given, admit_batch
+    self-vacuums first, so the retry cannot double-append the orphans.
+    Result equals an uncrashed control run."""
+    import etl_bom_radiation_spark.lsh_index as L
+
+    batch = _docs_frame(spark, _EPOCH_BATCH)
+    ctrl, d = str(tmp_path / "ctrl"), str(tmp_path / "idx")
+    for p in (ctrl, d):
+        L.build_lsh_index(spark, _docs_frame(spark, _EPOCH_SEED), p)
+    want = _kp(L.admit_batch(spark, ctrl, batch, epoch=0))
+
+    real_write = L._write_meta
+    monkeypatch.setattr(
+        L,
+        "_write_meta",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("simulated crash")),
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        L.admit_batch(spark, d, batch, epoch=0)
+    monkeypatch.setattr(L, "_write_meta", real_write)
+
+    # orphan rows are on disk, uncommitted
+    assert spark.read.parquet(f"{d}/bands.parquet").filter("doc_id > 2").count() > 0
+
+    got = _kp(L.admit_batch(spark, d, batch, epoch=0))
+    assert got == want
+    assert _index_rows(spark, d) == _index_rows(spark, ctrl)
