@@ -494,3 +494,116 @@ def test_stream_lsh_admission_two_batch_drain(spark, sf_dir):
         (1, 200): "drop_index_dup",  # near-dup of 100 — NEEDS the b1 fold
         (1, 201): "keep",            # novel
     }
+
+
+def test_stream_lsh_admission_exactly_once_across_restart(spark, tmp_path):
+    """The epoch protocol under a REAL streaming restart — validates the
+    redelivery contract the admit_batch-level replay tests (tests/
+    test_scale.py) only assume: a foreachBatch sink that crashes
+    mid-batch AFTER one sub-batch fold committed fails the query; the
+    restarted query redelivers the micro-batch with the SAME epoch id
+    and content (asserted), and the epoch-aware admit_batch turns that
+    redelivery into an exactly-once admission — final index tables and
+    verdicts bit-identical to an uncrashed control run."""
+    import pytest
+
+    import etl_bom_radiation_spark.lsh_index as L
+
+    seed = [
+        (1, "seed doc about broadcast joins and shuffle pruning"),
+        (2, "seed doc about watermark state eviction rules"),
+    ]
+    batch = [
+        {"doc_id": 10, "text": "novel arrival text about parquet footer statistics"},
+        {"doc_id": 11, "text": "seed doc about broadcast joins and shuffle tuning"},
+        {"doc_id": 12, "text": "novel arrival text about parquet footer statistic"},
+        {"doc_id": 13, "text": "fresh topic on morton codes and zorder clustering"},
+        {"doc_id": 14, "text": "fresh topic on morton codes and zorder clusters"},
+        {"doc_id": 15, "text": "totally different content about session windows"},
+    ]
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    idx, ctrl = str(tmp_path / "idx"), str(tmp_path / "ctrl")
+    seed_df = spark.createDataFrame(seed, "doc_id bigint, text string")
+    for p in (idx, ctrl):
+        L.build_lsh_index(spark, seed_df, p)
+
+    batch_df = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in batch], "doc_id bigint, text string"
+    )
+    want = sorted(
+        (r.doc_id, r.decision)
+        for r in L.admit_batch(spark, ctrl, batch_df, max_docs=2, epoch=0)
+        .select("doc_id", "decision")
+        .collect()
+    )
+
+    def _rows(d):
+        bands = sorted(
+            (r.doc_id, r.band, r.bk)
+            for r in spark.read.parquet(f"{d}/bands.parquet").collect()
+        )
+        hsets = sorted(
+            (r.doc_id, tuple(sorted(r.hs)))
+            for r in spark.read.parquet(f"{d}/hsets.parquet").collect()
+        )
+        return bands, hsets
+
+    epochs, log = [], []
+    real_fold = L._fold_frames
+    armed = {"crash": True}
+
+    def admit(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        epochs.append(int(epoch_id))
+        if armed["crash"]:
+            calls = []
+
+            def fold_then_crash(*a, **k):
+                calls.append(1)
+                if len(calls) == 2:  # sub-batch 1 committed, 2 crashes
+                    armed["crash"] = False
+                    raise RuntimeError("simulated sink crash")
+                return real_fold(*a, **k)
+
+            L._fold_frames = fold_then_crash
+        try:
+            verdicts = L.admit_batch(
+                spark, idx, batch_df.localCheckpoint(), max_docs=2, epoch=epoch_id
+            )
+            log.extend(
+                (int(r.doc_id), r.decision)
+                for r in verdicts.select("doc_id", "decision").collect()
+            )
+        finally:
+            L._fold_frames = real_fold
+
+    def start():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .json(src)
+            .writeStream.foreachBatch(admit)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write_batch(src, "b1.json", batch)
+    q = start()
+    with pytest.raises(Exception, match="simulated sink crash"):
+        q.processAllAvailable()  # sink crash fails the query mid-batch
+    q.stop()
+
+    # the partial commit is on disk: sub-batch 1's fold raised the mark
+    # to 10 under epoch 0, sub-batch 2's keeper never committed
+    meta = L._read_meta(spark, idx)
+    assert (meta["max_doc_id"], meta["epoch"]) == (10, 0)
+
+    q2 = start()  # restart from the same checkpoint
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    assert epochs == [0, 0]  # redelivered with the SAME epoch id
+    assert sorted(log) == want  # verdicts reproduce (crashed run logged none)
+    assert _rows(idx) == _rows(ctrl)  # exactly-once: no skip, no double-fold
