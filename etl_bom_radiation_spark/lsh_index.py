@@ -113,6 +113,14 @@ from .queries.minhash_eval import sketch_signatures
 
 _META = "meta.json"
 
+#: Index dirs this DRIVER PROCESS has vacuumed and not since seen a fold
+#: fail on.  Orphan rows can only be created by a fold that died
+#: mid-append, so :func:`admit_batch`'s epoch-mode repair pass runs once
+#: per process per index instead of per micro-batch; a failed fold
+#: evicts its dir (``_fold_frames``) and a process crash loses the cache
+#: entirely — either way the next epoch-bearing call re-vacuums.
+_KNOWN_CLEAN: set[str] = set()
+
 
 def _sketch_frames(spark: SparkSession, docs: DataFrame, gate: bool = True):
     """(band frame — cap-gated unless ``gate=False`` —, hashed-set frame)
@@ -353,9 +361,15 @@ def _fold_frames(
         .filter(F.col("rn") + F.coalesce("occ", F.lit(0)) <= BUCKET_CAP)
         .select("doc_id", "band", "bk")
     )
-    admitted.write.mode("append").parquet(f"{index_dir}/bands.parquet")
-    new_hsets.write.mode("append").parquet(f"{index_dir}/hsets.parquet")
-    _write_meta(spark, index_dir, int(mn_mx["mx"]), epoch)  # <- the commit point
+    try:
+        admitted.write.mode("append").parquet(f"{index_dir}/bands.parquet")
+        new_hsets.write.mode("append").parquet(f"{index_dir}/hsets.parquet")
+        _write_meta(spark, index_dir, int(mn_mx["mx"]), epoch)  # <- the commit
+    except BaseException:
+        # the fold may have appended rows it never committed — the next
+        # epoch-bearing admit_batch must re-vacuum, not trust the cache
+        _KNOWN_CLEAN.discard(index_dir)
+        raise
     return int(mn_mx["n"])
 
 
@@ -414,8 +428,17 @@ def admit_batch(
 
     * epoch given at all -> ``vacuum_lsh_index`` first, making a fold
       that crashed MID-APPEND (orphan rows, no commit) retryable
-      without double-appending (a metadata-priced pass: the orphan
-      scan is parquet-stats-pruned to zero row groups when healthy);
+      without double-appending.  Paid ONCE per driver process per
+      index, not per micro-batch: orphans only appear when a fold
+      dies, so after one repair the dir is cached clean
+      (``_KNOWN_CLEAN``) until a fold fails in-process (evicts the
+      entry) or the process itself dies (loses the cache — the
+      restarted driver's first batch re-vacuums).  Without the cache
+      every arrival would pay the repair's file listing + stats-pruned
+      footer scan over the WHOLE index — a real per-arrival IO floor
+      at the module's 100 TB posture.  Single-writer assumption as
+      everywhere in this module: another process folding into the same
+      dir concurrently is out of contract;
     * stored epoch == this epoch -> REPLAY: some sub-batches may have
       committed before the crash.  Each sub-batch's probe reconstructs
       the index view its ORIGINAL run saw — ``as_of_id = min(sub-batch
@@ -430,7 +453,9 @@ def admit_batch(
     error it then is (out-of-order arrival or re-id bug)."""
     if _replay is None and epoch is not None:
         _replay = _read_meta(spark, index_dir).get("epoch") == epoch
-        vacuum_lsh_index(spark, index_dir)
+        if index_dir not in _KNOWN_CLEAN:
+            vacuum_lsh_index(spark, index_dir)
+            _KNOWN_CLEAN.add(index_dir)
     stats = batch.agg(
         F.count("*").alias("n"), F.min("doc_id").alias("mn")
     ).first()
@@ -550,15 +575,21 @@ def compact_lsh_index(
         if n_before <= files_per_table:
             continue
         tmp = f"{index_dir}/.{name}.compact-{uuid.uuid4().hex[:8]}"
-        (
-            spark.read.parquet(live)
-            .filter(F.col("doc_id") <= hw)
-            .repartitionByRange(files_per_table, "doc_id")
-            .sortWithinPartitions("doc_id")
-            .write.parquet(tmp)
-        )
-        fs.delete(live_p, True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live_p)
+        try:
+            (
+                spark.read.parquet(live)
+                .filter(F.col("doc_id") <= hw)
+                .repartitionByRange(files_per_table, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.parquet(tmp)
+            )
+            fs.delete(live_p, True)
+            fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live_p)
+        except BaseException:
+            # a crashed swap needs _repair_compaction before the next
+            # probe — don't let admit_batch's clean-cache skip it
+            _KNOWN_CLEAN.discard(index_dir)
+            raise
     return out
 
 

@@ -1276,3 +1276,44 @@ def test_admit_batch_epoch_replay_mid_append_crash(spark, tmp_path, monkeypatch)
     got = _kp(L.admit_batch(spark, d, batch, epoch=0))
     assert got == want
     assert _index_rows(spark, d) == _index_rows(spark, ctrl)
+
+
+def test_admit_batch_vacuum_once_per_process(spark, tmp_path, monkeypatch):
+    """Epoch-mode's repair pass (vacuum: file listing + stats-pruned
+    footer scan over the WHOLE index) is paid once per driver process
+    per index, not per micro-batch — a healthy continuous stream must
+    not rescan a 100 TB index on every arrival — while a failed fold
+    evicts the clean-cache so the next epoch-bearing call repairs."""
+    import etl_bom_radiation_spark.lsh_index as L
+
+    d = str(tmp_path / "idx")
+    L.build_lsh_index(spark, _docs_frame(spark, _EPOCH_SEED), d)
+    real_vac, vacs = L.vacuum_lsh_index, []
+    monkeypatch.setattr(
+        L, "vacuum_lsh_index", lambda *a: (vacs.append(1), real_vac(*a))[1]
+    )
+
+    one = lambda i, t: _docs_frame(spark, [(i, t)])
+    L.admit_batch(spark, d, one(10, "doc about shuffle partition sizing"), epoch=0)
+    L.admit_batch(spark, d, one(11, "doc about morton curve file layouts"), epoch=1)
+    assert len(vacs) == 1  # steady state: one repair scan, then cached
+
+    monkeypatch.setattr(
+        L,
+        "_write_meta",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        L.admit_batch(spark, d, one(12, "doc about bloom filter bit arrays"), epoch=2)
+    monkeypatch.undo()
+    monkeypatch.setattr(
+        L, "vacuum_lsh_index", lambda *a: (vacs.append(1), real_vac(*a))[1]
+    )
+
+    # orphans from the crashed fold are on disk; the eviction makes the
+    # next call vacuum them away before folding
+    L.admit_batch(spark, d, one(13, "doc about watermark horizon plateaus"), epoch=3)
+    assert len(vacs) == 2
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{d}/hsets.parquet").collect()
+    ) == [1, 2, 10, 11, 13]
