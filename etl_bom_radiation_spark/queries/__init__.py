@@ -288,23 +288,100 @@ def _artifact_epoch(epochs: dict[str, list[float]], rnd: int) -> float | None:
     return None
 
 
+#: dotted module -> repo-relative paths of the module AND its intra-package
+#: import closure (``_module_dep_paths`` fills it lazily; tests may seed it)
+_DEP_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _module_dep_paths(module: str) -> tuple[str, ...]:
+    """Repo-relative source paths whose commits invalidate ``module``'s
+    query evidence: the module itself plus the transitive closure of its
+    in-package imports (VERDICT r9 #2 / ADVICE r9: d04/t11/n50 are thin
+    wrappers over ``lsh_index``, n49/n42 over ``banded_lsh`` helpers —
+    a helper-only commit used to promote nothing).
+
+    The scan is static (``ast`` over the module source, so function-level
+    imports count too — the lifecycle entries import their helpers inside
+    the query body) and deliberately EXCLUDES package ``__init__`` files:
+    every registration module does ``from . import register``, so counting
+    the registry file would make each registry-infrastructure commit mark
+    the entire surface urgent and collapse the stalest-first rotation into
+    module order.  The registration module's OWN path is always watched
+    (its git history may outlive the file); unreadable modules just
+    contribute no closure."""
+    if module in _DEP_CACHE:
+        return _DEP_CACHE[module]
+    import ast
+    import os
+
+    root_pkg = __name__.split(".")[0]
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    def to_path(dotted: str) -> str | None:
+        rel = dotted.replace(".", "/") + ".py"
+        if os.path.exists(os.path.join(repo, rel)):
+            return rel
+        return None  # package __init__ or missing: excluded by design
+
+    # the module's own path is watched even if the file no longer exists
+    # (the pre-closure behavior: git history is the source of truth)
+    out: list[str] = [module.replace(".", "/") + ".py"]
+    seen: set[str] = {module}
+
+    def scan(dotted: str, rel: str) -> None:
+        try:
+            with open(os.path.join(repo, rel)) as f:
+                tree = ast.parse(f.read())
+        except (OSError, SyntaxError):
+            return
+        pkg_parts = dotted.split(".")[:-1]
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
+                if node.level > 0:
+                    base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+                    if node.module:
+                        visit(".".join(base + node.module.split(".")))
+                    # bare ``from . import x`` targets the package
+                    # __init__ (excluded) or sub-modules we can't tell
+                    # from attributes statically — skip (the named-module
+                    # form covers every helper import in this repo)
+                elif node.module and node.module.split(".")[0] == root_pkg:
+                    visit(node.module)
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    if alias.name.split(".")[0] == root_pkg:
+                        visit(alias.name)
+
+    def visit(dotted: str) -> None:
+        if dotted in seen:
+            return
+        seen.add(dotted)
+        rel = to_path(dotted)
+        if rel is None:
+            return
+        out.append(rel)
+        scan(dotted, rel)
+
+    scan(module, out[0])
+    _DEP_CACHE[module] = tuple(out)
+    return _DEP_CACHE[module]
+
+
 def _urgency(q: Query, evid_round: int, latest_round: int) -> float | None:
     """Non-None when ``q``'s evidence is INVALID: its registration module
-    was committed in the interval (evidence artifact, latest artifact] —
-    i.e. the code changed under the driver evidence in a PRIOR round
-    (VERDICT r8 #1: such entries must not lose the within-round ordering
-    tie to merely-stale unmodified peers).  The value is the module's most
-    recent in-interval commit epoch, used as a tiebreak (see load_all).
+    OR any in-package helper it (transitively) imports was committed in
+    the interval (evidence artifact, latest artifact] — i.e. the code
+    under the driver evidence changed in a PRIOR round (VERDICT r8 #1;
+    helper closure VERDICT r9 #2: a commit touching only ``lsh_index.py``
+    must promote d04/t11/n50, which register from ``lsh_lifecycle`` but
+    are thin wrappers over it).  The value is the most recent in-interval
+    commit epoch across the dependency set, used as a tiebreak
+    (see load_all).
 
     Commits AFTER the latest artifact (this round's own work) do not
     promote: their entries are caught by the next round's window, which is
     within the one-round re-verification rule — and counting them would let
     in-round edits churn the ordering mid-round.
-
-    Granularity is the registration module: every modified-after-evidence
-    case the judge has flagged (n42/banded_lsh, n40/tempering, n47+n48/
-    pagerank, x10+x10b/heavy_hitters, d02/scale_lifecycle) changed the
-    module the query registers from, not only a shared helper.
     """
     if evid_round <= 0 or evid_round >= latest_round:
         return None
@@ -313,8 +390,12 @@ def _urgency(q: Query, evid_round: int, latest_round: int) -> float | None:
     latest_t = _artifact_epoch(epochs, latest_round)
     if evid_t is None or latest_t is None:
         return None
-    mod_path = q.module.replace(".", "/") + ".py"
-    in_interval = [e for e in epochs.get(mod_path, []) if evid_t < e <= latest_t]
+    in_interval = [
+        e
+        for path in _module_dep_paths(q.module)
+        for e in epochs.get(path, [])
+        if evid_t < e <= latest_t
+    ]
     return max(in_interval) if in_interval else None
 
 

@@ -95,3 +95,56 @@ def test_live_ordering_invariants():
         stalest = min(last[n] for n in verified)
         first_verified = verified[0]
         assert last[first_verified] <= stalest + 0  # block starts at min round
+
+
+def test_urgency_promotes_on_helper_only_commit(monkeypatch):
+    """VERDICT r9 #2 / ADVICE r9: d04/t11/n50 are thin wrappers over
+    ``lsh_index``; a commit touching ONLY the helper module (in the
+    interval) must promote the dependent entry even though its
+    registration module never changed."""
+    epochs = dict(EPOCHS)
+    epochs["etl_bom_radiation_spark/helper.py"] = [650.0]
+    _with_epochs(monkeypatch, epochs)
+    monkeypatch.setattr(
+        Q,
+        "_DEP_CACHE",
+        {
+            "etl_bom_radiation_spark.queries.only_before": (
+                "etl_bom_radiation_spark/queries/only_before.py",
+                "etl_bom_radiation_spark/helper.py",
+            )
+        },
+    )
+    q = _fake_query("etl_bom_radiation_spark.queries.only_before")
+    assert _urgency(q, evid_round=6, latest_round=8) == 650.0
+    # and the tiebreak takes the NEWEST in-interval commit across the set
+    epochs["etl_bom_radiation_spark/queries/only_before.py"] = [400.0, 700.0]
+    _with_epochs(monkeypatch, epochs)
+    assert _urgency(q, evid_round=6, latest_round=8) == 700.0
+
+
+def test_dep_scan_sees_function_level_helper_imports(monkeypatch):
+    """The static dep scan must catch the repo's real wrapper pattern:
+    lsh_lifecycle imports ``..lsh_index`` INSIDE the query bodies, and
+    lsh_index in turn imports the banded_lsh helpers (transitive) —
+    while the registry's own __init__ (imported by every module as
+    ``from . import register``) stays excluded, or any registry-infra
+    commit would mark the whole surface urgent."""
+    monkeypatch.setattr(Q, "_DEP_CACHE", {})
+    paths = Q._module_dep_paths("etl_bom_radiation_spark.queries.lsh_lifecycle")
+    assert "etl_bom_radiation_spark/queries/lsh_lifecycle.py" in paths
+    assert "etl_bom_radiation_spark/lsh_index.py" in paths          # direct
+    assert "etl_bom_radiation_spark/queries/banded_lsh.py" in paths  # transitive
+    assert not any(p.endswith("__init__.py") for p in paths)
+
+    # n49's module depends on the shared banding helpers
+    monkeypatch.setattr(Q, "_DEP_CACHE", {})
+    paths = Q._module_dep_paths("etl_bom_radiation_spark.queries.incremental_lsh")
+    assert "etl_bom_radiation_spark/queries/banded_lsh.py" in paths
+
+    # a module that no longer exists on disk is still watched by its own
+    # git path (the pre-closure behavior) — it just contributes no closure
+    monkeypatch.setattr(Q, "_DEP_CACHE", {})
+    assert Q._module_dep_paths("etl_bom_radiation_spark.queries.in_between") == (
+        "etl_bom_radiation_spark/queries/in_between.py",
+    )

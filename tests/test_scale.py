@@ -1317,3 +1317,112 @@ def test_admit_batch_vacuum_once_per_process(spark, tmp_path, monkeypatch):
     assert sorted(
         r.doc_id for r in spark.read.parquet(f"{d}/hsets.parquet").collect()
     ) == [1, 2, 10, 11, 13]
+
+
+def test_split_batch_distributed_contiguous(spark):
+    """admit_batch's over-broadcast splitter (VERDICT r9 #1): the
+    sub-batch tagging must be a DISTRIBUTED range split — no
+    single-partition Exchange, no Window at all (the very lint class
+    tests/test_plans.py holds declared queries to; the rejected
+    ``ntile(k) OVER (ORDER BY doc_id)`` funneled the whole
+    over-broadcast batch through ONE task's sort) — and the tags must be
+    contiguous ordered id ranges (sub i's max id below sub i+1's min),
+    the property the in-order folds' append-only guard rides on."""
+    from etl_bom_radiation_spark.lsh_index import _split_batch
+
+    batch = _docs_frame(spark, [(i, f"doc number {i}") for i in range(1, 101)])
+    k = 4
+    tagged = _split_batch(batch, k)
+    plan = tagged._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+    rows = tagged.collect()
+    assert sorted(r.doc_id for r in rows) == list(range(1, 101))  # a partition
+    subs = sorted({r._sub for r in rows})
+    assert subs and all(0 <= s < k for s in subs)
+    assert len(subs) > 1  # the split actually split
+    spans = {
+        s: (min(r.doc_id for r in rows if r._sub == s),
+            max(r.doc_id for r in rows if r._sub == s))
+        for s in subs
+    }
+    for lo, hi in zip(subs, subs[1:]):
+        assert spans[lo][1] < spans[hi][0]  # ordered, contiguous ranges
+
+
+def test_meta_swap_crash_repair(spark, tmp_path):
+    """_write_meta's delete+rename swap window (ADVICE r9): a crash
+    between the delete and the rename leaves no live meta but a COMPLETE
+    ``meta.json.tmp`` — and every entry point starts at ``_read_meta``,
+    so without a repair the index (including its own repair tooling) was
+    unreachable.  ``_read_meta`` now renames the tmp in, completing the
+    commit.  A stale tmp NEXT TO a live meta (crash before the delete)
+    is ignored: the live meta stays authoritative."""
+    import json
+
+    import etl_bom_radiation_spark.lsh_index as L
+
+    d = str(tmp_path / "idx")
+    L.build_lsh_index(spark, _docs_frame(spark, _EPOCH_SEED), d)
+    assert (
+        L.update_lsh_index(
+            spark, d, _docs_frame(spark, [(10, "novel doc about morton codes")])
+        )
+        == 1
+    )
+    meta = Path(d) / "meta.json"
+    committed = meta.read_text()
+    assert json.loads(committed)["max_doc_id"] == 10
+
+    # crash BEFORE the delete: a superseded tmp alongside the live meta
+    tmp = Path(d) / "meta.json.tmp"
+    tmp.write_text(json.dumps({"max_doc_id": 999, "epoch": None}))
+    assert L._read_meta(spark, d)["max_doc_id"] == 10  # live meta wins
+
+    # crash BETWEEN delete and rename: live gone, complete tmp present
+    tmp.write_text(committed)
+    meta.unlink()
+    assert L._read_meta(spark, d)["max_doc_id"] == 10  # restored from tmp
+    assert meta.exists() and not tmp.exists()
+    # the commit really completed: the lifecycle continues from the mark
+    assert (
+        L.update_lsh_index(
+            spark, d, _docs_frame(spark, [(11, "another novel doc on z order")])
+        )
+        == 1
+    )
+    assert L._read_meta(spark, d)["max_doc_id"] == 11
+
+
+def test_vacuum_orphans_in_encodable_path(spark, tmp_path, monkeypatch):
+    """vacuum's file deletes must survive URI-encodable characters in
+    the index path (ADVICE r9): ``input_file_name()`` yields a
+    percent-ENCODED URI, which fed raw to ``Path(String)`` names a file
+    that does not exist — ``fs.delete`` returns false, the orphan stays,
+    yet ``removed`` counted its rows, so the caller would retry the
+    crashed batch and double-append.  The fix decodes via java.net.URI
+    and raises on a false delete."""
+    import etl_bom_radiation_spark.lsh_index as L
+
+    d = str(tmp_path / "work space" / "idx")  # encodes to work%20space
+    L.build_lsh_index(spark, _docs_frame(spark, _EPOCH_SEED), d)
+    monkeypatch.setattr(
+        L,
+        "_write_meta",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        L.update_lsh_index(
+            spark, d, _docs_frame(spark, [(10, "novel doc about space curves")])
+        )
+    monkeypatch.undo()
+
+    assert spark.read.parquet(f"{d}/bands.parquet").filter("doc_id > 2").count() > 0
+    assert L.vacuum_lsh_index(spark, d) > 0
+    # the orphan FILES are really gone (the encoded-path bug left them on
+    # disk while reporting their rows as removed)
+    assert spark.read.parquet(f"{d}/bands.parquet").filter("doc_id > 2").count() == 0
+    assert spark.read.parquet(f"{d}/hsets.parquet").filter("doc_id > 2").count() == 0
+    assert L.vacuum_lsh_index(spark, d) == 0
