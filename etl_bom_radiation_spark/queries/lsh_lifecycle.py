@@ -64,7 +64,6 @@ def d04_lsh_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by nature (persisted parquet index in a temp workspace),
     d02/d03-style: 16 deterministic (step, value) rows — every count a
     pure function of the fixture (the id cuts derive from max(doc_id))."""
-    import os
     import shutil
     import tempfile
 
@@ -125,10 +124,15 @@ def d04_lsh_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.read.parquet(f"{inc_dir}/{name}.parquet").count()
 
         def _files(name: str) -> int:
+            # Hadoop FS, not os.listdir: the module's posture is any
+            # Hadoop-compatible store, not just a local disk (VERDICT r9 #7)
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(f"{inc_dir}/{name}.parquet")
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
             return sum(
                 1
-                for f in os.listdir(f"{inc_dir}/{name}.parquet")
-                if f.startswith("part-")
+                for f in fs.listStatus(p)
+                if f.getPath().getName().startswith("part-")
             )
 
         rows_pre = (_rows("bands"), _rows("hsets"))

@@ -230,3 +230,65 @@ def test_fence_is_live_uncapped(spark, corpora, monkeypatch):
             "would NOT catch an uncapped bucket join; its threshold or "
             "regime needs re-derivation"
         )
+
+
+@pytest.mark.slow
+def test_probe_cost_index_scan_bounded(spark, corpora):
+    """Arrival-probe fence (VERDICT r9 #4): probing the SAME fixed batch
+    against a 10x index must stay within the stable band of the 1x probe
+    at this corpus scale — the probe's index-proportional term is a
+    map-side scan of the two index tables (sub-MB here, invisible under
+    the fixed sketch/join costs; ``--probe`` measured 1.01 at M=10,
+    r10), so a ratio approaching M means the probe started shuffling or
+    re-sketching the INDEX — the regression class the broadcast-probe
+    plan shape exists to prevent.  (At real scale the hset scan does
+    grow with index bytes; that term is priced by the probe_cold/warm
+    bench pair, and the measured flatness here is why the candidate-id
+    pushdown lever stays unimplemented — see lsh_index.py.)"""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_bom_radiation_spark.lsh_index import build_lsh_index, probe_lsh_index
+
+    d1, dm = corpora["real"]
+    base = tempfile.mkdtemp(prefix="probefence_")
+    try:
+        batch = (
+            spark.read.parquet(f"{d1}/documents.parquet")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") % 10 == 3)
+            .limit(500)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+            .localCheckpoint()
+        )
+        batch.count()  # materialize outside the timers
+
+        def timed_probe(corpus_dir: str, tag: str) -> float:
+            idx = os.path.join(base, f"idx_{tag}")
+            docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").select(
+                "doc_id", "text"
+            )
+            build_lsh_index(spark, docs, idx)
+            best = float("inf")
+            for i in range(3):  # first run is the warmup
+                t0 = time.time()
+                probe_lsh_index(spark, idx, batch).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.time() - t0
+                if i > 0:
+                    best = min(best, dt)
+            return best
+
+        t1 = timed_probe(d1, "1x")
+        tm = timed_probe(dm, f"{M}x")
+        ratio = tm / t1 if t1 > 0 else float("inf")
+        assert ratio < 2.5, (
+            f"probe_lsh_index: probe against 1x index={t1:.3f}s, against "
+            f"{M}x index={tm:.3f}s, ratio={ratio:.2f} >= 2.5 — the probe is "
+            "no longer index-scan bounded (index being shuffled or "
+            "re-sketched?); see tools/scaling_probe.py --probe"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -22,7 +22,9 @@ just those two at 100x).  Flags: ``--relational`` probes REL_OPS over
 replicated TPC-H facts; ``--hot`` switches the corpus generator to the
 adversarial saturated-bucket regime (see gen_corpus); ``--streaming``
 probes state-store growth of the stateful streaming pipelines instead
-of batch runtimes (M multiplies the micro-batch count).
+of batch runtimes (M multiplies the micro-batch count); ``--fold`` /
+``--probe`` measure the persisted LSH index's maintenance pair (fold a
+fixed batch into, resp. probe a fixed batch against, a 1x vs Mx index).
 Prints one JSON line: {"m": M, "ops": {name: {"t1": s, "tm": s,
 "ratio": r}}}.  Corpora go under /tmp and are removed on exit.
 """
@@ -485,6 +487,68 @@ def fold_main(mult: int) -> int:
     return 0
 
 
+def probe_main(mult: int) -> int:
+    """Arrival-probe scaling (``--probe``, VERDICT r9 #4): how does
+    ``probe_lsh_index`` of a FIXED batch grow with INDEX size?  Build
+    the persisted index over a 1x and an Mx corpus, then time probing
+    the same fixed-size batch (BASE_DOCS//10 novel docs) against each.
+    Unlike the fold (whose only index term is the touched-bucket
+    occupancy scan, measured ~1 at M=10), the probe's floor is a full
+    map-side scan of BOTH index tables per arrival — the hset table
+    dominating — so the expected curve is ~linear in index BYTES once
+    the scan outweighs fixed costs; the measured M=10 ratio is the
+    number that decides when the documented candidate-id pushdown lever
+    (lsh_index.py module docstring) stops being speculative.  Probing
+    is read-only: no index copies needed between runs.  Prints
+    {"m": M, "probe": {"t1", "tm", "ratio"}}."""
+    from pyspark.sql import functions as F
+
+    from etl_bom_radiation_spark.lsh_index import build_lsh_index, probe_lsh_index
+    from etl_bom_radiation_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling_probe_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = tempfile.mkdtemp(prefix="probe_probe_")
+    out = {}
+    try:
+        c1, cm = f"{base}/c1", f"{base}/cm"
+        gen_corpus(spark, c1, 1)
+        gen_corpus(spark, cm, mult)
+        docs1 = spark.read.parquet(f"{c1}/documents.parquet").select("doc_id", "text")
+        docsm = spark.read.parquet(f"{cm}/documents.parquet").select("doc_id", "text")
+        build_lsh_index(spark, docs1, f"{base}/idx1")
+        build_lsh_index(spark, docsm, f"{base}/idxm")
+        batch = (
+            docs1.filter(F.col("doc_id") % 10 == 3)
+            .limit(BASE_DOCS // 10)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+            .localCheckpoint()
+        )
+        batch.count()  # materialize outside every timer
+
+        def timed_probe(idx: str) -> float:
+            best = float("inf")
+            for i in range(3):  # first run is the warmup
+                t0 = time.time()
+                probe_lsh_index(spark, idx, batch).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.time() - t0
+                if i > 0:
+                    best = min(best, dt)
+            return round(best, 3)
+
+        t1 = timed_probe(f"{base}/idx1")
+        tm = timed_probe(f"{base}/idxm")
+        out = {"t1": t1, "tm": tm, "ratio": round(tm / t1, 2) if t1 else None}
+        print(f"probe against 1x index={t1}s {mult}x index={tm}s "
+              f"ratio={out['ratio']}", file=sys.stderr)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"m": mult, "probe": out}))
+    return 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     # M is optional: a leading non-numeric positional is an op filter
@@ -496,6 +560,8 @@ def main() -> int:
         return stream_main(mult, filters)
     if "--fold" in sys.argv:
         return fold_main(mult)
+    if "--probe" in sys.argv:
+        return probe_main(mult)
     relational = "--relational" in sys.argv
     hot = "--hot" in sys.argv
     from etl_bom_radiation_spark.queries import load_all
