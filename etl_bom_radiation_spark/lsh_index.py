@@ -194,6 +194,11 @@ def _repair_meta(spark: SparkSession, index_dir: str) -> bool:
     if not fs.exists(tmp):
         return False
     if not fs.rename(tmp, p):
+        # readers are NOT single-writer-bound: two concurrent probes can
+        # both see the crashed swap and race the rename — the loser's
+        # failure is benign iff the winner restored the meta
+        if fs.exists(p):
+            return True
         raise RuntimeError(f"could not restore {p} from its completed tmp")
     return True
 
@@ -216,6 +221,17 @@ def _read_meta(spark: SparkSession, index_dir: str) -> dict:
     meta = json.loads(raw)
     meta["max_doc_id"] = int(meta["max_doc_id"])
     return meta
+
+
+def _part_file_count(fs, path) -> int:
+    """Number of ``part-*`` data files under a table dir (Hadoop FS) —
+    the one counting convention, shared by :func:`compact_lsh_index`'s
+    threshold check and d04's layout fences (queries/lsh_lifecycle)."""
+    return sum(
+        1
+        for f in fs.listStatus(path)
+        if f.getPath().getName().startswith("part-")
+    )
 
 
 def _committed(spark: SparkSession, index_dir: str, name: str, hw: int) -> DataFrame:
@@ -406,29 +422,42 @@ def _fold_frames(
     return int(mn_mx["n"])
 
 
-def _split_batch(batch: DataFrame, k: int) -> DataFrame:
+def _split_batch(batch: DataFrame, k: int, lo: int, hi: int) -> DataFrame:
     """Tag ``batch`` rows with a sub-batch id ``_sub`` in [0, k): contiguous
     doc_id ranges, ordered (every id in sub i sorts below every id in sub
     i+1) — the property :func:`admit_batch`'s in-order folds need so the
     append-only guard holds across sub-batches.
 
-    Distributed by construction (VERDICT r9 #1): ``repartitionByRange``
-    computes k-1 range cuts from a driver-side reservoir SAMPLE and then
-    range-shuffles — every task sorts only its own ~n/k slice — and the
-    partition id IS the range rank, so it doubles as the tag.  The
-    rejected alternative, ``ntile(k) OVER (ORDER BY doc_id)``, is an
-    unpartitioned window: one task sorts the whole batch, which on this
-    path (taken exactly when the batch exceeds the broadcast envelope)
-    means one executor sorting/spilling an over-broadcast-sized arrival.
-    The explicit numPartitions also keeps AQE from coalescing the range
-    exchange (an un-numbered repartition can fold back to one task).
-    Sampled cuts make sub-batch sizes approximate (~n/k, not exactly
-    ceil(n/k) as ntile guaranteed) — acceptable: the envelope is a soft
-    byte bound, not an exact row quota.  Plan shape (no SinglePartition
-    exchange, no unpartitioned Window) is pytest-locked."""
-    return batch.repartitionByRange(k, "doc_id").withColumn(
-        "_sub", F.spark_partition_id()
-    )
+    The cuts are EQUAL-WIDTH id intervals over [lo, hi] (the batch's own
+    min/max), i.e. a pure projection ``(doc_id - lo) div width`` — which
+    buys the two properties this path must have at once:
+
+    * distributed (VERDICT r9 #1): no shuffle, no sort, no Window at all
+      — every task tags its own rows.  The rejected first form,
+      ``ntile(k) OVER (ORDER BY doc_id)``, funneled the whole
+      over-broadcast batch through ONE task's sort; the rejected second
+      form, ``repartitionByRange(k, doc_id)``, distributed the sort but
+      computes its cuts from a reservoir SAMPLE seeded by the RDD id —
+      nondeterministic across process restarts, which breaks the
+      exactly-once replay below;
+    * deterministic (the epoch replay protocol REQUIRES it): a restarted
+      stream redelivers the same batch content, so (lo, hi, k) — and
+      therefore every sub-batch boundary — reproduce exactly.  With
+      sampled cuts a replay sub-batch could straddle the crashed run's
+      commit point, containing both committed keepers (at or below the
+      mark) and new ones: the committed-fold skip would not fire and the
+      fold would trip the append-only guard — a permanently wedged
+      stream on every restart.
+
+    The price of width-equal (rather than count-equal) cuts: id SKEW can
+    over-fill a range past ``max_docs``.  :func:`admit_batch` handles
+    that by forwarding ``max_docs`` into the recursion — an over-filled
+    sub-batch re-splits within its (strictly narrower) id interval, so
+    the envelope is enforced at every leaf, deterministically, and the
+    recursion terminates (a single-id interval cannot over-fill: ids are
+    unique).  Plan shape (no Exchange, no Window) is pytest-locked."""
+    width = max(1, (hi - lo) // k + 1)
+    return batch.withColumn("_sub", F.expr(f"(doc_id - {lo}) div {width}"))
 
 
 def admit_batch(
@@ -454,16 +483,18 @@ def admit_batch(
     docstring instruction: the probe broadcasts the BATCH and its
     candidate fan-out, so an arrival too big for the broadcast limit
     must be split.  When the batch exceeds ``max_docs`` it is cut into
-    ``ceil(n / max_docs)`` id-ordered sub-batches via a DISTRIBUTED
-    range split (:func:`_split_batch`: ``repartitionByRange`` on doc_id
-    + ``spark_partition_id`` as the tag — contiguous, ordered id ranges
-    with no single-partition stage; this path executes precisely when
-    the batch EXCEEDS the broadcast envelope, so it must never funnel
-    the whole batch through one task), each probed and folded IN ID
-    ORDER so the fold's append-only guard holds across sub-batches.
-    Range cuts come from Spark's reservoir sampling, so sub-batch sizes
-    are approximately ``n / k`` rather than exactly ``max_docs`` —
-    callers should leave modest headroom under the broadcast limit.
+    ``ceil(n / max_docs)`` id-ordered sub-batches via a DISTRIBUTED,
+    DETERMINISTIC range split (:func:`_split_batch`: equal-width id
+    intervals over the batch's own [min, max] — a pure projection, no
+    shuffle and no single-partition stage; this path executes precisely
+    when the batch EXCEEDS the broadcast envelope, so it must never
+    funnel the whole batch through one task, and the cuts must
+    reproduce bit-identically on an epoch replay in a fresh process),
+    each probed and folded IN ID ORDER so the fold's append-only guard
+    holds across sub-batches.  Width-equal cuts track count-equal ones
+    for the monotone id sequences streams produce; under id SKEW an
+    over-filled interval recursively re-splits (``max_docs`` forwards),
+    so the envelope is enforced at every leaf.
 
     Admission contract vs one-shot (``max_docs=None``), pytest-locked:
 
@@ -521,7 +552,9 @@ def admit_batch(
             vacuum_lsh_index(spark, index_dir)
             _KNOWN_CLEAN.add(index_dir)
     stats = batch.agg(
-        F.count("*").alias("n"), F.min("doc_id").alias("mn")
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
     ).first()
     n = stats["n"]
     if n > 0 and not _replay:
@@ -532,7 +565,13 @@ def admit_batch(
                 f"{stats['mn']} <= indexed max {hw} (re-arrival or "
                 f"out-of-order arrival — re-id the batch)"
             )
-    k = 1 if max_docs is None or n <= max_docs else -(-n // max_docs)
+    # a single-id interval cannot be split further (and with unique ids it
+    # cannot exceed max_docs either — the guard only matters for n==0/1)
+    k = (
+        1
+        if max_docs is None or n <= max_docs or stats["mn"] == stats["mx"]
+        else -(-n // max_docs)
+    )
     if k == 1:
         # sketch ONCE: the probe and the fold read the same materialized
         # band/hset frames (the sketch is the arrival's dominant linear
@@ -567,16 +606,23 @@ def admit_batch(
             epoch=epoch,
         )
         return verdicts
-    # localCheckpoint freezes the sampled range cuts: every per-sub filter
-    # below must see the SAME tag assignment, not a re-sampled one
-    tagged = _split_batch(batch, k).localCheckpoint()
+    # localCheckpoint so the k per-sub filters materialize the batch once
+    # (determinism does NOT depend on it: the cuts are a pure function of
+    # the batch's lo/hi/k, so a replay in a fresh process reproduces them)
+    tagged = _split_batch(batch, k, stats["mn"], stats["mx"]).localCheckpoint()
     parts = []
     for i in range(k):
         sub = tagged.filter(F.col("_sub") == i).drop("_sub")
         if sub.isEmpty():
-            continue  # sampled cuts can leave a range empty (ntile couldn't)
+            continue  # width-equal cuts leave sparse ranges empty
         parts.append(
-            admit_batch(spark, index_dir, sub, epoch=epoch, _replay=_replay)
+            # max_docs forwards: id skew can over-fill a width-equal range,
+            # and an over-filled sub-batch must re-split (within its
+            # strictly narrower interval), not broadcast over-envelope
+            admit_batch(
+                spark, index_dir, sub, max_docs=max_docs,
+                epoch=epoch, _replay=_replay,
+            )
         )
     out = parts[0]
     for p in parts[1:]:
@@ -632,11 +678,7 @@ def compact_lsh_index(
     for name in ("bands", "hsets"):
         live = f"{index_dir}/{name}.parquet"
         live_p = jvm.org.apache.hadoop.fs.Path(live)
-        n_before = sum(
-            1
-            for f in fs.listStatus(live_p)
-            if f.getPath().getName().startswith("part-")
-        )
+        n_before = _part_file_count(fs, live_p)
         out[name] = n_before
         if n_before <= files_per_table:
             continue

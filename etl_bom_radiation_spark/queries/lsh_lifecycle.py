@@ -125,14 +125,15 @@ def d04_lsh_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def _files(name: str) -> int:
             # Hadoop FS, not os.listdir: the module's posture is any
-            # Hadoop-compatible store, not just a local disk (VERDICT r9 #7)
-            jvm = spark._jvm
-            p = jvm.org.apache.hadoop.fs.Path(f"{inc_dir}/{name}.parquet")
-            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-            return sum(
-                1
-                for f in fs.listStatus(p)
-                if f.getPath().getName().startswith("part-")
+            # Hadoop-compatible store, not just a local disk (VERDICT r9
+            # #7); the counting convention is compact_lsh_index's own
+            from ..lsh_index import _part_file_count
+
+            p = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{inc_dir}/{name}.parquet"
+            )
+            return _part_file_count(
+                p.getFileSystem(spark._jsc.hadoopConfiguration()), p
             )
 
         rows_pre = (_rows("bands"), _rows("hsets"))

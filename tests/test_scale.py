@@ -1319,24 +1319,30 @@ def test_admit_batch_vacuum_once_per_process(spark, tmp_path, monkeypatch):
     ) == [1, 2, 10, 11, 13]
 
 
-def test_split_batch_distributed_contiguous(spark):
+def test_split_batch_distributed_deterministic_contiguous(spark):
     """admit_batch's over-broadcast splitter (VERDICT r9 #1): the
-    sub-batch tagging must be a DISTRIBUTED range split — no
-    single-partition Exchange, no Window at all (the very lint class
-    tests/test_plans.py holds declared queries to; the rejected
-    ``ntile(k) OVER (ORDER BY doc_id)`` funneled the whole
-    over-broadcast batch through ONE task's sort) — and the tags must be
-    contiguous ordered id ranges (sub i's max id below sub i+1's min),
-    the property the in-order folds' append-only guard rides on."""
+    sub-batch tagging must be
+
+    * DISTRIBUTED — no Exchange, no Window, no single-partition stage at
+      all (the lint class tests/test_plans.py holds declared queries to;
+      the rejected ``ntile(k) OVER (ORDER BY doc_id)`` funneled the whole
+      over-broadcast batch through ONE task's sort);
+    * DETERMINISTIC — a pure function of (doc_id, lo, hi, k), because the
+      epoch replay protocol re-derives the sub-batch boundaries in a
+      FRESH process (the rejected ``repartitionByRange`` samples its cuts
+      with an RDD-id-seeded reservoir: a replay could re-cut across the
+      crashed run's commit point and wedge on the append-only guard);
+    * contiguous ordered id ranges (sub i's max id below sub i+1's min),
+      the property the in-order folds' append-only guard rides on."""
     from etl_bom_radiation_spark.lsh_index import _split_batch
 
     batch = _docs_frame(spark, [(i, f"doc number {i}") for i in range(1, 101)])
     k = 4
-    tagged = _split_batch(batch, k)
+    tagged = _split_batch(batch, k, 1, 100)
     plan = tagged._jdf.queryExecution().executedPlan().toString()
-    assert "SinglePartition" not in plan
+    assert "Exchange" not in plan  # pure projection: not even a shuffle
     assert "Window" not in plan
-    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
 
     rows = tagged.collect()
     assert sorted(r.doc_id for r in rows) == list(range(1, 101))  # a partition
@@ -1350,6 +1356,55 @@ def test_split_batch_distributed_contiguous(spark):
     }
     for lo, hi in zip(subs, subs[1:]):
         assert spans[lo][1] < spans[hi][0]  # ordered, contiguous ranges
+
+    # deterministic: two INDEPENDENT evaluations (no checkpoint, fresh
+    # plan) assign every row the same tag — the replay precondition
+    again = sorted((r.doc_id, r._sub) for r in _split_batch(
+        _docs_frame(spark, [(i, f"doc number {i}") for i in range(1, 101)]),
+        k, 1, 100,
+    ).collect())
+    assert again == sorted((r.doc_id, r._sub) for r in rows)
+
+
+def test_admit_batch_skewed_ids_resplit_recursively(spark, tmp_path, monkeypatch):
+    """Width-equal cuts over-fill a range when ids CLUSTER (here: 8 low
+    ids + 8 high ids, max_docs=4 -> the first width-equal cut holds all
+    8 low ids); admit_batch must forward max_docs into the recursion so
+    the over-filled sub-batch re-splits within its narrower id interval
+    instead of broadcasting over-envelope.  Docs are pairwise-novel so
+    the chain caveat is moot: admission must be IDENTICAL to one-shot
+    and the folded index equal — while the fold count proves every leaf
+    obeyed the envelope (4 leaves of 4 docs, not 2+1 with an 8-doc
+    one-shot leaf)."""
+    import etl_bom_radiation_spark.lsh_index as L
+
+    batch = _docs_frame(
+        spark,
+        [(10 + j, f"alpha{j} bravo{j} carol{j} delta{j} echo{j} fox{j}")
+         for j in range(8)]
+        + [(10_000 + j, f"golf{j} hotel{j} india{j} julia{j} kilo{j} lima{j}")
+           for j in range(8)],
+    )
+    one, sub = str(tmp_path / "one"), str(tmp_path / "sub")
+    for d in (one, sub):
+        L.build_lsh_index(spark, _docs_frame(spark, _EPOCH_SEED), d)
+
+    v_one = _kp(L.admit_batch(spark, one, batch))
+
+    real_fold, leaf_sizes = L._fold_frames, []
+
+    def counting_fold(spark_, index_dir_, kept_ids, *a, **k):
+        leaf_sizes.append(kept_ids.count())
+        return real_fold(spark_, index_dir_, kept_ids, *a, **k)
+
+    monkeypatch.setattr(L, "_fold_frames", counting_fold)
+    v_sub = _kp(L.admit_batch(spark, sub, batch, max_docs=4))
+    assert v_sub == v_one
+    assert _index_rows(spark, sub) == _index_rows(spark, one)
+    # every leaf fold stayed within the envelope: the 8-doc low cluster
+    # re-split instead of folding one-shot
+    assert leaf_sizes and max(leaf_sizes) <= 4
+    assert sum(leaf_sizes) == 16  # all novel docs admitted, exactly once
 
 
 def test_meta_swap_crash_repair(spark, tmp_path):
