@@ -149,10 +149,28 @@ PRINTED_SET = COMMON_SET + ["grid_decode_1000_files"]
 METHODOLOGY = "build+execute v2"
 
 
+def _spin_canary() -> float:
+    """Single-core CPU canary: seconds for a fixed pure-Python loop — no
+    IO, no JVM, no Spark.  This box is a guest whose host contention is
+    invisible (steal reads 0, no cpufreq interface), and identical code
+    measured frozen-basket totals from 8.5 to 12.9 s within one morning
+    while this loop tracked the drift (DRIFT_r10).  A canary pair
+    (before the Spark session / after the last timed query) rides the
+    printed line so every capture is self-describing: compare baskets
+    across rounds only when the canaries agree within ~10%."""
+    t0 = time.time()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    assert x  # keep the loop un-eliminable
+    return round(time.time() - t0, 3)
+
+
 def format_output(
     timings: dict[str, float],
     io: dict[str, dict[str, float]],
     sf: float | None,
+    canary: list[float] | None = None,
 ) -> tuple[str, dict]:
     """Build (printed-JSON-line, full-artifact-dict).
 
@@ -175,22 +193,21 @@ def format_output(
         "io_mb": io,
         "sf": sf,
     }
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "methodology": METHODOLOGY,
-            "common_set_total": common_total,
-            "common_set_n": len(COMMON_SET),
-            "queries": {n: timings[n] for n in PRINTED_SET if n in timings},
-            "queries_n": len(timings),
-            "detail": IO_ARTIFACT,
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
-    return line, full
+    small = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "methodology": METHODOLOGY,
+        "common_set_total": common_total,
+        "common_set_n": len(COMMON_SET),
+        "queries": {n: timings[n] for n in PRINTED_SET if n in timings},
+        "queries_n": len(timings),
+        "detail": IO_ARTIFACT,
+        "sf": sf,
+    }
+    if canary is not None:
+        full["spin"] = small["spin"] = canary
+    return json.dumps(small, separators=(",", ":")), full
 
 
 def bucketed_q05_shape(spark, left_table: str, right_table: str):
@@ -280,6 +297,7 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from etl_bom_radiation_spark.session import get_spark
 
+    canary_before = _spin_canary()  # before the JVM exists
     spark = get_spark(
         app_name="bench",
         # the UI is off in the engine session (session.py); bench enables it
@@ -924,7 +942,9 @@ def main() -> int:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
-    line, full = format_output(timings, io, sf)
+    line, full = format_output(
+        timings, io, sf, canary=[canary_before, _spin_canary()]
+    )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), IO_ARTIFACT), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     print(line)

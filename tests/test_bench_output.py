@@ -29,7 +29,7 @@ def _fake_run(n_queries: int) -> tuple[str, dict]:
         timings[name] = 99.999
     io = {n: {"shuffle_read_mb": 1234.567, "shuffle_write_mb": 1234.567,
               "input_mb": 99999.999, "output_mb": 99999.999} for n in timings}
-    return bench.format_output(timings, io, sf=0.1)
+    return bench.format_output(timings, io, sf=0.1, canary=[99.999, 99.999])
 
 
 def test_line_roundtrips_and_stays_small():
@@ -42,6 +42,9 @@ def test_line_roundtrips_and_stays_small():
     assert parsed["common_set_n"] == len(bench.COMMON_SET)
     assert parsed["queries_n"] == 200 + len(bench.PRINTED_SET)
     assert parsed["detail"] == bench.IO_ARTIFACT
+    # the CPU canary pair rides the line (box-noise self-description,
+    # DRIFT_r10) and the full artifact carries it too
+    assert parsed["spin"] == [99.999, 99.999] == full["spin"]
     # io detail never rides the line
     assert "io_mb" not in parsed and "io_mb" in full
 
