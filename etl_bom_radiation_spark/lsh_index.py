@@ -456,7 +456,16 @@ def _split_batch(batch: DataFrame, k: int, lo: int, hi: int) -> DataFrame:
     the envelope is enforced at every leaf, deterministically, and the
     recursion terminates (a single-id interval cannot over-fill: ids are
     unique).  Plan shape (no Exchange, no Window) is pytest-locked."""
-    width = max(1, (hi - lo) // k + 1)
+    if hi - lo >= 2**63:
+        # (doc_id - lo) would wrap LONG arithmetic (silently, ANSI off)
+        # and the wrapped rows' negative tags would be dropped by the
+        # per-sub filters — refuse instead of losing admissions.  Only
+        # reachable if a batch spans nearly the full int64 id space.
+        raise ValueError(
+            f"admit_batch cannot split a batch whose doc_id span "
+            f"[{lo}, {hi}] exceeds the LONG range — re-id the batch"
+        )
+    width = (hi - lo) // k + 1  # >= 1, and k*width > hi-lo => tags in [0, k)
     return batch.withColumn("_sub", F.expr(f"(doc_id - {lo}) div {width}"))
 
 
@@ -545,7 +554,17 @@ def admit_batch(
       waived (a replay's ids are legitimately at or below the mark).
 
     Without ``epoch`` the stale-id guard treats any redelivery as the
-    error it then is (out-of-order arrival or re-id bug)."""
+    error it then is (out-of-order arrival or re-id bug).
+
+    Operational note — upgrading the SPLITTER implementation: replay
+    exactness holds because the cuts are deterministic WITHIN one
+    implementation.  A stream that crashed mid-epoch under an older
+    splitter (e.g. the sampled repartitionByRange form this module once
+    shipped) and restarts on a build with different cut semantics can
+    re-cut the replayed batch across the crashed run's commit point and
+    wedge on the append-only guard.  Quiesce streams (let the in-flight
+    micro-batch commit) before deploying a splitter change, or complete
+    a dirty checkpoint's replay on the old build first."""
     if _replay is None and epoch is not None:
         _replay = _read_meta(spark, index_dir).get("epoch") == epoch
         if index_dir not in _KNOWN_CLEAN:
@@ -565,8 +584,10 @@ def admit_batch(
                 f"{stats['mn']} <= indexed max {hw} (re-arrival or "
                 f"out-of-order arrival — re-id the batch)"
             )
-    # a single-id interval cannot be split further (and with unique ids it
-    # cannot exceed max_docs either — the guard only matters for n==0/1)
+    # recursion backstop: a single-id interval cannot split further, so a
+    # contract-violating batch with DUPLICATED ids (n > max_docs, one id)
+    # degrades to a one-shot probe instead of recursing forever — for
+    # n<=1 the preceding arm already forces k=1
     k = (
         1
         if max_docs is None or n <= max_docs or stats["mn"] == stats["mx"]
