@@ -40,6 +40,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import _spin_canary  # noqa: E402  (CPU canary, DRIFT_r10:
+#  ratios are only comparable between runs whose canaries agree ~10% —
+#  the n49 "3.33" outlier was a contended box, not a regression)
+
+#: set by main() at process start — lazy so pytest's import of the
+#: corpus/time helpers does not pay the spin at collection time
+_CANARY_AT_START: float | None = None
+
 #: operators probed — the shuffle-heaviest of the text/dedup/events
 #: families (grid ops scale with file count, probed by bench's
 #: 1000-file decode instead)
@@ -410,7 +418,7 @@ def stream_main(mult: int, filters: list[str]) -> int:
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    print(json.dumps({"m": mult, "mode": "streaming", "ops": out}))
+    print(json.dumps({"m": mult, "mode": "streaming", "ops": out, "spin": [_CANARY_AT_START, _spin_canary()]}))
     return 0
 
 
@@ -483,7 +491,7 @@ def fold_main(mult: int) -> int:
               f"ratio={out['ratio']}", file=sys.stderr)
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    print(json.dumps({"m": mult, "fold": out}))
+    print(json.dumps({"m": mult, "fold": out, "spin": [_CANARY_AT_START, _spin_canary()]}))
     return 0
 
 
@@ -545,11 +553,13 @@ def probe_main(mult: int) -> int:
               f"ratio={out['ratio']}", file=sys.stderr)
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    print(json.dumps({"m": mult, "probe": out}))
+    print(json.dumps({"m": mult, "probe": out, "spin": [_CANARY_AT_START, _spin_canary()]}))
     return 0
 
 
 def main() -> int:
+    global _CANARY_AT_START
+    _CANARY_AT_START = _spin_canary()
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     # M is optional: a leading non-numeric positional is an op filter
     if args and args[0].isdigit():
@@ -596,7 +606,7 @@ def main() -> int:
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(dm, ignore_errors=True)
-    print(json.dumps({"m": mult, "ops": out}))
+    print(json.dumps({"m": mult, "ops": out, "spin": [_CANARY_AT_START, _spin_canary()]}))
     return 0
 
 
