@@ -1481,3 +1481,81 @@ def test_vacuum_orphans_in_encodable_path(spark, tmp_path, monkeypatch):
     assert spark.read.parquet(f"{d}/bands.parquet").filter("doc_id > 2").count() == 0
     assert spark.read.parquet(f"{d}/hsets.parquet").filter("doc_id > 2").count() == 0
     assert L.vacuum_lsh_index(spark, d) == 0
+
+
+@pytest.mark.slow
+def test_admit_batch_epoch_replay_across_process(spark, tmp_path, monkeypatch):
+    """The epoch replay in a FRESH DRIVER PROCESS — the deployment shape
+    (a restarted stream is a new JVM/Python pair), and precisely the
+    scenario the in-process replay tests cannot see: any splitter whose
+    cuts depend on process-local state re-cuts the redelivered batch
+    differently, straddles the crashed run's commit point, and wedges on
+    the append-only guard.  The batch is 1200 docs in ONE input
+    partition — ABOVE the range-exchange sample budget (k=3 output
+    partitions x sampleSizePerPartition=100), which is where the
+    rejected repartitionByRange splitter's RDD-id-seeded reservoir stops
+    being exhaustive and its cuts become process-dependent: measured
+    once (DRIFT_r10), the sampled form committed leaf 1 at mark 281 and
+    the fresh-process replay wedged with the append-only ValueError,
+    while this equal-width form re-cut identically (mark 499) and
+    completed.  Below that scale (the 6-row epoch batch) even the
+    sampled form passes — a cross-process test MUST run in the
+    sampling regime to be live.  Crash after sub-batch 1's fold
+    committed, then replay via a subprocess with its own SparkSession:
+    verdicts must equal an uncrashed control run and the final index
+    must be bit-identical."""
+    import json as _json
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    import etl_bom_radiation_spark.lsh_index as L
+
+    docs = _EPOCH_BATCH + [
+        (100 + j, f"uniq{j}a uniq{j}b uniq{j}c uniq{j}d uniq{j}e")
+        for j in range(1200 - len(_EPOCH_BATCH))
+    ]
+    batch = _docs_frame(spark, docs).coalesce(1)
+    ctrl, d = str(tmp_path / "ctrl"), str(tmp_path / "idx")
+    for p in (ctrl, d):
+        L.build_lsh_index(spark, _docs_frame(spark, _EPOCH_SEED), p)
+    want = _kp(L.admit_batch(spark, ctrl, batch, max_docs=400, epoch=0))
+
+    real_fold, calls = L._fold_frames, []
+
+    def fold_then_crash(*a, **k):
+        calls.append(1)
+        if len(calls) == 2:
+            raise RuntimeError("simulated crash before second sub-batch fold")
+        return real_fold(*a, **k)
+
+    monkeypatch.setattr(L, "_fold_frames", fold_then_crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        L.admit_batch(spark, d, batch, max_docs=400, epoch=0)
+    monkeypatch.setattr(L, "_fold_frames", real_fold)
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    script = f"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from etl_bom_radiation_spark.session import get_spark
+from etl_bom_radiation_spark.lsh_index import admit_batch
+spark = get_spark(app_name="replay_fresh_process")
+batch = spark.createDataFrame({docs!r}, "doc_id bigint, text string").coalesce(1)
+v = admit_batch(spark, {d!r}, batch, max_docs=400, epoch=0)
+rows = sorted(
+    (r.doc_id, r.n_index_cand, r.n_shard_cand, r.best_jaccard, r.decision)
+    for r in v.collect()
+)
+print("RESULT:" + json.dumps(rows))
+"""
+    env = dict(_os.environ, SPARK_GRAFT_CPUS="8")  # small fresh driver
+    out = subprocess.run(
+        [_sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("RESULT:")]
+    assert lines, f"replay subprocess failed:\n{out.stdout}\n{out.stderr[-2000:]}"
+    got = [tuple(r) for r in _json.loads(lines[0][len("RESULT:"):])]
+    assert got == want  # verdicts reproduce bit-identically across processes
+    assert _index_rows(spark, d) == _index_rows(spark, ctrl)
