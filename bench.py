@@ -157,13 +157,16 @@ def _spin_canary() -> float:
     while this loop tracked the drift (DRIFT_r10).  A canary pair
     (before the Spark session / after the last timed query) rides the
     printed line so every capture is self-describing: compare baskets
-    across rounds only when the canaries agree within ~10%."""
-    t0 = time.time()
+    across rounds only when the canaries agree within ~10%.
+    perf_counter, not time.time: an NTP step during the ~1 s spin (a
+    real hazard on exactly the guest this canary exists for) would
+    corrupt a wall-clock reading and mis-validate the capture."""
+    t0 = time.perf_counter()
     x = 0
     for i in range(20_000_000):
         x += i
     assert x  # keep the loop un-eliminable
-    return round(time.time() - t0, 3)
+    return round(time.perf_counter() - t0, 3)
 
 
 def format_output(

@@ -1495,11 +1495,13 @@ def test_admit_batch_epoch_replay_across_process(spark, tmp_path, monkeypatch):
     partitions x sampleSizePerPartition=100), which is where the
     rejected repartitionByRange splitter's RDD-id-seeded reservoir stops
     being exhaustive and its cuts become process-dependent: measured
-    once (DRIFT_r10), the sampled form committed leaf 1 at mark 281 and
-    the fresh-process replay wedged with the append-only ValueError,
-    while this equal-width form re-cut identically (mark 499) and
-    completed.  Below that scale (the 6-row epoch batch) even the
-    sampled form passes — a cross-process test MUST run in the
+    once on a pure ids-100..1299 batch (DRIFT_r10 — NOT this test's
+    batch, which prepends _EPOCH_BATCH ids 10-15, so ITS leaf-1 mark is
+    437 = lo 10 + width 428 - 1), the sampled form committed leaf 1 at
+    mark 281 and the fresh-process replay wedged with the append-only
+    ValueError, while the equal-width form re-cut identically (mark
+    499) and completed.  Below that scale (the 6-row epoch batch) even
+    the sampled form passes — a cross-process test MUST run in the
     sampling regime to be live.  Crash after sub-batch 1's fold
     committed, then replay via a subprocess with its own SparkSession:
     verdicts must equal an uncrashed control run and the final index
@@ -1559,3 +1561,28 @@ print("RESULT:" + json.dumps(rows))
     got = [tuple(r) for r in _json.loads(lines[0][len("RESULT:"):])]
     assert got == want  # verdicts reproduce bit-identically across processes
     assert _index_rows(spark, d) == _index_rows(spark, ctrl)
+
+
+def test_split_batch_refuses_overflowing_id_span(spark, tmp_path):
+    """The splitter's int64 guard: a batch whose doc_id span reaches the
+    LONG range would wrap ``(doc_id - lo)`` silently (ANSI off) and the
+    wrapped rows' negative tags would match no sub-batch filter — rows
+    silently dropped from admission.  _split_batch must refuse instead;
+    reachable ids exist (the empty-index sentinel sits at -(2**62))."""
+    from etl_bom_radiation_spark.lsh_index import _split_batch
+
+    wide = _docs_frame(
+        spark, [(-(2**62) * 3 // 2, "low extreme"), (2**62, "high extreme")]
+    )
+    with pytest.raises(ValueError, match="doc_id span"):
+        _split_batch(wide, 2, -(2**62) * 3 // 2, 2**62)
+    # a span just inside the LONG range still splits (lo/hi are always the
+    # batch's own min/max in admit_batch)
+    narrow = _docs_frame(
+        spark, [(-(2**61), "low extreme"), (2**61, "high extreme")]
+    )
+    ok = _split_batch(narrow, 2, -(2**61), 2**61)
+    assert sorted((r.doc_id, r._sub) for r in ok.collect()) == [
+        (-(2**61), 0),
+        (2**61, 1),
+    ]
