@@ -145,6 +145,30 @@ def _meta_path(spark: SparkSession, index_dir: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
 
 
+def _slurp(spark: SparkSession, fs, p) -> str:
+    """Full contents of a (small) Hadoop FS file as a UTF-8 string."""
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _valid_meta(raw: str) -> bool:
+    """Whether ``raw`` is a COMPLETE meta payload (parses, has an integer
+    mark) — the gate :func:`_repair_meta` applies before promoting a tmp
+    (ADVICE r10: 'the tmp is complete by the write protocol' only holds
+    once SOME meta has existed; a crash inside the FIRST-ever
+    ``_write_meta`` of a new index can leave a torn tmp with no live
+    meta, and promoting it would turn every later read into a JSON parse
+    error instead of the honest missing-meta failure)."""
+    try:
+        int(json.loads(raw)["max_doc_id"])
+    except (ValueError, KeyError, TypeError):
+        return False
+    return True
+
+
 def _write_meta(
     spark: SparkSession, index_dir: str, max_doc_id: int, epoch=None
 ) -> None:
@@ -166,16 +190,23 @@ def _write_meta(
     fs, p = _meta_path(spark, index_dir)
     jvm = spark._jvm
     tmp = jvm.org.apache.hadoop.fs.Path(p.toString() + ".tmp")
+    payload = json.dumps({"max_doc_id": max_doc_id, "epoch": epoch})
     out = fs.create(tmp, True)
-    out.write(
-        bytearray(
-            json.dumps({"max_doc_id": max_doc_id, "epoch": epoch}), "utf-8"
-        )
-    )
+    out.write(bytearray(payload, "utf-8"))
     out.close()
     if fs.exists(p):
         fs.delete(p, False)
-    fs.rename(tmp, p)
+    if not fs.rename(tmp, p):
+        # ADVICE r10: a rename that fails WITHOUT throwing (Hadoop's
+        # boolean contract) would otherwise lose the commit silently —
+        # the appended keeper rows sit above a stale mark, the caller
+        # reports success, and the next vacuum deletes admitted docs.
+        # One benign cause: a concurrent reader's _repair_meta won the
+        # rename of this very tmp (it saw our delete->rename window) —
+        # then the commit already landed with this exact payload.
+        # Anything else must surface before the caller reports success.
+        if not (fs.exists(p) and _slurp(spark, fs, p) == payload):
+            raise RuntimeError(f"meta commit failed: could not rename {tmp} to {p}")
 
 
 def _repair_meta(spark: SparkSession, index_dir: str) -> bool:
@@ -186,12 +217,31 @@ def _repair_meta(spark: SparkSession, index_dir: str) -> bool:
     disk, so renaming it in finishes the commit.  Returns whether a
     repair happened; with the live meta present this is a no-op (a
     stale tmp next to a live meta is a superseded leftover of a crash
-    BEFORE the delete — harmless, overwritten by the next update)."""
+    BEFORE the delete — harmless, overwritten by the next update).
+
+    The completeness argument has one hole (ADVICE r10): the FIRST-ever
+    meta write of a new index runs with no live meta at all, so a crash
+    mid-create leaves a TORN tmp in exactly the live-missing state this
+    repair fires on.  The tmp is therefore validated (:func:`_valid_meta`)
+    before promotion; an unparseable tmp is deleted so callers see the
+    intended missing-meta failure mode, not a parse error on a live
+    meta."""
     fs, p = _meta_path(spark, index_dir)
     if fs.exists(p):
         return False
     tmp = spark._jvm.org.apache.hadoop.fs.Path(p.toString() + ".tmp")
     if not fs.exists(tmp):
+        return False
+    try:
+        complete = _valid_meta(_slurp(spark, fs, tmp))
+    except Exception:
+        # the tmp vanished under a concurrent repairer: benign iff the
+        # winner restored the live meta
+        return fs.exists(p)
+    if not complete:
+        if fs.exists(p):  # a concurrent writer landed a real commit
+            return True
+        fs.delete(tmp, False)
         return False
     if not fs.rename(tmp, p):
         # readers are NOT single-writer-bound: two concurrent probes can
@@ -213,12 +263,7 @@ def _read_meta(spark: SparkSession, index_dir: str) -> dict:
     fs, p = _meta_path(spark, index_dir)
     if not fs.exists(p):
         _repair_meta(spark, index_dir)
-    stream = fs.open(p)
-    try:
-        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    meta = json.loads(raw)
+    meta = json.loads(_slurp(spark, fs, p))
     meta["max_doc_id"] = int(meta["max_doc_id"])
     return meta
 

@@ -339,14 +339,21 @@ def _module_dep_paths(module: str) -> tuple[str, ...]:
             if isinstance(node, ast.ImportFrom):
                 if node.level > 0:
                     base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
-                    if node.module:
-                        visit(".".join(base + node.module.split(".")))
-                    # bare ``from . import x`` targets the package
-                    # __init__ (excluded) or sub-modules we can't tell
-                    # from attributes statically — skip (the named-module
-                    # form covers every helper import in this repo)
+                    target = base + (node.module.split(".") if node.module else [])
                 elif node.module and node.module.split(".")[0] == root_pkg:
-                    visit(node.module)
+                    target = node.module.split(".")
+                else:
+                    continue
+                visit(".".join(target))
+                # ``from <pkg> import X`` may import X as a MODULE, not
+                # an attribute (`from . import lsh_index`) — probe each
+                # name under the target; visit() resolves via to_path,
+                # so attribute names simply miss (ADVICE r10: the bare
+                # relative form used to be skipped silently, and a
+                # refactor to it would have dropped the helper from the
+                # urgency closure with no test failing)
+                for alias in node.names:
+                    visit(".".join(target + [alias.name]))
             elif isinstance(node, ast.Import):
                 for alias in node.names:
                     if alias.name.split(".")[0] == root_pkg:

@@ -148,3 +148,39 @@ def test_dep_scan_sees_function_level_helper_imports(monkeypatch):
     assert Q._module_dep_paths("etl_bom_radiation_spark.queries.in_between") == (
         "etl_bom_radiation_spark/queries/in_between.py",
     )
+
+
+def test_dep_scan_resolves_bare_relative_module_imports(monkeypatch):
+    """ADVICE r10: ``from .. import lsh_index`` / ``from . import mod``
+    import MODULES as attributes of a package — the scan used to skip
+    the bare form silently, so a refactor from ``from ..lsh_index import
+    x`` to it would drop the helper from the urgency closure and regress
+    the VERDICT r9 #2 promotion with no test failing.  Each imported
+    name is now probed as a module file under the target package
+    (attribute names miss ``to_path`` and stay excluded, as does the
+    package ``__init__`` itself)."""
+    import os
+
+    import etl_bom_radiation_spark.queries as pkg
+
+    probe = os.path.join(os.path.dirname(pkg.__file__), "_bare_import_probe.py")
+    with open(probe, "w") as f:
+        f.write(
+            "from .. import lsh_index\n"          # bare, parent package
+            "from . import banded_lsh\n"          # bare, own package
+            "from . import register\n"            # attribute: must miss
+            "from etl_bom_radiation_spark import manifest\n"  # bare, absolute
+        )
+    try:
+        monkeypatch.setattr(Q, "_DEP_CACHE", {})
+        paths = Q._module_dep_paths(
+            "etl_bom_radiation_spark.queries._bare_import_probe"
+        )
+    finally:
+        os.remove(probe)
+        Q._DEP_CACHE.clear()
+    assert "etl_bom_radiation_spark/lsh_index.py" in paths
+    assert "etl_bom_radiation_spark/queries/banded_lsh.py" in paths
+    assert "etl_bom_radiation_spark/manifest.py" in paths
+    # the registry __init__ stays excluded even though ``register`` was probed
+    assert not any(p.endswith("__init__.py") for p in paths)

@@ -1451,6 +1451,92 @@ def test_meta_swap_crash_repair(spark, tmp_path):
     assert L._read_meta(spark, d)["max_doc_id"] == 11
 
 
+def test_meta_first_write_torn_tmp_not_promoted(spark, tmp_path):
+    """ADVICE r10: the 'tmp is complete by the write protocol' argument
+    fails for the FIRST-ever meta write (build on a new index) — no live
+    meta exists during the entire tmp write, so a crash mid-create
+    leaves a TORN ``meta.json.tmp`` with the live meta missing, and
+    promoting it would turn every later read into a JSON parse error on
+    a live meta instead of the intended missing-meta failure mode.
+    ``_repair_meta`` now validates the tmp before renaming it in and
+    deletes an unparseable one."""
+    import etl_bom_radiation_spark.lsh_index as L
+
+    d = tmp_path / "idx"
+    d.mkdir()
+    tmp = d / "meta.json.tmp"
+    tmp.write_text('{"max_doc_id": 1')  # crashed mid-create: torn JSON
+    assert L._repair_meta(spark, str(d)) is False
+    assert not tmp.exists() and not (d / "meta.json").exists()
+    # the caller sees the honest missing-meta failure, not a parse error
+    with pytest.raises(Exception, match="meta.json"):
+        L._read_meta(spark, str(d))
+    # parseable-but-not-a-meta content is refused the same way
+    tmp.write_text('{"wrong_key": 1}')
+    assert L._repair_meta(spark, str(d)) is False
+    assert not tmp.exists()
+    # and a COMPLETE tmp still repairs (the ADVICE r9 swap-window fix)
+    tmp.write_text('{"max_doc_id": 7, "epoch": null}')
+    assert L._repair_meta(spark, str(d)) is True
+    assert L._read_meta(spark, str(d))["max_doc_id"] == 7
+
+
+def test_write_meta_rename_failure_surfaces(spark, tmp_path, monkeypatch):
+    """ADVICE r10: ``_write_meta`` ignored ``fs.rename``'s boolean — on
+    a store where rename fails WITHOUT throwing, the commit was silently
+    lost while ``update_lsh_index`` reported success: the appended
+    keeper rows sit above a stale mark (orphans), and the next vacuum
+    deletes admitted docs after the stream checkpoint advanced.  A
+    failed rename now raises — unless a concurrent reader's
+    ``_repair_meta`` won the rename of the SAME tmp, which lands the
+    identical payload (a completed commit, not a loss)."""
+    import etl_bom_radiation_spark.lsh_index as L
+
+    d = str(tmp_path / "idx")
+    L.build_lsh_index(spark, _docs_frame(spark, _EPOCH_SEED), d)
+    real_meta_path = L._meta_path
+
+    class _RenameLiesFS:
+        """Delegates to the real FS but reports rename failure; with
+        ``reader_wins`` the rename actually happens first (a concurrent
+        repairer got there), it just looks failed to the writer."""
+
+        def __init__(self, fs, reader_wins):
+            self._fs, self._reader_wins = fs, reader_wins
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+        def rename(self, src, dst):
+            if self._reader_wins:
+                assert self._fs.rename(src, dst)
+            return False
+
+    def patch(reader_wins):
+        monkeypatch.setattr(
+            L,
+            "_meta_path",
+            lambda s, i: (
+                lambda fs_p: (_RenameLiesFS(fs_p[0], reader_wins), fs_p[1])
+            )(real_meta_path(s, i)),
+        )
+
+    # rename fails and nothing restored the meta: surface, don't succeed
+    patch(reader_wins=False)
+    with pytest.raises(RuntimeError, match="meta commit failed"):
+        L._write_meta(spark, d, 99)
+    # the completed tmp the failure left behind is itself repairable
+    monkeypatch.setattr(L, "_meta_path", real_meta_path)
+    assert L._read_meta(spark, d)["max_doc_id"] == 99
+
+    # a concurrent reader completed the swap: same payload landed — success
+    patch(reader_wins=True)
+    L._write_meta(spark, d, 123, epoch=7)
+    monkeypatch.setattr(L, "_meta_path", real_meta_path)
+    meta = L._read_meta(spark, d)
+    assert meta["max_doc_id"] == 123 and meta["epoch"] == 7
+
+
 def test_vacuum_orphans_in_encodable_path(spark, tmp_path, monkeypatch):
     """vacuum's file deletes must survive URI-encodable characters in
     the index path (ADVICE r9): ``input_file_name()`` yields a

@@ -292,3 +292,35 @@ def test_probe_cost_index_scan_bounded(spark, corpora):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_canary_pair_set_for_programmatic_mains(monkeypatch):
+    """ADVICE r10: ``_CANARY_AT_START`` was only set in ``main()``, so
+    ``stream_main``/``fold_main``/``probe_main`` invoked programmatically
+    printed ``"spin": [null, a]`` — losing the before/after agreement
+    check the canary pair exists for.  ``_canary_start`` now lazily
+    initializes it (once per process) and every ``*_main`` calls it
+    before building its Spark session."""
+    import ast
+    import inspect
+
+    import tools.scaling_probe as SP
+
+    calls = iter([0.5, 99.0])
+    monkeypatch.setattr(SP, "_spin_canary", lambda: next(calls))
+    monkeypatch.setattr(SP, "_CANARY_AT_START", None)
+    assert SP._canary_start() == 0.5
+    assert SP._canary_start() == 0.5  # set at most once per process
+    assert SP._CANARY_AT_START == 0.5
+
+    # every entry point primes the canary as its FIRST statement
+    for fn in (SP.stream_main, SP.fold_main, SP.probe_main, SP.main):
+        body = ast.parse(inspect.getsource(fn)).body[0].body
+        stmts = [s for s in body if not (
+            isinstance(s, ast.Expr) and isinstance(s.value, ast.Constant))]
+        first = stmts[0]
+        assert (
+            isinstance(first, ast.Expr)
+            and isinstance(first.value, ast.Call)
+            and getattr(first.value.func, "id", None) == "_canary_start"
+        ), f"{fn.__name__} must call _canary_start() first"

@@ -44,9 +44,23 @@ from bench import _spin_canary  # noqa: E402  (CPU canary, DRIFT_r10:
 #  ratios are only comparable between runs whose canaries agree ~10% —
 #  the n49 "3.33" outlier was a contended box, not a regression)
 
-#: set by main() at process start — lazy so pytest's import of the
+#: set by _canary_start() on first use — lazy so pytest's import of the
 #: corpus/time helpers does not pay the spin at collection time
 _CANARY_AT_START: float | None = None
+
+
+def _canary_start() -> float:
+    """The 'before' half of the spin-canary pair, measured at most once
+    per process.  Each ``*_main`` calls this BEFORE building its Spark
+    session (ADVICE r10: when stream/fold/probe_main were invoked
+    programmatically, only ``main()`` set the start value, so the JSON
+    line read ``"spin": [null, a]`` — losing the before/after agreement
+    check the pair exists for)."""
+    global _CANARY_AT_START
+    if _CANARY_AT_START is None:
+        _CANARY_AT_START = _spin_canary()
+    return _CANARY_AT_START
+
 
 #: operators probed — the shuffle-heaviest of the text/dedup/events
 #: families (grid ops scale with file count, probed by bench's
@@ -382,6 +396,7 @@ def drain_stream(spark, make_df, src: str, n_batches: int, ckpt: str,
 
 
 def stream_main(mult: int, filters: list[str]) -> int:
+    _canary_start()
     from etl_bom_radiation_spark.session import get_spark
 
     spark = get_spark(app_name="scaling_probe_stream")
@@ -444,6 +459,7 @@ def fold_main(mult: int) -> int:
     the rebuild the API exists to avoid.  Each timed run folds into a
     FRESH copy of the index (the fold mutates it); the copy is outside
     the timer.  Prints {"m": M, "fold": {"t1", "tm", "ratio"}}."""
+    _canary_start()
     from pyspark.sql import functions as F
 
     from etl_bom_radiation_spark.lsh_index import build_lsh_index, update_lsh_index
@@ -509,6 +525,7 @@ def probe_main(mult: int) -> int:
     (lsh_index.py module docstring) stops being speculative.  Probing
     is read-only: no index copies needed between runs.  Prints
     {"m": M, "probe": {"t1", "tm", "ratio"}}."""
+    _canary_start()
     from pyspark.sql import functions as F
 
     from etl_bom_radiation_spark.lsh_index import build_lsh_index, probe_lsh_index
@@ -558,8 +575,7 @@ def probe_main(mult: int) -> int:
 
 
 def main() -> int:
-    global _CANARY_AT_START
-    _CANARY_AT_START = _spin_canary()
+    _canary_start()
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     # M is optional: a leading non-numeric positional is an op filter
     if args and args[0].isdigit():
