@@ -360,12 +360,24 @@ def _finish_compaction(fs, jvm, part_dir, tmp) -> bool:
         if not name:
             continue
         old = jvm.org.apache.hadoop.fs.Path(f"{part_uri}/{name}")
-        if fs.exists(old):
-            fs.delete(old, False)
+        # boolean-return discipline (ADVICE r10): a false delete leaves
+        # the old-generation file NEXT TO the folded one — silent
+        # double-counted rows; a false rename would strand a new file in
+        # the temp dir for the recursive delete below to destroy —
+        # silent data loss.  Raising instead leaves the manifest-marked
+        # temp in place, so the next run resumes this same (idempotent)
+        # swap.
+        if fs.exists(old) and not fs.delete(old, False):
+            raise OSError(f"compaction swap: could not delete old file {old}")
     for s in fs.listStatus(tmp):
         n = s.getPath().getName()
         if s.isFile() and not n.startswith(("_", ".")):
-            fs.rename(s.getPath(), jvm.org.apache.hadoop.fs.Path(f"{part_uri}/{n}"))
+            dst = jvm.org.apache.hadoop.fs.Path(f"{part_uri}/{n}")
+            if not fs.rename(s.getPath(), dst):
+                raise OSError(
+                    f"compaction swap: could not move folded file "
+                    f"{s.getPath()} into {part_uri}"
+                )
     fs.delete(tmp, True)
     return True
 
@@ -408,15 +420,25 @@ def _compact_one(
     out.write(bytearray("\n".join(f.getName() for f in files), "utf-8"))
     out.close()
     # new part-file names are UUID-unique: rename in first, delete the
-    # old generation after — readers never see an empty partition
+    # old generation after — readers never see an empty partition.
+    # Booleans checked (ADVICE r10 discipline): a silently-failed rename
+    # would strand a folded file for the temp-dir delete to destroy
+    # (data loss); a silently-failed old delete leaves double-counted
+    # rows.  Raising here keeps the manifest-marked temp, so the next
+    # run's _finish_compaction resumes the swap idempotently.
     for s in fs.listStatus(tmp):
         if s.isFile() and not s.getPath().getName().startswith(("_", ".")):
-            fs.rename(
-                s.getPath(),
-                jvm.org.apache.hadoop.fs.Path(part_uri + "/" + s.getPath().getName()),
+            dst = jvm.org.apache.hadoop.fs.Path(
+                part_uri + "/" + s.getPath().getName()
             )
+            if not fs.rename(s.getPath(), dst):
+                raise OSError(
+                    f"compaction swap: could not move folded file "
+                    f"{s.getPath()} into {part_uri}"
+                )
     for f in files:
-        fs.delete(f, False)
+        if fs.exists(f) and not fs.delete(f, False):
+            raise OSError(f"compaction swap: could not delete old file {f}")
     fs.delete(tmp, True)
     return True
 

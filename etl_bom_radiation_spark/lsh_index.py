@@ -757,8 +757,22 @@ def compact_lsh_index(
                 .sortWithinPartitions("doc_id")
                 .write.parquet(tmp)
             )
-            fs.delete(live_p, True)
-            fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live_p)
+            # the boolean-return discipline (ADVICE r10, applied module-
+            # wide): a false delete means the live dir still exists and
+            # the rename below cannot land — the compaction would report
+            # success having changed nothing; a false rename after a
+            # successful delete would leave the table missing until the
+            # NEXT entry point's _repair_compaction, so repair inline.
+            if not fs.delete(live_p, True):
+                raise RuntimeError(
+                    f"compact_lsh_index: could not delete {live_p} for the swap"
+                )
+            if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live_p):
+                _repair_compaction(spark, index_dir)
+                raise RuntimeError(
+                    f"compact_lsh_index: could not swap {tmp} into {live_p}; "
+                    "the completed temp was repaired back in"
+                )
         except BaseException:
             # a crashed swap needs _repair_compaction before the next
             # probe — don't let admit_batch's clean-cache skip it
@@ -804,7 +818,11 @@ def _repair_compaction(spark: SparkSession, index_dir: str) -> bool:
                     f"completed compaction temp exists under {index_dir} — "
                     f"not a crashed swap; restore from a rebuild"
                 )
-            fs.rename(done[0], live)
+            if not fs.rename(done[0], live):
+                raise RuntimeError(
+                    f"_repair_compaction: could not rename completed temp "
+                    f"{done[0]} to {live} — index table still missing"
+                )
             for t in done[1:]:
                 fs.delete(t, True)
             repaired = True

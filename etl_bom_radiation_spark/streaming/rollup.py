@@ -172,7 +172,16 @@ def _recover_rollup(spark: SparkSession, rollup_dir: str) -> None:
         # heartbeated) compaction owns the directory — never heal under it
         return
     if not fs.exists(root) and fs.exists(old):
-        fs.rename(old, root)
+        if not fs.rename(old, root):
+            # boolean checked (ADVICE r10 discipline): proceeding on a
+            # silently-failed restore would delete the folded tmp below
+            # with root STILL missing — loud beats a heal that reports
+            # done while readers fail; the staged-aside generation is
+            # intact, so the next _recover_rollup retries this rename.
+            raise OSError(
+                f"_recover_rollup: could not restore {root} from the "
+                f"staged-aside generation {old}"
+            )
         # the folded output in tmp is now stale (superseded by the restored
         # partials) and re-derivable — discard it. tmp is left alone in any
         # other state: it may belong to an in-flight compaction.

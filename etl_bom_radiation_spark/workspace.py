@@ -223,7 +223,11 @@ def clean_prefixes(spark: SparkSession, ws: Workspace, prefixes=("in", "processi
     for p in prefixes:
         path = jvm.org.apache.hadoop.fs.Path(ws.prefix(p))
         if fs.exists(path):
-            fs.delete(path, True)
+            # boolean checked (ADVICE r10 discipline): a false delete
+            # leaves the prefix populated while the count reports it
+            # cleaned — a "reset" that silently kept stale files
+            if not fs.delete(path, True):
+                raise OSError(f"clean_prefixes: could not delete {path}")
             n += 1
         fs.mkdirs(path)
     return n

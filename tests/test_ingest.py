@@ -463,6 +463,27 @@ def test_clean_prefixes(spark, ws):
     assert os.path.isdir(ws.prefix("in"))
 
 
+def test_clean_prefixes_false_delete_raises(spark, ws, monkeypatch):
+    """ADVICE r10 discipline: a recursive delete failing BY RETURNING
+    FALSE used to leave the prefix populated while the returned count
+    reported it cleaned — a workspace 'reset' that silently kept stale
+    files (the exact pollution S9 exists to prevent)."""
+    from tests.conftest import LyingFS
+
+    _stage_inputs(ws.base)
+    real_fs = W._fs
+
+    def lying(s, base):
+        fs, p, jvm = real_fs(s, base)
+        return LyingFS(fs, fail_deletes=1), p, jvm
+
+    monkeypatch.setattr(W, "_fs", lying)
+    with pytest.raises(OSError, match="could not delete"):
+        W.clean_prefixes(spark, ws, prefixes=("in",))
+    # the staged inputs are verifiably still there — nothing half-reported
+    assert len(os.listdir(ws.prefix("in"))) > 0
+
+
 def test_move_replaces_existing_destination(spark, ws):
     """ADVICE r2: a same-named file already in done/ must not make the
     rename fail silently (which left the file in in/ to be re-ingested
@@ -631,6 +652,72 @@ def test_compact_partitions_crash_recovery(spark, tmp_path):
     assert n >= 1
     assert not os.path.exists(tmp)
     assert spark.read.parquet(data_dir).count() == total
+
+
+def test_compaction_swap_boolean_failures_surface(spark, tmp_path):
+    """ADVICE r10 discipline applied to the partition-compaction swap: a
+    Hadoop rename/delete that fails BY RETURNING FALSE must raise, not
+    proceed — a silently-failed rename strands a folded file for the
+    temp-dir delete to destroy (data loss); a silently-failed old-file
+    delete leaves double-counted rows.  Raising keeps the
+    manifest-marked temp dir, so the next compaction run resumes the
+    swap idempotently."""
+    import glob
+
+    import etl_bom_radiation_spark.ingest as I
+    from etl_bom_radiation_spark.grid.decode import decode_grid_directory
+    from etl_bom_radiation_spark.ingest import compact_partitions, write_points
+    from tests.conftest import LyingFS
+
+    data_dir = str(tmp_path / "athena")
+    pts = decode_grid_directory(spark, os.path.join(FIXTURES, GOOD_FILES[0]))
+    write_points(pts, data_dir)
+    write_points(pts, data_dir)
+    total = spark.read.parquet(data_dir).count()
+
+    part_dir = None
+    for root_dir, _dirs, files in os.walk(data_dir):
+        if any(f.endswith(".parquet") for f in files):
+            part_dir = root_dir
+            break
+    assert part_dir is not None
+    jvm = spark._jvm
+    part_p = jvm.org.apache.hadoop.fs.Path(part_dir)
+    fs = part_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = os.path.join(
+        os.path.dirname(part_dir), "." + os.path.basename(part_dir) + ".compacting"
+    )
+
+    # rename-in of the folded generation lies: must raise BEFORE any
+    # old-generation delete, leaving both generations intact on disk
+    with pytest.raises(OSError, match="could not move folded file"):
+        I._compact_one(spark, LyingFS(fs, fail_renames=1), jvm, part_p, 1, 2)
+    assert spark.read.parquet(data_dir).count() == total
+    assert os.path.exists(os.path.join(tmp, I._COMPACT_MANIFEST))
+
+    # the manifest-marked temp makes the next (honest) run resume the
+    # swap instead of re-folding on top of it
+    assert compact_partitions(spark, data_dir) >= 1
+    assert spark.read.parquet(data_dir).count() == total
+    assert not os.path.exists(tmp)
+    assert len(glob.glob(os.path.join(part_dir, "*.parquet"))) == 1
+
+    # old-generation delete lies during a fresh compaction: must raise
+    # (rows would double-count), then resume cleanly
+    write_points(pts, data_dir)  # second generation again
+    total2 = spark.read.parquet(data_dir).count()
+    with pytest.raises(OSError, match="could not delete old file"):
+        I._compact_one(
+            spark,
+            LyingFS(fs, fail_deletes=1, path_match=".parquet"),
+            jvm,
+            part_p,
+            1,
+            2,
+        )
+    assert compact_partitions(spark, data_dir) >= 1
+    assert spark.read.parquet(data_dir).count() == total2
+    assert not os.path.exists(tmp)
 
 
 def test_write_points_cluster_spatial_sorts_by_morton_key(spark, tmp_path):

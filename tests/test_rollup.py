@@ -388,3 +388,50 @@ def test_second_compactor_fails_instead_of_coopting_live_fence(
     R.compact_rollup(spark, rdir)
     before = _as_dict(R.read_hourly_rollup(spark, rdir))
     assert before
+
+
+def test_recover_heal_rename_failure_raises_keeps_generations(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10 discipline on the heal path: _recover_rollup's
+    old->root restore used to ignore fs.rename's boolean — a rename
+    failing WITHOUT throwing would leave root missing while the heal
+    proceeded to delete the folded tmp and return as if done (readers
+    then fail on the missing dir with no signal why).  It must raise,
+    leaving the staged-aside generation AND the folded tmp intact so
+    the next entry point retries the restore."""
+    import os
+
+    import pytest
+
+    from tests.conftest import LyingFS
+
+    rdir = str(tmp_path / "rollup")
+    pts = decode_grid_directory(spark, str(sorted(FIXTURES.glob("*.txt"))[0]))
+    R.append_hourly_partials(pts, rdir)
+    before = _as_dict(R.read_hourly_rollup(spark, rdir))
+
+    # crash window: root staged aside, a (stale) folded tmp present
+    staged = str(tmp_path / ".rollup.compact_old")
+    folded_tmp = str(tmp_path / ".rollup.compact_tmp")
+    os.rename(rdir, staged)
+    os.makedirs(folded_tmp)
+
+    real_swap_paths = R._swap_paths
+
+    def lying(s, d):
+        fs, root, tmp, old, marker = real_swap_paths(s, d)
+        return LyingFS(fs, fail_renames=1), root, tmp, old, marker
+
+    monkeypatch.setattr(R, "_swap_paths", lying)
+    with pytest.raises(OSError, match="could not restore"):
+        R._recover_rollup(spark, rdir)
+    # nothing destroyed: both the staged generation and the tmp survive
+    assert os.path.exists(staged) and os.path.exists(folded_tmp)
+    assert not os.path.exists(rdir)
+
+    # an honest retry heals: partials restored, stale tmp discarded
+    monkeypatch.setattr(R, "_swap_paths", real_swap_paths)
+    assert _as_dict(R.read_hourly_rollup(spark, rdir)) == before
+    assert os.path.exists(rdir)
+    assert not os.path.exists(staged) and not os.path.exists(folded_tmp)

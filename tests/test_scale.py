@@ -1009,6 +1009,76 @@ def test_compact_lsh_index_layout_only(spark, tmp_path):
     }
 
 
+def test_compact_lsh_index_swap_boolean_failures_surface(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10 discipline on the index-compaction swap: a delete or
+    rename that fails BY RETURNING FALSE (Hadoop boolean contract) must
+    raise, not proceed.  A lying delete used to make the compaction a
+    silent no-op that reported success; a lying rename left the table
+    missing until the NEXT entry point's repair — now the swap repairs
+    inline and still raises, and content survives either way."""
+    import etl_bom_radiation_spark.lsh_index as L
+    from tests.conftest import LyingFS
+
+    seed = _docs_frame(
+        spark,
+        [(i, f"seed doc w{i} about topic t{i % 5} with shared filler words")
+         for i in range(10)],
+    )
+    d = str(tmp_path / "idx")
+    L.build_lsh_index(spark, seed, d)
+    for lo in (100, 200):  # fold generations so compaction has work
+        L.admit_batch(
+            spark,
+            d,
+            _docs_frame(
+                spark,
+                [(lo + i, f"novel doc n{lo + i} topic u{i} unique words here")
+                 for i in range(5)],
+            ),
+        )
+    before_rows = _index_rows(spark, d)
+    real_meta_path = L._meta_path
+
+    def lie(**kw):
+        # ONE lying instance shared across _meta_path calls, so the lie
+        # count is consumed process-wide (the inline repair must see an
+        # honest FS once the single lie has fired)
+        state: dict = {}
+
+        def patched(s, i):
+            fs, p = real_meta_path(s, i)
+            state.setdefault("fs", LyingFS(fs, **kw))
+            return state["fs"], p
+
+        monkeypatch.setattr(L, "_meta_path", patched)
+
+    # the live-table delete lies: swap cannot land — raise, change nothing
+    lie(fail_deletes=1, path_match="bands.parquet")
+    with pytest.raises(RuntimeError, match="could not delete"):
+        L.compact_lsh_index(spark, d, files_per_table=1)
+    monkeypatch.setattr(L, "_meta_path", real_meta_path)
+    assert _index_rows(spark, d) == before_rows
+
+    # the rename-in lies AFTER a successful delete: raise, but repair the
+    # completed temp back in INLINE (the table must not stay missing)
+    lie(fail_renames=1, path_match=".bands.compact-")
+    with pytest.raises(RuntimeError, match="could not swap"):
+        L.compact_lsh_index(spark, d, files_per_table=1)
+    monkeypatch.setattr(L, "_meta_path", real_meta_path)
+    assert (Path(d) / "bands.parquet").exists()
+    assert _index_rows(spark, d) == before_rows
+
+    # an honest run then compacts to the requested layout
+    L.compact_lsh_index(spark, d, files_per_table=1)
+    assert _index_rows(spark, d) == before_rows
+    assert L._part_file_count(
+        *(lambda fs_p: (fs_p[0], spark._jvm.org.apache.hadoop.fs.Path(
+            f"{d}/bands.parquet")))(real_meta_path(spark, d))
+    ) <= 1
+
+
 def test_compact_lsh_index_crash_repair(spark, tmp_path):
     """The compaction swap's two crash states are both repairable and
     unambiguous (live-table presence is the discriminator):
