@@ -356,19 +356,18 @@ def _finish_compaction(fs, jvm, part_dir, tmp) -> bool:
     finally:
         stream.close()
     part_uri = part_dir.toString()
-    for name in names:
-        if not name:
-            continue
-        old = jvm.org.apache.hadoop.fs.Path(f"{part_uri}/{name}")
-        # boolean-return discipline (ADVICE r10): a false delete leaves
-        # the old-generation file NEXT TO the folded one — silent
-        # double-counted rows; a false rename would strand a new file in
-        # the temp dir for the recursive delete below to destroy —
-        # silent data loss.  Raising instead leaves the manifest-marked
-        # temp in place, so the next run resumes this same (idempotent)
-        # swap.
-        if fs.exists(old) and not fs.delete(old, False):
-            raise OSError(f"compaction swap: could not delete old file {old}")
+    # SAME order as the original swap in _compact_one — rename the
+    # remaining folded files in FIRST, delete the old generation after —
+    # so the resume, like the swap it replays, never exposes an empty or
+    # undercounted partition to a concurrent reader (the transient state
+    # is both generations visible, i.e. the double-count the crashed run
+    # already left; code-review r11 — the old delete-first replay opened
+    # a reader-visible undercount window the swap's own ordering exists
+    # to prevent).  Booleans checked (ADVICE r10 discipline): a
+    # silently-failed rename would strand a folded file for the
+    # recursive temp delete below to destroy (data loss); a
+    # silently-failed old delete leaves double-counted rows.  Raising
+    # keeps the manifest-marked temp, so the next run resumes again.
     for s in fs.listStatus(tmp):
         n = s.getPath().getName()
         if s.isFile() and not n.startswith(("_", ".")):
@@ -378,6 +377,12 @@ def _finish_compaction(fs, jvm, part_dir, tmp) -> bool:
                     f"compaction swap: could not move folded file "
                     f"{s.getPath()} into {part_uri}"
                 )
+    for name in names:
+        if not name:
+            continue
+        old = jvm.org.apache.hadoop.fs.Path(f"{part_uri}/{name}")
+        if fs.exists(old) and not fs.delete(old, False):
+            raise OSError(f"compaction swap: could not delete old file {old}")
     fs.delete(tmp, True)
     return True
 

@@ -223,9 +223,15 @@ def _repair_meta(spark: SparkSession, index_dir: str) -> bool:
     meta write of a new index runs with no live meta at all, so a crash
     mid-create leaves a TORN tmp in exactly the live-missing state this
     repair fires on.  The tmp is therefore validated (:func:`_valid_meta`)
-    before promotion; an unparseable tmp is deleted so callers see the
-    intended missing-meta failure mode, not a parse error on a live
-    meta."""
+    before promotion; an invalid tmp is IGNORED — not deleted — so
+    callers see the intended missing-meta failure mode, not a parse
+    error on a live meta.  Ignoring (code-review r11) rather than
+    deleting matters: the same live-missing + tmp-present state is what
+    a reader sees while the first-ever ``_write_meta`` is STILL WRITING
+    the tmp, and deleting it out from under the writer would turn a
+    healthy initial build into a spurious commit failure.  A genuinely
+    torn leftover is harmless in place: it is never promoted, and the
+    next ``_write_meta`` overwrites it (``fs.create(tmp, True)``)."""
     fs, p = _meta_path(spark, index_dir)
     if fs.exists(p):
         return False
@@ -239,10 +245,7 @@ def _repair_meta(spark: SparkSession, index_dir: str) -> bool:
         # winner restored the live meta
         return fs.exists(p)
     if not complete:
-        if fs.exists(p):  # a concurrent writer landed a real commit
-            return True
-        fs.delete(tmp, False)
-        return False
+        return fs.exists(p)  # a concurrent writer may have landed a commit
     if not fs.rename(tmp, p):
         # readers are NOT single-writer-bound: two concurrent probes can
         # both see the crashed swap and race the rename — the loser's

@@ -1073,10 +1073,9 @@ def test_compact_lsh_index_swap_boolean_failures_surface(
     # an honest run then compacts to the requested layout
     L.compact_lsh_index(spark, d, files_per_table=1)
     assert _index_rows(spark, d) == before_rows
-    assert L._part_file_count(
-        *(lambda fs_p: (fs_p[0], spark._jvm.org.apache.hadoop.fs.Path(
-            f"{d}/bands.parquet")))(real_meta_path(spark, d))
-    ) <= 1
+    fs, _ = real_meta_path(spark, d)  # the REAL fs: the lies are over
+    bands_p = spark._jvm.org.apache.hadoop.fs.Path(f"{d}/bands.parquet")
+    assert L._part_file_count(fs, bands_p) <= 1
 
 
 def test_compact_lsh_index_crash_repair(spark, tmp_path):
@@ -1529,7 +1528,10 @@ def test_meta_first_write_torn_tmp_not_promoted(spark, tmp_path):
     promoting it would turn every later read into a JSON parse error on
     a live meta instead of the intended missing-meta failure mode.
     ``_repair_meta`` now validates the tmp before renaming it in and
-    deletes an unparseable one."""
+    IGNORES an invalid one — not deletes it (code-review r11): the same
+    on-disk state is what a reader sees while the first-ever write is
+    still writing the tmp, and deleting it under the writer would abort
+    a healthy initial build."""
     import etl_bom_radiation_spark.lsh_index as L
 
     d = tmp_path / "idx"
@@ -1537,18 +1539,26 @@ def test_meta_first_write_torn_tmp_not_promoted(spark, tmp_path):
     tmp = d / "meta.json.tmp"
     tmp.write_text('{"max_doc_id": 1')  # crashed mid-create: torn JSON
     assert L._repair_meta(spark, str(d)) is False
-    assert not tmp.exists() and not (d / "meta.json").exists()
+    assert not (d / "meta.json").exists()
+    assert tmp.exists()  # left in place: it may be an in-flight write
     # the caller sees the honest missing-meta failure, not a parse error
     with pytest.raises(Exception, match="meta.json"):
         L._read_meta(spark, str(d))
     # parseable-but-not-a-meta content is refused the same way
     tmp.write_text('{"wrong_key": 1}')
     assert L._repair_meta(spark, str(d)) is False
-    assert not tmp.exists()
-    # and a COMPLETE tmp still repairs (the ADVICE r9 swap-window fix)
+    assert not (d / "meta.json").exists()
+    # a COMPLETE tmp still repairs (the ADVICE r9 swap-window fix)
     tmp.write_text('{"max_doc_id": 7, "epoch": null}')
     assert L._repair_meta(spark, str(d)) is True
     assert L._read_meta(spark, str(d))["max_doc_id"] == 7
+    # and a lingering torn tmp never wedges the next real build: the
+    # writer overwrites it and commits normally
+    (d / "meta.json").unlink()
+    tmp.write_text('{"max_doc_id": 1')
+    L.build_lsh_index(spark, _docs_frame(spark, _EPOCH_SEED), str(d))
+    assert L._read_meta(spark, str(d))["max_doc_id"] == 2
+    assert not tmp.exists()
 
 
 def test_write_meta_rename_failure_surfaces(spark, tmp_path, monkeypatch):
