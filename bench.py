@@ -169,11 +169,44 @@ def _spin_canary() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _io_canary() -> float:
+    """Disk canary: best-of-2 seconds for a 64 MiB write+fsync+read on
+    the filesystem Spark's local dirs and the bench corpora live on.
+    Added r11: the spin canary alone does not normalize the basket —
+    identical code measured 8.42 and 9.76 s under the SAME spin reading
+    (DRIFT_r11), so a second, CPU-invisible noise source exists, and
+    host DISK contention is the prime suspect (a probe on this box read
+    4.4 s vs 0.35 s for the same fsync'd write minutes apart).
+    Best-of-2 because the first fsync on a fresh file can pay journal /
+    allocation costs that are not contention; if even the best pass is
+    slow, the disk is genuinely contended and the capture's IO-heavy
+    timings (shuffle spill, parquet writes) are suspect."""
+    import tempfile
+
+    buf = b"\x00" * (64 << 20)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fd, p = tempfile.mkstemp(prefix="bench_io_canary_", dir=None)
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(buf)
+                f.flush()
+                os.fsync(f.fileno())
+            with open(p, "rb") as f:
+                f.read()
+        finally:
+            os.unlink(p)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def format_output(
     timings: dict[str, float],
     io: dict[str, dict[str, float]],
     sf: float | None,
     canary: list[float] | None = None,
+    io_canary: list[float] | None = None,
 ) -> tuple[str, dict]:
     """Build (printed-JSON-line, full-artifact-dict).
 
@@ -210,6 +243,8 @@ def format_output(
     }
     if canary is not None:
         full["spin"] = small["spin"] = canary
+    if io_canary is not None:
+        full["io_spin"] = small["io_spin"] = io_canary
     return json.dumps(small, separators=(",", ":")), full
 
 
@@ -301,6 +336,7 @@ def main() -> int:
     from etl_bom_radiation_spark.session import get_spark
 
     canary_before = _spin_canary()  # before the JVM exists
+    io_canary_before = _io_canary()
     spark = get_spark(
         app_name="bench",
         # the UI is off in the engine session (session.py); bench enables it
@@ -946,7 +982,11 @@ def main() -> int:
     except ValueError:
         sf = None
     line, full = format_output(
-        timings, io, sf, canary=[canary_before, _spin_canary()]
+        timings,
+        io,
+        sf,
+        canary=[canary_before, _spin_canary()],
+        io_canary=[io_canary_before, _io_canary()],
     )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), IO_ARTIFACT), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)

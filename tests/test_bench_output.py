@@ -29,7 +29,13 @@ def _fake_run(n_queries: int) -> tuple[str, dict]:
         timings[name] = 99.999
     io = {n: {"shuffle_read_mb": 1234.567, "shuffle_write_mb": 1234.567,
               "input_mb": 99999.999, "output_mb": 99999.999} for n in timings}
-    return bench.format_output(timings, io, sf=0.1, canary=[99.999, 99.999])
+    return bench.format_output(
+        timings,
+        io,
+        sf=0.1,
+        canary=[99.999, 99.999],
+        io_canary=[88.888, 88.888],
+    )
 
 
 def test_line_roundtrips_and_stays_small():
@@ -45,6 +51,10 @@ def test_line_roundtrips_and_stays_small():
     # the CPU canary pair rides the line (box-noise self-description,
     # DRIFT_r10) and the full artifact carries it too
     assert parsed["spin"] == [99.999, 99.999] == full["spin"]
+    # ...as does the disk canary pair (DRIFT_r11: the spin canary alone
+    # does not normalize the basket — identical code read 8.42 vs 9.76 s
+    # under the same spin value, so disk contention rides the line too)
+    assert parsed["io_spin"] == [88.888, 88.888] == full["io_spin"]
     # io detail never rides the line
     assert "io_mb" not in parsed and "io_mb" in full
 

@@ -308,10 +308,13 @@ def test_canary_pair_set_for_programmatic_mains(monkeypatch):
 
     calls = iter([0.5, 99.0])
     monkeypatch.setattr(SP, "_spin_canary", lambda: next(calls))
+    monkeypatch.setattr(SP, "_io_canary", lambda: 0.25)
     monkeypatch.setattr(SP, "_CANARY_AT_START", None)
+    monkeypatch.setattr(SP, "_IO_CANARY_AT_START", None)
     assert SP._canary_start() == 0.5
     assert SP._canary_start() == 0.5  # set at most once per process
     assert SP._CANARY_AT_START == 0.5
+    assert SP._IO_CANARY_AT_START == 0.25  # the disk half primes with it
 
     # every entry point primes the canary as its FIRST statement
     for fn in (SP.stream_main, SP.fold_main, SP.probe_main, SP.main):

@@ -40,13 +40,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _spin_canary  # noqa: E402  (CPU canary, DRIFT_r10:
-#  ratios are only comparable between runs whose canaries agree ~10% —
-#  the n49 "3.33" outlier was a contended box, not a regression)
+from bench import _io_canary, _spin_canary  # noqa: E402  (canaries,
+#  DRIFT_r10/r11: ratios are only comparable between runs whose canaries
+#  agree ~10% — the n49 "3.33" outlier was a contended box, not a
+#  regression; the disk pair covers the CPU-invisible contention the
+#  spin pair misses)
 
 #: set by _canary_start() on first use — lazy so pytest's import of the
 #: corpus/time helpers does not pay the spin at collection time
 _CANARY_AT_START: float | None = None
+_IO_CANARY_AT_START: float | None = None
 
 
 def _canary_start() -> float:
@@ -56,9 +59,10 @@ def _canary_start() -> float:
     programmatically, only ``main()`` set the start value, so the JSON
     line read ``"spin": [null, a]`` — losing the before/after agreement
     check the pair exists for)."""
-    global _CANARY_AT_START
+    global _CANARY_AT_START, _IO_CANARY_AT_START
     if _CANARY_AT_START is None:
         _CANARY_AT_START = _spin_canary()
+        _IO_CANARY_AT_START = _io_canary()
     return _CANARY_AT_START
 
 
@@ -433,7 +437,7 @@ def stream_main(mult: int, filters: list[str]) -> int:
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    print(json.dumps({"m": mult, "mode": "streaming", "ops": out, "spin": [_CANARY_AT_START, _spin_canary()]}))
+    print(json.dumps({"m": mult, "mode": "streaming", "ops": out, "spin": [_CANARY_AT_START, _spin_canary()], "io_spin": [_IO_CANARY_AT_START, _io_canary()]}))
     return 0
 
 
@@ -507,7 +511,7 @@ def fold_main(mult: int) -> int:
               f"ratio={out['ratio']}", file=sys.stderr)
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    print(json.dumps({"m": mult, "fold": out, "spin": [_CANARY_AT_START, _spin_canary()]}))
+    print(json.dumps({"m": mult, "fold": out, "spin": [_CANARY_AT_START, _spin_canary()], "io_spin": [_IO_CANARY_AT_START, _io_canary()]}))
     return 0
 
 
@@ -570,7 +574,7 @@ def probe_main(mult: int) -> int:
               f"ratio={out['ratio']}", file=sys.stderr)
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    print(json.dumps({"m": mult, "probe": out, "spin": [_CANARY_AT_START, _spin_canary()]}))
+    print(json.dumps({"m": mult, "probe": out, "spin": [_CANARY_AT_START, _spin_canary()], "io_spin": [_IO_CANARY_AT_START, _io_canary()]}))
     return 0
 
 
@@ -622,7 +626,7 @@ def main() -> int:
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(dm, ignore_errors=True)
-    print(json.dumps({"m": mult, "ops": out, "spin": [_CANARY_AT_START, _spin_canary()]}))
+    print(json.dumps({"m": mult, "ops": out, "spin": [_CANARY_AT_START, _spin_canary()], "io_spin": [_IO_CANARY_AT_START, _io_canary()]}))
     return 0
 
 
