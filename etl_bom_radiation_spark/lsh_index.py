@@ -161,7 +161,11 @@ def _valid_meta(raw: str) -> bool:
     once SOME meta has existed; a crash inside the FIRST-ever
     ``_write_meta`` of a new index can leave a torn tmp with no live
     meta, and promoting it would turn every later read into a JSON parse
-    error instead of the honest missing-meta failure)."""
+    error instead of the honest missing-meta failure).  Soundness note:
+    a torn write is always a strict PREFIX of the payload, and no strict
+    prefix of a JSON object parses (the closing brace is the final
+    byte) — so this check cannot accept a truncated mark as a shorter
+    valid one."""
     try:
         int(json.loads(raw)["max_doc_id"])
     except (ValueError, KeyError, TypeError):
