@@ -442,7 +442,12 @@ def _fold_frames(
             f"{mn_mx['mn']} <= indexed max {high_water} (re-arrival or "
             f"out-of-order fold — rebuild or re-id the batch)"
         )
-    new_bands = F.broadcast(new_bands.localCheckpoint())  # batch-sized
+    # pinned once: touched, occ and admitted all derive from it.  No
+    # broadcast hint here — the joins below hint their own small sides
+    # (touched, occ); a hint on THIS frame would sit under an aggregate
+    # and the outer side of a left join, where it is unusable and only
+    # logs "join hint ... not part of a join relation" per fold.
+    new_bands = new_bands.localCheckpoint()
 
     # occupancy of ONLY the touched buckets: broadcast semi-join keeps the
     # index scan shuffle-free; the count aggregates <= cap rows per
@@ -669,13 +674,17 @@ def admit_batch(
                 and mx_keep <= _read_meta(spark, index_dir)["max_doc_id"]
             ):
                 return verdicts  # this (sub-)batch's fold already committed
-        keep_ids = F.broadcast(keeps.select("doc_id"))
+        keep_ids = keeps.select("doc_id")
+        # hint only the JOIN uses; the kept_ids argument feeds an
+        # aggregate in _fold_frames, where a broadcast hint is unusable
+        # and would log "join hint ... not part of a join relation"
+        keep_b = F.broadcast(keep_ids)
         _fold_frames(
             spark,
             index_dir,
             keep_ids,
-            bands_u.join(keep_ids, "doc_id"),
-            hsets_b.join(keep_ids, "doc_id"),
+            bands_u.join(keep_b, "doc_id"),
+            hsets_b.join(keep_b, "doc_id"),
             epoch=epoch,
         )
         return verdicts
