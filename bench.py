@@ -170,20 +170,26 @@ def _spin_canary() -> float:
 
 
 def _io_canary() -> float:
-    """Disk canary: best-of-2 seconds for a 64 MiB write+fsync+read on
-    the filesystem Spark's local dirs and the bench corpora live on.
-    Added r11: the spin canary alone does not normalize the basket —
-    identical code measured 8.42 and 9.76 s under the SAME spin reading
-    (DRIFT_r11), so a second, CPU-invisible noise source exists, and
-    host DISK contention is the prime suspect (a probe on this box read
-    4.4 s vs 0.35 s for the same fsync'd write minutes apart).
-    Best-of-2 because the first fsync on a fresh file can pay journal /
-    allocation costs that are not contention; if even the best pass is
-    slow, the disk is genuinely contended and the capture's IO-heavy
-    timings (shuffle spill, parquet writes) are suspect."""
+    """Disk canary: best-of-2 seconds for a 64 MiB write+fsync+read in
+    the process temp dir — the device Spark's default ``local.dir``
+    (shuffle spill) shares; on this box it is also the repo/corpora
+    device.  Caveat (code-review r11): if TMPDIR is tmpfs the canary
+    measures memory, which is then also what Spark spill pays there —
+    still the relevant number, but NOT evidence about the corpora disk;
+    the buffer is urandom so a compressing filesystem cannot fake the
+    write.  Added r11: the spin canary alone does not normalize the
+    basket — identical code measured 8.42 and 9.76 s under the SAME
+    spin reading (DRIFT_r11), so a second, CPU-invisible noise source
+    exists, and host DISK contention is the prime suspect (a probe on
+    this box read 4.4 s vs 0.35 s for the same fsync'd write minutes
+    apart).  Best-of-2 because the first fsync on a fresh file can pay
+    journal / allocation costs that are not contention; if even the
+    best pass is slow, the disk is genuinely contended and the
+    capture's IO-heavy timings (shuffle spill, parquet writes) are
+    suspect."""
     import tempfile
 
-    buf = b"\x00" * (64 << 20)
+    buf = os.urandom(64 << 20)
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()

@@ -418,12 +418,29 @@ def _compact_one(
     # manifest of the old generation goes into the temp dir AFTER the
     # folded write and BEFORE any rename: its presence marks the swap
     # as committed, making a crash anywhere in the rename/delete
-    # window repairable by _finish_compaction on the next run
-    out = fs.create(
-        jvm.org.apache.hadoop.fs.Path(f"{tmp.toString()}/{_COMPACT_MANIFEST}"), True
+    # window repairable by _finish_compaction on the next run.
+    # Written COMPLETE under a dot-temp name, then renamed in
+    # (code-review r11): _finish_compaction trusts the manifest's
+    # EXISTENCE, so a create-then-write crash must not leave a torn
+    # manifest — replaying one as a committed swap would move the folded
+    # generation in while deleting only the listed (possibly zero) old
+    # files, then destroy the temp dir: permanent double-counted rows
+    # with no repair marker left.  The rename makes existence == complete
+    # (the same swap discipline as the data files; a crash before it
+    # leaves a manifest-less temp, which the next run discards).
+    manifest_p = jvm.org.apache.hadoop.fs.Path(
+        f"{tmp.toString()}/{_COMPACT_MANIFEST}"
     )
+    manifest_tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{tmp.toString()}/.{_COMPACT_MANIFEST}.tmp"
+    )
+    out = fs.create(manifest_tmp, True)
     out.write(bytearray("\n".join(f.getName() for f in files), "utf-8"))
     out.close()
+    if not fs.rename(manifest_tmp, manifest_p):
+        raise OSError(
+            f"compaction swap: could not publish manifest {manifest_p}"
+        )
     # new part-file names are UUID-unique: rename in first, delete the
     # old generation after — readers never see an empty partition.
     # Booleans checked (ADVICE r10 discipline): a silently-failed rename
@@ -468,11 +485,15 @@ def compact_partitions(
     reader never observes an empty partition — it may briefly observe both
     generations (duplicate rows); run compaction in a read-quiesced window
     for strict snapshot semantics. A crash mid-swap is repaired on the
-    next run: the temp dir carries an old-generation manifest written
-    before any rename, and ``_finish_compaction`` replays the
-    delete-old/move-in steps idempotently (without it, a crash between
-    the rename and delete loops would leave both generations double-
-    counted forever — code-review r3). Returns the number of partitions
+    next run: the temp dir carries an old-generation manifest published
+    (atomic rename, so existence == complete — code-review r11) before
+    any data rename, and ``_finish_compaction`` replays the swap
+    idempotently in the SAME reader-safe order — move the remaining
+    folded files in first, delete the old generation after (without the
+    manifest, a crash between the rename and delete loops would leave
+    both generations double-counted forever — code-review r3; the
+    delete-first replay order was itself a reader-visible undercount
+    window, fixed r11). Returns the number of partitions
     compacted. Run it out-of-band (the reference has no equivalent — its
     output only ever accretes).
 

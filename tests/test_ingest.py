@@ -688,10 +688,18 @@ def test_compaction_swap_boolean_failures_surface(spark, tmp_path):
         os.path.dirname(part_dir), "." + os.path.basename(part_dir) + ".compacting"
     )
 
-    # rename-in of the folded generation lies: must raise BEFORE any
+    # rename-in of the folded generation lies (scoped past the manifest
+    # publish, which renames first): must raise BEFORE any
     # old-generation delete, leaving both generations intact on disk
     with pytest.raises(OSError, match="could not move folded file"):
-        I._compact_one(spark, LyingFS(fs, fail_renames=1), jvm, part_p, 1, 2)
+        I._compact_one(
+            spark,
+            LyingFS(fs, fail_renames=1, path_match=".parquet"),
+            jvm,
+            part_p,
+            1,
+            2,
+        )
     assert spark.read.parquet(data_dir).count() == total
     assert os.path.exists(os.path.join(tmp, I._COMPACT_MANIFEST))
 
@@ -717,6 +725,30 @@ def test_compaction_swap_boolean_failures_surface(spark, tmp_path):
         )
     assert compact_partitions(spark, data_dir) >= 1
     assert spark.read.parquet(data_dir).count() == total2
+    assert not os.path.exists(tmp)
+
+    # the manifest PUBLISH rename lies (code-review r11: the manifest is
+    # the swap's commit marker, so it must appear atomically — a torn
+    # create-then-write manifest replayed as committed would double-count
+    # forever): must raise with the partition untouched, and the
+    # manifest-less temp the failure leaves is DISCARDED by the next run,
+    # which then compacts from scratch
+    write_points(pts, data_dir)
+    total3 = spark.read.parquet(data_dir).count()
+    with pytest.raises(OSError, match="could not publish manifest"):
+        I._compact_one(
+            spark,
+            LyingFS(fs, fail_renames=1, path_match=I._COMPACT_MANIFEST),
+            jvm,
+            part_p,
+            1,
+            2,
+        )
+    assert spark.read.parquet(data_dir).count() == total3
+    assert os.path.exists(tmp)  # crash state: temp present, NO manifest
+    assert not os.path.exists(os.path.join(tmp, I._COMPACT_MANIFEST))
+    assert compact_partitions(spark, data_dir) >= 1
+    assert spark.read.parquet(data_dir).count() == total3
     assert not os.path.exists(tmp)
 
 
