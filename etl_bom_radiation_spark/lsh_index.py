@@ -165,12 +165,15 @@ def _valid_meta(raw: str) -> bool:
     a torn write is always a strict PREFIX of the payload, and no strict
     prefix of a JSON object parses (the closing brace is the final
     byte) — so this check cannot accept a truncated mark as a shorter
-    valid one."""
+    valid one.  The mark must BE a JSON integer (ADVICE r11): ``int()``
+    coercion would promote a hand-edited or corrupted-yet-parseable tmp
+    whose mark is a float (``int(3.9)`` truncates) or a bool — weaker
+    than the integer mark the writer emits and this gate claims."""
     try:
-        int(json.loads(raw)["max_doc_id"])
+        mark = json.loads(raw)["max_doc_id"]
     except (ValueError, KeyError, TypeError):
         return False
-    return True
+    return isinstance(mark, int) and not isinstance(mark, bool)
 
 
 def _write_meta(
@@ -208,9 +211,26 @@ def _write_meta(
         # One benign cause: a concurrent reader's _repair_meta won the
         # rename of this very tmp (it saw our delete->rename window) —
         # then the commit already landed with this exact payload.
-        # Anything else must surface before the caller reports success.
-        if not (fs.exists(p) and _slurp(spark, fs, p) == payload):
-            raise RuntimeError(f"meta commit failed: could not rename {tmp} to {p}")
+        if fs.exists(p) and _slurp(spark, fs, p) == payload:
+            return
+        # First-write race (ADVICE r11): on a FIRST-ever write a repairer
+        # can promote our complete tmp between the exists(p) check above
+        # returning True and our delete — the delete then removes the
+        # just-promoted meta and the rename finds no tmp, leaving NO meta
+        # although the payload had landed.  The payload is still in
+        # memory: re-stage and retry ONCE so the raced commit self-heals
+        # instead of raising a 'commit failed' that points away from the
+        # real cause with no meta left on disk.
+        out = fs.create(tmp, True)
+        out.write(bytearray(payload, "utf-8"))
+        out.close()
+        if not fs.rename(tmp, p):
+            # a live meta with a DIFFERENT payload here is a genuine
+            # anomaly (the module is single-writer); surface it
+            if not (fs.exists(p) and _slurp(spark, fs, p) == payload):
+                raise RuntimeError(
+                    f"meta commit failed: could not rename {tmp} to {p}"
+                )
 
 
 def _repair_meta(spark: SparkSession, index_dir: str) -> bool:
@@ -780,6 +800,17 @@ def compact_lsh_index(
             # successful delete would leave the table missing until the
             # NEXT entry point's _repair_compaction, so repair inline.
             if not fs.delete(live_p, True):
+                # Hadoop delete ALSO returns false when the path does not
+                # exist (ADVICE r11) — a live table that vanished after
+                # _repair_compaction (out-of-band delete) must surface as
+                # the missing-table diagnosis, not a misleading
+                # 'could not delete'.
+                if not fs.exists(live_p):
+                    raise RuntimeError(
+                        f"compact_lsh_index: live table {live_p} is missing "
+                        "— deleted out-of-band after repair; restore it or "
+                        "rebuild the index before compacting"
+                    )
                 raise RuntimeError(
                     f"compact_lsh_index: could not delete {live_p} for the swap"
                 )

@@ -151,3 +151,50 @@ def test_refresh_manifest_incremental_append_and_retire(spark, tmp_path):
     )
     # and pruned_read over the refreshed manifest no longer raises
     assert mf.pruned_read(spark, d, {"lon": (0.0, 1000.0)}).count() == spark.read.parquet(d).count()
+
+
+def test_pruned_read_weak_predicate_bound(spark, tmp_path):
+    """VERDICT r11 #6: the degenerate planning case, fenced at an
+    adversarial file count.  ``pruned_read`` collects the SURVIVING file
+    paths to the driver — bounded by files-after-pruning, so a weak
+    predicate over a many-small-files table degenerates to the full
+    listing (the honest Iceberg/Delta-posture bound now documented in
+    the docstring).  The fence pins (a) the bound's SHAPE — the
+    collected list is exactly the overlapping-file set, never more, (b)
+    correctness at the degenerate point (result == full scan), and (c)
+    the mitigation: ``compact_partitions`` folds the file count back so
+    the same weak predicate collects a partitions-sized list."""
+    from etl_bom_radiation_spark.ingest import compact_partitions
+
+    # adversarial layout: 256 one-row-group files in ONE hive partition
+    d = str(tmp_path / "many")
+    (
+        spark.range(256 * 40)
+        .selectExpr(
+            "CAST(id % 24 AS INT) AS hour",
+            "CAST(id AS DOUBLE) / 7 AS lon",
+            "id AS val",
+        )
+        .withColumn("year", F.lit(2018))
+        .repartition(256)
+        .write.partitionBy("year")
+        .parquet(d)
+    )
+    man = mf.build_manifest(spark, d, ["lon"])
+    n_files = man.count()
+    assert n_files >= 256  # the adversarial premise holds
+
+    # weak predicate: every file's envelope overlaps -> full listing
+    weak = {"lon": (-1e9, 1e9)}
+    pruned = mf.pruned_read(spark, d, weak)
+    assert len(pruned.inputFiles()) == n_files  # the documented bound
+    assert pruned.count() == spark.read.parquet(d).count()
+
+    # mitigation: fold the generations, rebuild, same weak predicate now
+    # collects a partitions-sized list (1 here)
+    assert compact_partitions(spark, d) == 1
+    man2 = mf.build_manifest(spark, d, ["lon"])
+    assert man2.count() == 1
+    pruned2 = mf.pruned_read(spark, d, weak)
+    assert len(pruned2.inputFiles()) == 1
+    assert pruned2.count() == spark.read.parquet(d).count()

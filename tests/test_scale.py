@@ -1617,6 +1617,125 @@ def test_write_meta_rename_failure_surfaces(spark, tmp_path, monkeypatch):
     assert meta["max_doc_id"] == 123 and meta["epoch"] == 7
 
 
+def test_write_meta_repairer_consumed_tmp_self_heals(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11: the narrow first-write race — a concurrent reader's
+    ``_repair_meta`` promotes the writer's complete tmp, the writer's
+    own delete then removes the just-promoted meta, and the rename finds
+    no tmp.  End state at the rename: tmp GONE, live meta GONE, payload
+    landed nowhere — the old code raised 'meta commit failed' with no
+    meta left although the payload was still in memory.  ``_write_meta``
+    now re-stages the tmp from the in-memory payload and retries once,
+    so the raced commit self-heals."""
+    import json
+
+    import etl_bom_radiation_spark.lsh_index as L
+
+    d = str(tmp_path / "idx")
+    L.build_lsh_index(spark, _docs_frame(spark, _EPOCH_SEED), d)
+    real_meta_path = L._meta_path
+
+    class _RaceFS:
+        """First rename: simulate the raced loss — consume the tmp (as
+        the repairer's promote + the writer's delete jointly do) and
+        report failure.  Later calls are honest, so the retry lands."""
+
+        def __init__(self, fs):
+            self._fs, self._raced = fs, False
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+        def rename(self, src, dst):
+            if not self._raced:
+                self._raced = True
+                assert self._fs.delete(src, False)  # tmp gone, p gone
+                return False
+            return self._fs.rename(src, dst)
+
+    state: dict = {}
+
+    def patched(s, i):
+        fs, p = real_meta_path(s, i)
+        state.setdefault("fs", _RaceFS(fs))
+        return state["fs"], p
+
+    monkeypatch.setattr(L, "_meta_path", patched)
+    (Path(d) / "meta.json").unlink()  # the first-ever-write state
+    L._write_meta(spark, d, 42, epoch=3)  # must NOT raise
+    monkeypatch.setattr(L, "_meta_path", real_meta_path)
+    meta = L._read_meta(spark, d)
+    assert meta["max_doc_id"] == 42 and meta["epoch"] == 3
+    assert json.loads((Path(d) / "meta.json").read_text())["max_doc_id"] == 42
+
+
+def test_valid_meta_mark_must_be_json_integer(spark, tmp_path):
+    """ADVICE r11: ``_valid_meta`` must not promote a parseable tmp whose
+    mark is a float (``int(3.9)`` truncates) or a bool — the writer only
+    emits JSON integers, so anything else is hand-edited or corrupted."""
+    import etl_bom_radiation_spark.lsh_index as L
+
+    assert L._valid_meta('{"max_doc_id": 7, "epoch": null}') is True
+    for bad in (
+        '{"max_doc_id": 3.9}',
+        '{"max_doc_id": true}',
+        '{"max_doc_id": "7"}',
+        '{"max_doc_id": null}',
+    ):
+        assert L._valid_meta(bad) is False, bad
+    # and the repair path refuses them end-to-end
+    d = tmp_path / "idx"
+    d.mkdir()
+    (d / "meta.json.tmp").write_text('{"max_doc_id": 3.9}')
+    assert L._repair_meta(spark, str(d)) is False
+    assert not (d / "meta.json").exists()
+
+
+def test_compact_missing_live_table_diagnosed(spark, tmp_path, monkeypatch):
+    """ADVICE r11: Hadoop delete returns false for a MISSING path too —
+    a live table that vanishes out-of-band right at the swap must
+    surface as the missing-table diagnosis, not as a misleading
+    'could not delete'."""
+    import etl_bom_radiation_spark.lsh_index as L
+    from tests.conftest import LyingFS
+
+    d = str(tmp_path / "idx")
+    L.build_lsh_index(spark, _docs_frame(spark, _EPOCH_SEED), d)
+    for lo in (100, 200):  # fold generations so compaction has work
+        L.admit_batch(
+            spark,
+            d,
+            _docs_frame(
+                spark,
+                [(lo + i, f"novel doc n{lo + i} topic u{i} unique words here")
+                 for i in range(5)],
+            ),
+        )
+    real_meta_path = L._meta_path
+
+    class _VanishFS(LyingFS):
+        """delete(live): the dir vanishes (really deleted) but the call
+        reports failure — the 'someone else deleted it' ambiguity."""
+
+        def delete(self, path, recursive):
+            if "bands.parquet" in path.getName():
+                self._fs.delete(path, recursive)
+                return False
+            return self._fs.delete(path, recursive)
+
+    state: dict = {}
+
+    def patched(s, i):
+        fs, p = real_meta_path(s, i)
+        state.setdefault("fs", _VanishFS(fs))
+        return state["fs"], p
+
+    monkeypatch.setattr(L, "_meta_path", patched)
+    with pytest.raises(RuntimeError, match="missing"):
+        L.compact_lsh_index(spark, d, files_per_table=1)
+
+
 def test_vacuum_orphans_in_encodable_path(spark, tmp_path, monkeypatch):
     """vacuum's file deletes must survive URI-encodable characters in
     the index path (ADVICE r9): ``input_file_name()`` yields a
