@@ -143,7 +143,7 @@ def connected_components(
 
     def _drop_round(tag: str) -> None:
         if fs is not None:
-            fs.delete(
+            fs.delete(  # best-effort: checkpoint GC — a kept round only leaks scratch
                 spark._jvm.org.apache.hadoop.fs.Path(f"{call_ns}/{tag}"),
                 True,
             )

@@ -97,7 +97,7 @@ def _move(spark: SparkSession, src_uri: str, dst_dir: str) -> None:
     dst = jvm.org.apache.hadoop.fs.Path(f"{dst_dir}/{src.getName()}")
     if not fs.rename(src, dst):
         if fs.exists(src) and fs.exists(dst):
-            fs.delete(dst, False)
+            fs.delete(dst, False)  # best-effort: the retried rename below is the check
             if fs.rename(src, dst):
                 return
         raise OSError(f"rename failed: {src_uri} -> {dst.toString()}")
@@ -348,7 +348,9 @@ def _finish_compaction(fs, jvm, part_dir, tmp) -> bool:
     completed swap was recovered."""
     manifest = jvm.org.apache.hadoop.fs.Path(f"{tmp.toString()}/{_COMPACT_MANIFEST}")
     if not fs.exists(manifest):
-        fs.delete(tmp, True)
+        # a manifest-less temp is scratch; a survivor of a failed delete
+        # is retried by the next compaction of this partition
+        fs.delete(tmp, True)  # best-effort: scratch reclamation only
         return False
     stream = fs.open(manifest)
     try:
@@ -383,7 +385,7 @@ def _finish_compaction(fs, jvm, part_dir, tmp) -> bool:
         old = jvm.org.apache.hadoop.fs.Path(f"{part_uri}/{name}")
         if fs.exists(old) and not fs.delete(old, False):
             raise OSError(f"compaction swap: could not delete old file {old}")
-    fs.delete(tmp, True)
+    fs.delete(tmp, True)  # best-effort: content moved out; leftover is scratch
     return True
 
 
@@ -461,7 +463,7 @@ def _compact_one(
     for f in files:
         if fs.exists(f) and not fs.delete(f, False):
             raise OSError(f"compaction swap: could not delete old file {f}")
-    fs.delete(tmp, True)
+    fs.delete(tmp, True)  # best-effort: content moved out; leftover is scratch
     return True
 
 
@@ -696,7 +698,7 @@ def publish_staged_batch(
         fs.mkdirs(dst.getParent())
         if not fs.rename(src, dst):
             if fs.exists(dst):
-                fs.delete(src, False)  # published by a racing prior attempt
+                fs.delete(src, False)  # best-effort: published by a racing prior attempt
             else:
                 raise OSError(f"publish rename failed: {src} -> {dst}")
     return [r for r in rels if r]
@@ -781,7 +783,7 @@ def ingest_stream(
         if _batch_committed(spark, commit_dir, batch_id):
             # re-delivered batch, already fully committed; reap a staging
             # dir left by a crash between the marker write and the cleanup
-            fs.delete(staging, True)
+            fs.delete(staging, True)  # best-effort: scratch reap, next replay re-reaps
             return
         manifest = jvm.org.apache.hadoop.fs.Path(f"{staging_uri}/{_STAGE_MANIFEST}")
         if not fs.exists(manifest):
@@ -819,7 +821,7 @@ def ingest_stream(
         if fq_table is not None:
             register_batch_partitions(spark, fq_table, ws, part_dicts)
         _mark_batch_committed(spark, commit_dir, batch_id)
-        fs.delete(staging, True)
+        fs.delete(staging, True)  # best-effort: committed; leftover staging is reaped on replay
 
     writer = (
         points.writeStream.foreachBatch(_sink)

@@ -202,7 +202,7 @@ def _write_meta(
     out.write(bytearray(payload, "utf-8"))
     out.close()
     if fs.exists(p):
-        fs.delete(p, False)
+        fs.delete(p, False)  # best-effort: a false delete fails the rename below
     if not fs.rename(tmp, p):
         # ADVICE r10: a rename that fails WITHOUT throwing (Hadoop's
         # boolean contract) would otherwise lose the commit silently —
@@ -856,7 +856,7 @@ def _repair_compaction(spark: SparkSession, index_dir: str) -> bool:
         ]
         if fs.exists(live):
             for t in tmps:
-                fs.delete(t, True)
+                fs.delete(t, True)  # best-effort: superseded scratch only
         else:
             done = [t for t in tmps if fs.exists(HPath(t, "_SUCCESS"))]
             if not done:
@@ -871,7 +871,7 @@ def _repair_compaction(spark: SparkSession, index_dir: str) -> bool:
                     f"{done[0]} to {live} — index table still missing"
                 )
             for t in done[1:]:
-                fs.delete(t, True)
+                fs.delete(t, True)  # best-effort: superseded scratch only
             repaired = True
     return repaired
 

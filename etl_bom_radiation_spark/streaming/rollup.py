@@ -164,7 +164,7 @@ def _recover_rollup(spark: SparkSession, rollup_dir: str) -> None:
         except Exception:
             break  # marker vanished between exists and stat: swap finished
         if age_ms > _SWAP_LEASE_MS:
-            fs.delete(marker, False)  # crashed compactor: heal below
+            fs.delete(marker, False)  # best-effort: crashed compactor heal; re-aged next entry
             break
         time.sleep(0.05)
     if fs.exists(marker):
@@ -185,7 +185,7 @@ def _recover_rollup(spark: SparkSession, rollup_dir: str) -> None:
         # the folded output in tmp is now stale (superseded by the restored
         # partials) and re-derivable — discard it. tmp is left alone in any
         # other state: it may belong to an in-flight compaction.
-        fs.delete(tmp, True)
+        fs.delete(tmp, True)  # best-effort: stale folded scratch only
 
 
 def _acquire_append_lease(spark: SparkSession, rollup_dir: str):
@@ -218,7 +218,7 @@ def _acquire_append_lease(spark: SparkSession, rollup_dir: str):
             return fs, lease
         # a compaction fenced between our recover check and our create:
         # back off so its drain phase sees no straggler lease
-        fs.delete(lease, False)
+        fs.delete(lease, False)  # best-effort: a stale lease ages out of the drain
         time.sleep(0.05)
     raise TimeoutError(
         f"append lease on {rollup_dir} not acquired within "
@@ -251,7 +251,7 @@ def _drain_append_leases(spark: SparkSession, rollup_dir: str) -> None:
                 continue
             age_ms = int(time.time() * 1000) - st.getModificationTime()
             if age_ms > _SWAP_LEASE_MS:
-                fs.delete(p, False)  # crashed appender
+                fs.delete(p, False)  # best-effort: crashed appender; re-aged next pass
             else:
                 live += 1
         if not live:
@@ -300,7 +300,7 @@ def append_hourly_partials(
                 .parquet(f"{rollup_dir}/gen={label}")
             )
     finally:
-        fs.delete(lease, False)
+        fs.delete(lease, False)  # best-effort: a stuck lease ages out of the drain
 
 
 def read_hourly_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
@@ -386,16 +386,16 @@ def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
             # next to later gen= subdirs would break hive partition
             # discovery on read)
             folded.write.mode("overwrite").parquet(f"{tmp.toString()}/gen=folded")
-            fs.delete(old, True)
+            fs.delete(old, True)  # best-effort: if old survives, the rename below fails loudly
             if not fs.rename(root, old):
                 raise OSError(
                     f"compact_rollup: could not stage {rollup_dir} aside"
                 )
             if not fs.rename(tmp, root):
-                fs.rename(old, root)  # roll back: restore original partials
+                fs.rename(old, root)  # best-effort: roll back before raising; _recover_rollup heals
                 raise OSError(
                     f"compact_rollup: could not swap folded rollup into {rollup_dir}"
                 )
-            fs.delete(old, True)
+            fs.delete(old, True)  # best-effort: staged-aside copy; next compact re-deletes
     finally:
-        fs.delete(marker, False)
+        fs.delete(marker, False)  # best-effort: a stuck fence ages out via _recover_rollup
