@@ -59,6 +59,38 @@ def q23_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q23b_ranking_at_scale",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+    """,
+)
+def q23b_ranking_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q23's per-class rank in the scale-safe shape (VERDICT r11 #3):
+    q23's ``Window.partitionBy(o_orderpriority)`` caps parallelism at
+    the 5 priority classes — semantically forced for a total per-class
+    rank THROUGH A WINDOW, but not for the rank itself.
+    ``scale.grouped_rank_index`` computes the identical ROW_NUMBER (and,
+    under the unique tiebreaker, RANK/DENSE_RANK) from one range
+    exchange over (class, key) plus a broadcast offsets frame — no task
+    ever sorts a whole class, so the plan has NO Window node at all
+    (asserted in tests/test_plans.py) and survives a 100x scale-up at
+    constant per-task work.  Hash-matched against q23's own ROW_NUMBER
+    oracle."""
+    from ..scale import grouped_rank_index
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    ranked = grouped_rank_index(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+    )
+    return ranked.select("o_orderkey", "o_orderpriority", "rn")
+
+
+@register(
     "q24_lag_lead",
     oracle="""
     SELECT event_id, user_id,

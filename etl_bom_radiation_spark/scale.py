@@ -129,6 +129,82 @@ def global_sort_index(
     )
 
 
+def grouped_rank_index(
+    df: DataFrame,
+    group_cols: list[str],
+    sort_cols,
+    index_name: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group 1-based rank (ROW_NUMBER semantics) for LOW-CARDINALITY
+    group keys without the per-group single-task sort a
+    ``Window.partitionBy(group)`` costs (VERDICT r11 #3: q23's window
+    partitions on a 5-value key, capping parallelism at 5 tasks — at
+    100x each task sorts 20x more data alone; the relational scaling
+    probe shows q23 at the family's worst ratio).
+
+    Shape — :func:`global_sort_index`'s range-shuffle discipline applied
+    per class: ONE ``repartitionByRange(n, group, keys)`` spreads every
+    class across many key-contiguous partitions (a class's rows span a
+    contiguous RUN of partitions, but no partition sorts more than
+    ~1/n of the table); in-partition sequences come from
+    ``monotonically_increasing_id`` over the partition-sorted rows; each
+    (partition, class) slice's rank offset is the total row count of the
+    SAME class in all earlier partitions, computed on the counts frame —
+    at most ``n + |classes|`` rows (each class adds one partial
+    partition boundary), broadcast back onto the data.  The class rank
+    is then ``in-partition sequence - class's first sequence in this
+    partition + 1 + offset``.  Total cost: one range exchange of the
+    fact + a metadata-sized agg — no task ever holds a whole class.
+
+    Same caveats as :func:`global_sort_index`: the sequenced frame is
+    lazily ``localCheckpoint``-ed so the rows branch and the counts
+    branch see the SAME physical partitioning (ReuseExchange is not
+    stable under column pruning), and ``sort_cols`` must complete a
+    total order within each group (unique tiebreaker) or in-tie
+    positions are arbitrary.  With unique ordering ROW_NUMBER = RANK =
+    DENSE_RANK, so one index serves all three.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = (
+        df.repartitionByRange(n, *group_cols, *sort_cols)
+        .sortWithinPartitions(*group_cols, *sort_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+        .withColumn("_pid", F.shiftright("_mid", 33))
+        .withColumn("_seq", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
+    )
+    counts = part.groupBy("_pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("_cnt"), F.min("_seq").alias("_gmin")
+    )
+    earlier = counts.select(
+        F.col("_pid").alias("_qid"),
+        *[F.col(c).alias(f"_q_{c}") for c in group_cols],
+        F.col("_cnt").alias("_qcnt"),
+    )
+    same_class = F.lit(True)
+    for c in group_cols:
+        same_class = same_class & (F.col(c) == F.col(f"_q_{c}"))
+    offsets = (
+        counts.join(
+            F.broadcast(earlier),
+            (F.col("_qid") < F.col("_pid")) & same_class,
+            "left",
+        )
+        .groupBy("_pid", *group_cols, "_gmin")
+        .agg(F.coalesce(F.sum("_qcnt"), F.lit(0)).alias("_off"))
+    )
+    return (
+        part.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(
+            index_name,
+            (F.col("_seq") - F.col("_gmin") + 1 + F.col("_off")).cast("bigint"),
+        )
+        .drop("_mid", "_pid", "_seq", "_gmin", "_off")
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

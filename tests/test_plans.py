@@ -155,6 +155,26 @@ def test_global_sort_index_never_single_partition(spark, oracle_sf_dir):
     assert "ExistingRDD" in p or "Scan ExistingRDD" in p  # checkpointed lineage
 
 
+def test_grouped_rank_no_per_class_sort_task(spark, oracle_sf_dir):
+    """q23b (VERDICT r11 #3): the per-class rank without the per-class
+    single-task sort.  q23's window partitions on the 5-value
+    o_orderpriority — 5 sort tasks whatever the cluster size; q23b must
+    plan with NO Window node at all (the rank is a range exchange over
+    (class, key) + a broadcast offsets join), so no task ever sorts a
+    whole class."""
+    df = QS["q23b_ranking_at_scale"].fn(spark, oracle_sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p  # the whole point: rank without WindowExec
+    assert "SinglePartition" not in p
+    assert "ExistingRDD" in p  # checkpointed lineage pins one partitioning
+    # the offsets frame broadcasts back onto the data — never a second
+    # fact-sized exchange (the range exchange itself lives inside the
+    # checkpointed lineage, executed once; the visible plan joins the
+    # pinned RDD against the broadcast offsets)
+    assert "BroadcastHashJoin" in p
+
+
 def _window_nodes(df):
     """All logical Window nodes of a DataFrame as parsed JSON dicts."""
     import json

@@ -124,6 +124,67 @@ def test_global_sort_index_is_exact_permutation(spark):
     assert all(r["extra"] == f"payload-{r['uid']%7}" for r in out)
 
 
+def test_grouped_rank_index_matches_window_row_number(spark):
+    """Property test for the per-class rank (VERDICT r11 #3): ranks must
+    equal ``row_number() OVER (PARTITION BY class ORDER BY keys)`` row
+    for row — including classes whose rows straddle range-partition
+    boundaries (5 classes over 16 partitions force many straddles),
+    duplicate sort values split only by the tiebreaker, and payload
+    columns riding through the forked branches."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    rng = random.Random(43)
+    rows = [
+        (i, f"class-{rng.randrange(5)}", rng.randrange(50) * 1.0, f"pay-{i % 3}")
+        for i in range(5000)
+    ]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["uid", "cls", "v", "extra"])
+    out = scale.grouped_rank_index(
+        df,
+        ["cls"],
+        [F.col("v").desc(), F.col("uid").asc()],
+        index_name="rn",
+        num_partitions=16,
+    )
+    w = Window.partitionBy("cls").orderBy(F.col("v").desc(), F.col("uid").asc())
+    want = df.select(
+        "uid", "cls", "extra", F.row_number().over(w).cast("bigint").alias("rn")
+    )
+    got = {(r["uid"], r["cls"], r["extra"], r["rn"]) for r in out.collect()}
+    assert got == {tuple(r) for r in want.collect()}
+    # per-class ranks are exactly 1..|class|
+    sizes = {r["cls"]: r["n"] for r in df.groupBy("cls").count().withColumnRenamed("count", "n").collect()}
+    by_cls: dict[str, list[int]] = {}
+    for uid, cls, _extra, rn in got:
+        by_cls.setdefault(cls, []).append(rn)
+    for cls, rns in by_cls.items():
+        assert sorted(rns) == list(range(1, sizes[cls] + 1)), cls
+
+
+def test_grouped_rank_index_edge_cases(spark):
+    """Empty input, one partition, more partitions than rows, and a
+    single-row class must all produce exact per-class 1..N ranks."""
+    empty = spark.createDataFrame([], "k long, c string, v double")
+    assert (
+        scale.grouped_rank_index(empty, ["c"], [F.col("v").asc(), F.col("k").asc()]).count()
+        == 0
+    )
+    tiny = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 3.0), (3, "b", 9.0)], ["k", "c", "v"]
+    )
+    for nparts in (1, 8):
+        got = {
+            (r["k"], r["rn"])
+            for r in scale.grouped_rank_index(
+                tiny, ["c"], [F.col("v").asc(), F.col("k").asc()], num_partitions=nparts
+            ).collect()
+        }
+        assert got == {(2, 1), (1, 2), (3, 1)}, nparts
+
+
 def test_global_sort_index_edge_cases(spark):
     """Empty input, a single range partition, and more partitions than rows
     (some partitions empty) must all produce exact 1..N positions."""

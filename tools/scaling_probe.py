@@ -22,7 +22,9 @@ just those two at 100x).  Flags: ``--relational`` probes REL_OPS over
 replicated TPC-H facts; ``--hot`` switches the corpus generator to the
 adversarial saturated-bucket regime (see gen_corpus); ``--streaming``
 probes state-store growth of the stateful streaming pipelines instead
-of batch runtimes (M multiplies the micro-batch count); ``--fold`` /
+of batch runtimes (M multiplies the micro-batch count); ``--plateau``
+ladders a pipeline's micro-batch count geometrically until its state
+rows go flat across a doubling (default: t09); ``--fold`` /
 ``--probe`` measure the persisted LSH index's maintenance pair (fold a
 fixed batch into, resp. probe a fixed batch against, a 1x vs Mx index).
 Prints one JSON line: {"m": M, "ops": {name: {"t1": s, "tm": s,
@@ -109,6 +111,10 @@ REL_OPS = [
     "q14_groupby_agg",
     "q16_count_distinct",
     "q23_ranking",
+    # the scale-safe sibling (VERDICT r11 #3): same per-class rank from a
+    # range exchange + broadcast offsets — its ratio should beat q23's
+    # (q23's 5-task window sort is the family's worst recorded curve)
+    "q23b_ranking_at_scale",
     "q27_global_sort",
     "q13b_profit_star",
     "x02_gapfill",
@@ -441,6 +447,73 @@ def stream_main(mult: int, filters: list[str]) -> int:
     return 0
 
 
+def plateau_main(filters: list[str]) -> int:
+    """State-plateau probe (``--plateau``, VERDICT r11 #4): drain each
+    stateful pipeline at a GEOMETRIC ladder of batch counts (8, 16, 32,
+    64, 128) and report ``state_final`` at every rung — the bounded-state
+    claim is proven when the curve goes FLAT across a doubling, not
+    extrapolated from a single 1x/Mx pair.  Default pipeline set is just
+    t09 (the stream-stream join whose plateau the 10x probe had not yet
+    reached: its state holds BOTH sides within watermark + the 10-minute
+    attribution range, ~16 batches of fill at 60 s event-time per batch,
+    so the old 8-batch baseline was still filling while an 80-batch run
+    had long plateaued — ratio 1.54 measured mid-fill); pass name
+    filters to ladder any other ``_stream_pipelines`` entry.  Stops
+    early once a doubling changes state_final by <10%.  Prints
+    {"mode": "plateau", "ops": {name: {"curve": {batches: state_final},
+    "plateau": bool, "final_ratio": r}}}."""
+    _canary_start()
+    from etl_bom_radiation_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling_probe_plateau")
+    spark.sparkContext.setLogLevel("ERROR")
+    ladder = [BASE_BATCHES * (2 ** k) for k in range(5)]  # 8..128
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(ladder[-1] + 100)
+    )
+    out = {}
+    root = tempfile.mkdtemp(prefix="probe_plateau_")
+    try:
+        names = [n for n in _stream_pipelines(spark, root)]
+        names = [
+            n for n in names if any(f in n for f in (filters or ["t09"]))
+        ]
+        for name in names:
+            curve: dict[int, int] = {}
+            prev = None
+            for nb in ladder:
+                src = os.path.join(root, f"{name}_{nb}_src")
+                ckpt = os.path.join(root, f"{name}_{nb}_ckpt")
+                df_fn, mode = _stream_pipelines(spark, src)[name]
+                res = drain_stream(spark, df_fn, src, nb, ckpt, mode)
+                curve[nb] = res["state_final"]
+                print(
+                    f"{name}: batches={nb} state_final={res['state_final']}"
+                    f" (input {res['input_rows']})",
+                    file=sys.stderr,
+                )
+                if prev is not None and prev > 0 and (
+                    abs(curve[nb] - prev) / prev < 0.10
+                ):
+                    break  # flat across a doubling: plateau shown
+                prev = curve[nb]
+            rungs = sorted(curve)
+            final_ratio = (
+                round(curve[rungs[-1]] / curve[rungs[-2]], 3)
+                if len(rungs) >= 2 and curve[rungs[-2]]
+                else None
+            )
+            out[name] = {
+                "curve": {str(k): curve[k] for k in rungs},
+                "plateau": final_ratio is not None and abs(final_ratio - 1) < 0.10,
+                "final_ratio": final_ratio,
+            }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({"mode": "plateau", "ops": out, "spin": [_CANARY_AT_START, _spin_canary()], "io_spin": [_IO_CANARY_AT_START, _io_canary()]}))
+    return 0
+
+
 def time_op(spark, fn, sf_dir: str) -> float:
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
     best = float("inf")
@@ -588,6 +661,8 @@ def main() -> int:
         mult, filters = 10, args
     if "--streaming" in sys.argv:
         return stream_main(mult, filters)
+    if "--plateau" in sys.argv:
+        return plateau_main(filters)
     if "--fold" in sys.argv:
         return fold_main(mult)
     if "--probe" in sys.argv:
