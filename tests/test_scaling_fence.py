@@ -327,3 +327,44 @@ def test_canary_pair_set_for_programmatic_mains(monkeypatch):
             and isinstance(first.value, ast.Call)
             and getattr(first.value.func, "id", None) == "_canary_start"
         ), f"{fn.__name__} must call _canary_start() first"
+
+
+@pytest.mark.slow
+def test_t09_stream_join_state_plateaus(spark, tmp_path):
+    """Stream-stream join bounded-state fence (VERDICT r11 #4): t09's
+    state holds BOTH sides within watermark (5 min) + the 10-minute
+    attribution range — ~16 micro-batches of fill at the probe's 60 s
+    event-time step — so the old 8-batch/80-batch probe pair compared a
+    still-filling store against the plateau (ratio 1.54 read as growth).
+    The ``--plateau`` ladder measured the actual curve: 1301 rows at 8
+    batches, 2001 at 16, 2001 at 32 — exactly flat across a doubling
+    (DRIFT_r12).  This fence drains 16 and 32 batches and pins both the
+    flatness (a join whose range predicate stopped bounding state — the
+    unbounded-state regression class — doubles here) and the absolute
+    horizon bound."""
+    from tools.scaling_probe import (
+        BATCH_ROWS,
+        _stream_pipelines,
+        drain_stream,
+    )
+
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "200")
+    finals = {}
+    for nb in (16, 32):
+        src = str(tmp_path / f"src_{nb}")
+        ckpt = str(tmp_path / f"ckpt_{nb}")
+        df_fn, mode = _stream_pipelines(spark, src)["t09_stream_stream_join"]
+        finals[nb] = drain_stream(spark, df_fn, src, nb, ckpt, mode)[
+            "state_final"
+        ]
+    assert finals[16] > 0
+    ratio = finals[32] / finals[16]
+    assert ratio < 1.10, (
+        f"t09 state_final grew {finals[16]} -> {finals[32]} "
+        f"(ratio {ratio:.2f}) across a doubling past the fill horizon — "
+        "stream-stream join state is no longer event-time bounded; see "
+        "tools/scaling_probe.py --plateau"
+    )
+    # absolute horizon bound: ~16 batches of two-sided rows plus slack
+    # (measured plateau 2001 = ~10 batches of retained rows/side + 1)
+    assert finals[32] <= 25 * BATCH_ROWS, finals
