@@ -419,10 +419,17 @@ def load_all() -> dict[str, Query]:
        window within one round of the modification (VERDICT r8 #1) without
        starving the plain rotation;
     3. within a staleness class: unconditional (unmodified) refreshes
-       first, then urgent entries most-recently-modified first — the newest
-       change has had the fewest intervening windows, so it is the most
-       likely to be genuinely unverified rather than a module-granularity
-       false positive.
+       first, then urgent entries ordered by their TRUE evidence round
+       (stalest first), most-recently-modified first within the same
+       round.  True-evidence-first matters when a broad helper commit
+       marks most of the registry urgent at once (observed r12: the
+       r9-r11 lsh/scale/banded helper commits made ~50 entries urgent):
+       ordering the whole clamped class by modification recency let
+       r10-evidence entries queue-jump r8-evidence ones and pushed part
+       of the stalest block past the driver's 50-entry window — the
+       exact starvation the rotation exists to prevent.  The clamp
+       already guarantees every urgent entry re-enters within a round;
+       within that guarantee, oldest evidence first.
 
     Every module named in ``_MODULES`` must exist — a missing or broken
     module raises instead of silently dropping its queries from the
@@ -436,11 +443,11 @@ def load_all() -> dict[str, Query]:
     def key(n: str):
         evid = last.get(n, 0)
         if evid == 0:
-            return (0, 0, 0.0)
+            return (0, 0, 0, 0.0)
         urg = _urgency(REGISTRY[n], evid, latest_round)
         if urg is None:
-            return (evid, 0, 0.0)
-        return (min(evid, max(latest_round - 3, 1)), 1, -urg)
+            return (evid, 0, 0, 0.0)
+        return (min(evid, max(latest_round - 3, 1)), 1, evid, -urg)
 
     ordered = sorted(REGISTRY, key=key)  # stable: module order within ties
     for name in ordered:

@@ -184,3 +184,27 @@ def test_dep_scan_resolves_bare_relative_module_imports(monkeypatch):
     assert "etl_bom_radiation_spark/manifest.py" in paths
     # the registry __init__ stays excluded even though ``register`` was probed
     assert not any(p.endswith("__init__.py") for p in paths)
+
+
+def test_stalest_evidence_block_fits_driver_window():
+    """The rotation's actual deliverable (VERDICT r11 #2): every entry
+    carrying the registry's STALEST evidence round must sit inside the
+    driver's 50-entry correctness window, whatever the urgency clamp
+    does around it.  Caught live in r12: the r9-r11 helper commits made
+    ~50 entries urgent, the clamp put them all in one staleness class,
+    and the old most-recently-modified-first tiebreak let r10-evidence
+    entries queue-jump the r8 block — pushing n32-n36 to positions
+    65-70, past the window.  The key now orders the clamped class by
+    true evidence round first."""
+    reg = load_all()
+    last = Q._last_verified_round()
+    verified = [n for n in reg if last.get(n, 0) > 0]
+    if not verified:
+        return
+    stalest = min(last[n] for n in verified)
+    block = [n for n in verified if last[n] == stalest]
+    pos = {n: i for i, n in enumerate(reg)}
+    window = max(50, len(block) + sum(1 for n in reg if last.get(n, 0) == 0))
+    assert max(pos[n] for n in block) < window, sorted(
+        (pos[n], n) for n in block
+    )[-5:]
