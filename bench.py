@@ -104,6 +104,10 @@ HEADLINE = [
     # broadcast-probe shape — a regression that re-shuffles the index for
     # an arriving shard shows up ~corpus/shard-fold here)
     "n49_incremental_lsh_dedup",
+    # round-12: the scale-safe per-class rank (range exchange + broadcast
+    # offsets, no WindowExec) — wall time guards the checkpointed
+    # two-branch shape against a regression back to a per-class sort
+    "q23b_ranking_at_scale",
 ]
 
 # Fixed cross-round comparison set (VERDICT r5 #6): the full total grows

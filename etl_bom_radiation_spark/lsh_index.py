@@ -806,10 +806,17 @@ def compact_lsh_index(
                 # the missing-table diagnosis, not a misleading
                 # 'could not delete'.
                 if not fs.exists(live_p):
+                    # no data is at risk: this rewrite's COMPLETE
+                    # _SUCCESS-marked temp is already on disk, and the
+                    # next entry point's _repair_compaction promotes it
+                    # (live-missing + complete temp is exactly the
+                    # crashed-swap state it repairs) — so the remediation
+                    # is a re-run, never a rebuild (code-review r12)
                     raise RuntimeError(
-                        f"compact_lsh_index: live table {live_p} is missing "
-                        "— deleted out-of-band after repair; restore it or "
-                        "rebuild the index before compacting"
+                        f"compact_lsh_index: live table {live_p} vanished "
+                        "at the swap (deleted out-of-band or by a "
+                        "concurrent compactor); re-run compact_lsh_index — "
+                        "it will resume from this rewrite's completed temp"
                     )
                 raise RuntimeError(
                     f"compact_lsh_index: could not delete {live_p} for the swap"

@@ -69,12 +69,14 @@ def _swap_in(spark: SparkSession, tmp: str, out: str) -> None:
     the next refresh's fallback rebuild)."""
     fs, out_p, jvm = _fs_for(spark, out)
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-    # boolean checked (ADVICE r10 discipline), exists-guarded: Hadoop
-    # delete also returns false for a MISSING path (the first-ever build),
-    # which is not a failure — but a false delete of a PRESENT manifest
-    # means the rename below cannot land, so diagnose it here rather than
-    # as a misleading rename error
-    if fs.exists(out_p) and not fs.delete(out_p, True):
+    # boolean checked (ADVICE r10 discipline): Hadoop delete also returns
+    # false for a MISSING path (the first-ever build), which is not a
+    # failure — only a false delete of a path that SURVIVED it means the
+    # rename below cannot land.  Delete-then-exists, not exists-then-
+    # delete: the reversed order has a TOCTOU where a concurrent
+    # rebuild's delete lands between the two calls and a healthy swap
+    # raises spuriously (code-review r12).
+    if not fs.delete(out_p, True) and fs.exists(out_p):
         raise OSError(f"manifest swap failed: could not delete old {out}")
     if not fs.rename(tmp_p, out_p):
         raise OSError(f"manifest swap failed: rename {tmp} -> {out}")

@@ -183,9 +183,13 @@ def grouped_rank_index(
         *[F.col(c).alias(f"_q_{c}") for c in group_cols],
         F.col("_cnt").alias("_qcnt"),
     )
+    # eqNullSafe THROUGHOUT the class comparisons (code-review r12): a
+    # NULL group key is a real group under Window.partitionBy semantics
+    # — null-unsafe equality here (and in the row join below) silently
+    # DROPPED every NULL-class row instead of ranking it
     same_class = F.lit(True)
     for c in group_cols:
-        same_class = same_class & (F.col(c) == F.col(f"_q_{c}"))
+        same_class = same_class & F.col(c).eqNullSafe(F.col(f"_q_{c}"))
     offsets = (
         counts.join(
             F.broadcast(earlier),
@@ -195,13 +199,25 @@ def grouped_rank_index(
         .groupBy("_pid", *group_cols, "_gmin")
         .agg(F.coalesce(F.sum("_qcnt"), F.lit(0)).alias("_off"))
     )
+    off = offsets.select(
+        F.col("_pid").alias("_o_pid"),
+        *[F.col(c).alias(f"_o_{c}") for c in group_cols],
+        "_gmin",
+        "_off",
+    )
+    row_cond = F.col("_pid") == F.col("_o_pid")
+    for c in group_cols:
+        row_cond = row_cond & F.col(c).eqNullSafe(F.col(f"_o_{c}"))
     return (
-        part.join(F.broadcast(offsets), ["_pid", *group_cols])
+        part.join(F.broadcast(off), row_cond)
         .withColumn(
             index_name,
             (F.col("_seq") - F.col("_gmin") + 1 + F.col("_off")).cast("bigint"),
         )
-        .drop("_mid", "_pid", "_seq", "_gmin", "_off")
+        .drop(
+            "_mid", "_pid", "_seq", "_gmin", "_off", "_o_pid",
+            *[f"_o_{c}" for c in group_cols],
+        )
     )
 
 

@@ -43,10 +43,12 @@ MARKER = "best-effort"
 def unchecked_fs_calls(source: str, filename: str = "<mem>") -> list[str]:
     """``(file:line)`` of every statement-level (result-discarded)
     ``fs.rename``/``fs.delete`` call whose statement lines lack the
-    ``best-effort`` marker (in the statement's own lines, or in the
-    comment line directly above it).  Receiver matching is the repo
-    convention: the Hadoop FileSystem handle is always bound to a local
-    name ``fs``."""
+    ``best-effort`` marker — in the statement's own lines, or in a pure
+    COMMENT line directly above it (a trailing marker on a preceding
+    STATEMENT must not leak down and suppress the lint for a new
+    unchecked call written below it; code-review r12).  Receiver
+    matching is the repo convention: the Hadoop FileSystem handle is
+    always bound to a local name ``fs``."""
     tree = ast.parse(source)
     lines = source.splitlines()
     out = []
@@ -62,8 +64,10 @@ def unchecked_fs_calls(source: str, filename: str = "<mem>") -> list[str]:
             and call.func.value.id == "fs"
         ):
             continue
-        seg = "\n".join(lines[max(node.lineno - 2, 0) : node.end_lineno])
-        if MARKER not in seg:
+        seg = "\n".join(lines[node.lineno - 1 : node.end_lineno])
+        above = lines[node.lineno - 2] if node.lineno >= 2 else ""
+        above_ok = above.lstrip().startswith("#") and MARKER in above
+        if MARKER not in seg and not above_ok:
             out.append(f"{filename}:{node.lineno}")
     return out
 
@@ -111,3 +115,15 @@ def test_lint_is_live():
         "    fs.open(a)\n"  # not rename/delete
     )
     assert clean == []
+
+    # a marker TRAILING a preceding statement must not leak down to a
+    # new unchecked call written below it (code-review r12) — only a
+    # pure comment line directly above counts
+    leak = unchecked_fs_calls(
+        "def f(fs, a, b, c):\n"
+        "    fs.delete(a, True)  # best-effort: scratch only\n"
+        "    fs.rename(b, c)\n"
+        "    # best-effort: lease age-out\n"
+        "    fs.delete(c, False)\n"
+    )
+    assert leak == ["<mem>:3"]

@@ -204,7 +204,20 @@ def test_stalest_evidence_block_fits_driver_window():
     stalest = min(last[n] for n in verified)
     block = [n for n in verified if last[n] == stalest]
     pos = {n: i for i, n in enumerate(reg)}
-    window = max(50, len(block) + sum(1 for n in reg if last.get(n, 0) == 0))
-    assert max(pos[n] for n in block) < window, sorted(
+    n_unverified = sum(1 for n in reg if last.get(n, 0) == 0)
+    # the STRICT deliverable: nothing with newer evidence may sit between
+    # the (by-design leading) never-verified entries and the stalest
+    # block — the block occupies the earliest slots it possibly can.
+    # This is stronger than a bare <50 check and, unlike a relaxed
+    # max(50, ...) window, cannot silently pass while part of the block
+    # is outside the driver's real 50-entry budget (code-review r12):
+    # when unverified+block exceed 50 the first assert still pins the
+    # packing and the second makes the budget overflow loud.
+    assert max(pos[n] for n in block) < n_unverified + len(block), sorted(
         (pos[n], n) for n in block
     )[-5:]
+    assert n_unverified + len(block) <= 50, (
+        f"{n_unverified} never-verified + {len(block)} stalest entries "
+        "exceed the driver's 50-entry window — the block cannot clear in "
+        "one round; split the intake"
+    )

@@ -140,8 +140,12 @@ def test_grouped_rank_index_matches_window_row_number(spark):
         (i, f"class-{rng.randrange(5)}", rng.randrange(50) * 1.0, f"pay-{i % 3}")
         for i in range(5000)
     ]
+    # a NULL class is a real group under Window.partitionBy semantics —
+    # null-unsafe equality in the offsets joins silently DROPPED these
+    # rows (code-review r12; eqNullSafe throughout now)
+    rows += [(5000 + i, None, float(i % 7), "pay-null") for i in range(200)]
     rng.shuffle(rows)
-    df = spark.createDataFrame(rows, ["uid", "cls", "v", "extra"])
+    df = spark.createDataFrame(rows, "uid long, cls string, v double, extra string")
     out = scale.grouped_rank_index(
         df,
         ["cls"],
@@ -1793,8 +1797,15 @@ def test_compact_missing_live_table_diagnosed(spark, tmp_path, monkeypatch):
         return state["fs"], p
 
     monkeypatch.setattr(L, "_meta_path", patched)
-    with pytest.raises(RuntimeError, match="missing"):
+    with pytest.raises(RuntimeError, match="vanished at the swap"):
         L.compact_lsh_index(spark, d, files_per_table=1)
+    # the remediation the message promises holds: an honest re-run
+    # resumes from the completed temp (_repair_compaction promotes it)
+    monkeypatch.setattr(L, "_meta_path", real_meta_path)
+    L.compact_lsh_index(spark, d, files_per_table=1)
+    fs, _ = real_meta_path(spark, d)
+    bands_p = spark._jvm.org.apache.hadoop.fs.Path(f"{d}/bands.parquet")
+    assert fs.exists(bands_p)
 
 
 def test_vacuum_orphans_in_encodable_path(spark, tmp_path, monkeypatch):
