@@ -180,9 +180,11 @@ def pruned_read(
     (~100 bytes/path — a million-file selection is ~100 MB of driver
     heap, plus an equally long scan-plan path list).  The mitigation is
     the file-count lever, not this function: keep generations folded
-    with ``ingest.compact_partitions`` (the d02 lifecycle pairs the two
-    exactly for this) so the listing the manifest — and every
-    ``spark.read`` — holds stays partitions-sized.
+    with ``ingest.compact_partitions`` (the d03 lifecycle's lever;
+    manifest maintenance itself is d02 — after a compaction, rebuild or
+    refresh the manifest per the staleness contract above) so the
+    listing the manifest — and every ``spark.read`` — holds stays
+    partitions-sized.
     ``tests/test_manifest.py::test_pruned_read_weak_predicate_bound``
     fences the degenerate case at an adversarial file count."""
     man = spark.read.parquet(os.path.join(data_dir, MANIFEST_DIR))
