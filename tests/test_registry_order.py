@@ -202,6 +202,15 @@ def test_stalest_evidence_block_fits_driver_window():
     if not verified:
         return
     stalest = min(last[n] for n in verified)
+    latest = max(last[n] for n in verified)
+    if stalest > max(latest - 3, 1):
+        # The packing invariant below only holds while the stalest
+        # evidence is at/behind the urgency-clamp boundary (latest-3):
+        # past it, CLAMPED urgent entries legitimately sort ahead of the
+        # stalest unmodified block (invalid evidence re-enters first, by
+        # design) — and a block fresher than the 3-round budget needs no
+        # window fence at all (review pass 2, r12).
+        return
     block = [n for n in verified if last[n] == stalest]
     pos = {n: i for i, n in enumerate(reg)}
     n_unverified = sum(1 for n in reg if last.get(n, 0) == 0)
