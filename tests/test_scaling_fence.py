@@ -368,3 +368,57 @@ def test_t09_stream_join_state_plateaus(spark, tmp_path):
     # absolute horizon bound: ~16 batches of two-sided rows plus slack
     # (measured plateau 2001 = ~10 batches of retained rows/side + 1)
     assert finals[32] <= 25 * BATCH_ROWS, finals
+
+
+@pytest.mark.slow
+def test_grouped_rank_single_class_stays_flat(spark):
+    """q23b's scale property, fenced at its worst case (DRIFT_r12): with
+    ONE class, a window rank collapses to a single sort task (measured
+    4.55x at 4x data — superlinear, 25 s at 8M rows) while
+    grouped_rank_index's range exchange stays flat (measured 1.16x,
+    2.9 s).  A regression that reintroduces a per-class sort task (a
+    window sneaking back in, the checkpoint fork collapsing to one
+    partition) lands near the data ratio; fence at 2.5 — the
+    stable-band convention, ~2x the measured top."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_bom_radiation_spark.scale import grouped_rank_index
+
+    def frame(n):
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("k"),
+                F.lit("URGENT").alias("cls"),
+                (F.pmod(F.col("id") * 7919, F.lit(100000)) * 1.0).alias("v"),
+            )
+            .localCheckpoint()
+        )
+
+    def timed(df):
+        def build():
+            return grouped_rank_index(
+                df, ["cls"], [F.col("v").desc(), F.col("k").asc()]
+            ).select("k", "cls", "rn")
+
+        build().write.format("noop").mode("overwrite").save()  # warmup
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        return sorted(samples)[1]  # median, the v3 convention
+
+    d1 = frame(1_000_000)
+    d4 = frame(4_000_000)
+    d1.count(), d4.count()  # materialize outside the timers
+    t1, t4 = timed(d1), timed(d4)
+    ratio = t4 / t1 if t1 > 0 else float("inf")
+    assert ratio < 2.5, (
+        f"grouped_rank_index single-class: t(1M)={t1:.3f}s t(4M)={t4:.3f}s "
+        f"ratio={ratio:.2f} >= 2.5 — the per-class rank is no longer "
+        "task-parallel under a dominant class (window/per-class sort "
+        "regression?); see DRIFT_r12 and scale.grouped_rank_index"
+    )
