@@ -155,22 +155,21 @@ PRINTED_SET = COMMON_SET + ["grid_decode_1000_files"]
 #: r11 #1): driver baskets on identical code spanned 8.03-9.69 s with
 #: agreeing CPU and disk canaries — the min of three is itself a noisy
 #: order statistic under the box's heavy-tailed contention, while the
-#: median discards exactly one outlier per side.  The v2-style min total
-#: rides alongside for ONE transition round so r11<->r12 stays
-#: artifact-comparable.
+#: median discards exactly one outlier per side.  The v2-style min rode
+#: alongside for ONE transition round (r12, BENCH_r12 carries both);
+#: retired r13 per VERDICT r12 #1 — cross-round comparison is now
+#: v3-median to v3-median (r12 anchor: common_set_total 8.105 s).
 METHODOLOGY = "build+execute v3, median-of-3"
-METHODOLOGY_V2 = "build+execute v2"
 
 
-def summarize_runs(samples: list[float]) -> tuple[float, float]:
-    """(median, min) of the timed run samples — the v3 statistic and the
-    v2 one, both recorded during the transition round.  Median of an
+def summarize_runs(samples: list[float]) -> float:
+    """Median of the timed run samples — the v3 statistic.  Median of an
     even count is the mean of the middle pair (only the 3-run case is
     exercised; the general form keeps the helper honestly testable)."""
     s = sorted(samples)
     n = len(s)
     med = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
-    return round(med, 3), round(s[0], 3)
+    return round(med, 3)
 
 
 def _spin_canary() -> float:
@@ -237,7 +236,6 @@ def format_output(
     sf: float | None,
     canary: list[float] | None = None,
     io_canary: list[float] | None = None,
-    timings_v2: dict[str, float] | None = None,
 ) -> tuple[str, dict]:
     """Build (printed-JSON-line, full-artifact-dict).
 
@@ -246,11 +244,10 @@ def format_output(
     so ``queries`` carries only PRINTED_SET and the io detail lives in
     the IO_ARTIFACT file (path referenced on the line).
 
-    ``timings_v2`` (the per-entry MIN companions of the v3 medians in
-    ``timings``) adds ``common_set_total_v2``/``methodology_v2`` to the
-    line and the per-entry detail to the artifact — the one-transition-
-    round dual record that keeps r11<->r12 artifact-comparable
-    (VERDICT r11 #1).
+    v3-only (VERDICT r12 #1): the r12 transition round's dual v2 record
+    (``timings_v2`` param, ``common_set_total_v2``/``methodology_v2``/
+    ``queries_v2`` fields) is retired — BENCH_r12 carries both statistics
+    for the crossover, every later round compares v3 median to v3 median.
     """
     total = round(sum(timings.values()), 3)
     # frozen 15-entry basket: the one number comparable across rounds
@@ -278,13 +275,6 @@ def format_output(
         "detail": IO_ARTIFACT,
         "sf": sf,
     }
-    if timings_v2 is not None:
-        v2_total = round(
-            sum(timings_v2[n] for n in COMMON_SET if n in timings_v2), 3
-        )
-        full["common_set_total_v2"] = small["common_set_total_v2"] = v2_total
-        full["methodology_v2"] = small["methodology_v2"] = METHODOLOGY_V2
-        full["queries_v2"] = timings_v2  # artifact only, never on the line
     if canary is not None:
         full["spin"] = small["spin"] = canary
     if io_canary is not None:
@@ -405,7 +395,7 @@ def main() -> int:
     ).save()
 
     # one warmup iteration per query (JMH-style), then 3 timed runs whose
-    # MEDIAN is the recorded v3 number (min kept as the v2 companion):
+    # MEDIAN is the recorded v3 number:
     # the first execution of a plan also pays whole-stage-codegen
     # compilation (Janino), ~1s of one-time JIT that a long-running cluster
     # job pays once per plan, not per batch — and single timed runs on a
@@ -420,7 +410,6 @@ def main() -> int:
     # measured 0.8 s write-only vs ~2 s honest after its hash-family fix,
     # ~20 s before it).
     timings: dict[str, float] = {}
-    timings_v2: dict[str, float] = {}
     io: dict[str, dict[str, float]] = {}
     for name in names:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -437,7 +426,7 @@ def main() -> int:
                     io[name] = {
                         k: round(after[k] - before[k], 3) for k in after
                     }
-        timings[name], timings_v2[name] = summarize_runs(samples)
+        timings[name] = summarize_runs(samples)
 
     # flagship at scale: decode 1000 grids (~2M points) end-to-end.
     # Generation is outside the timed section; decode+noop is the metric.
@@ -456,10 +445,7 @@ def main() -> int:
             t0 = time.time()
             decoded.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
-        (
-            timings["grid_decode_1000_files"],
-            timings_v2["grid_decode_1000_files"],
-        ) = summarize_runs(samples)
+        timings["grid_decode_1000_files"] = summarize_runs(samples)
     finally:
         shutil.rmtree(grids, ignore_errors=True)
 
@@ -578,9 +564,7 @@ def main() -> int:
             t0 = time.time()
             _bucketed_q05().write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
-        timings["q05_bucketed_join"], timings_v2["q05_bucketed_join"] = (
-            summarize_runs(samples)
-        )
+        timings["q05_bucketed_join"] = summarize_runs(samples)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS bench_lineitem_b")
@@ -629,8 +613,7 @@ def main() -> int:
 
     def _timed_noop(name: str, build, io_name: str | None = None) -> None:
         """Warmup + 3 timed noop-sink runs of ``build()``; records the v3
-        median into ``timings[name]`` and the v2 min into
-        ``timings_v2[name]`` (plus optional stage-IO deltas)."""
+        median into ``timings[name]`` (plus optional stage-IO deltas)."""
         build().write.format("noop").mode("overwrite").save()  # warmup/codegen
         samples: list[float] = []
         for i in range(3):
@@ -648,7 +631,7 @@ def main() -> int:
                     io[io_name] = {
                         k: round(after[k] - before[k], 3) for k in after
                     }
-        timings[name], timings_v2[name] = summarize_runs(samples)
+        timings[name] = summarize_runs(samples)
 
     _SKEW_KEYS = (
         "spark.sql.autoBroadcastJoinThreshold",
@@ -1020,17 +1003,12 @@ def main() -> int:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
-    # maintenance ops are single-run by design (they mutate their
-    # workspace): their one sample is both the median and the min
-    for k, v in timings.items():
-        timings_v2.setdefault(k, v)
     line, full = format_output(
         timings,
         io,
         sf,
         canary=[canary_before, _spin_canary()],
         io_canary=[io_canary_before, _io_canary()],
-        timings_v2=timings_v2,
     )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), IO_ARTIFACT), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)

@@ -35,7 +35,6 @@ def _fake_run(n_queries: int) -> tuple[str, dict]:
         sf=0.1,
         canary=[99.999, 99.999],
         io_canary=[88.888, 88.888],
-        timings_v2={n: 88.888 for n in timings},
     )
 
 
@@ -58,14 +57,12 @@ def test_line_roundtrips_and_stays_small():
     assert parsed["io_spin"] == [88.888, 88.888] == full["io_spin"]
     # io detail never rides the line
     assert "io_mb" not in parsed and "io_mb" in full
-    # the one-transition-round dual record (VERDICT r11 #1): the line
-    # carries the v2-style min-based basket total next to the v3 median
-    # one, self-described by both methodology strings; the per-entry v2
-    # detail stays in the artifact
+    # v3-only (VERDICT r12 #1): the r12 transition round's dual v2 record
+    # is retired — no stale v2 field may reappear on the line or in the
+    # artifact
     assert parsed["methodology"] == "build+execute v3, median-of-3"
-    assert parsed["methodology_v2"] == bench.METHODOLOGY_V2 == "build+execute v2"
-    assert parsed["common_set_total_v2"] == round(88.888 * len(bench.COMMON_SET), 3)
-    assert "queries_v2" not in parsed and "queries_v2" in full
+    for k in ("common_set_total_v2", "methodology_v2", "queries_v2"):
+        assert k not in parsed and k not in full
 
 
 def test_line_carries_frozen_basket_and_flagship():
@@ -88,28 +85,29 @@ def test_full_artifact_is_a_superset_of_the_line():
     assert full["methodology"] == parsed["methodology"]
 
 
-def test_summarize_runs_median_and_min():
+def test_summarize_runs_median():
     """Locks the v3 statistic (VERDICT r11 #1): the recorded number is
-    the MEDIAN of the timed runs — one outlier per side discarded — and
-    the v2 companion is the min of the same samples."""
-    assert bench.summarize_runs([3.0, 1.0, 2.0]) == (2.0, 1.0)
+    the MEDIAN of the timed runs — one outlier per side discarded."""
+    assert bench.summarize_runs([3.0, 1.0, 2.0]) == 2.0
     # a single contended outlier no longer drags the recorded number
-    assert bench.summarize_runs([9.9, 1.1, 1.2]) == (1.2, 1.1)
+    assert bench.summarize_runs([9.9, 1.1, 1.2]) == 1.2
     # nor does a single lucky fast run define it
-    assert bench.summarize_runs([0.2, 1.1, 1.2]) == (1.1, 0.2)
-    assert bench.summarize_runs([5.0]) == (5.0, 5.0)  # single-run entries
-    assert bench.summarize_runs([4.0, 1.0]) == (2.5, 1.0)
+    assert bench.summarize_runs([0.2, 1.1, 1.2]) == 1.1
+    assert bench.summarize_runs([5.0]) == 5.0  # single-run entries
+    assert bench.summarize_runs([4.0, 1.0]) == 2.5
     # rounding matches the artifact convention (3 dp)
-    assert bench.summarize_runs([1.23456, 1.23467, 9.0]) == (1.235, 1.235)
+    assert bench.summarize_runs([1.23456, 1.23467, 9.0]) == 1.235
 
 
-def test_format_output_without_v2_omits_dual_fields():
-    """After the transition round the dual record can be dropped by
-    simply not passing timings_v2 — the line must not carry stale v2
-    fields."""
+def test_format_output_never_carries_v2_fields():
+    """The v2 dual record is retired (VERDICT r12 #1) — format_output no
+    longer even accepts a timings_v2 argument, and its output carries no
+    v2 field anywhere."""
+    import inspect
+
+    assert "timings_v2" not in inspect.signature(bench.format_output).parameters
     timings = {n: 1.0 for n in bench.PRINTED_SET}
     line, full = bench.format_output(timings, {}, sf=0.1)
     parsed = json.loads(line)
-    for k in ("common_set_total_v2", "methodology_v2"):
+    for k in ("common_set_total_v2", "methodology_v2", "queries_v2"):
         assert k not in parsed and k not in full
-    assert "queries_v2" not in full
