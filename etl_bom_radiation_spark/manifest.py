@@ -72,10 +72,14 @@ def _swap_in(spark: SparkSession, tmp: str, out: str) -> None:
     # boolean checked (ADVICE r10 discipline): Hadoop delete also returns
     # false for a MISSING path (the first-ever build), which is not a
     # failure — only a false delete of a path that SURVIVED it means the
-    # rename below cannot land.  Delete-then-exists, not exists-then-
-    # delete: the reversed order has a TOCTOU where a concurrent
-    # rebuild's delete lands between the two calls and a healthy swap
-    # raises spuriously (code-review r12).
+    # rename below cannot land.  Delete-then-exists NARROWS (does not
+    # eliminate) the race vs exists-then-delete: under CONCURRENT
+    # rebuilds a competitor can still delete out_p (our delete returns
+    # false) and rename its own tmp in before our exists() check, making
+    # a healthy swap raise here (ADVICE r12).  Benign under the module's
+    # single-writer contract — manifest builds/refreshes are maintenance
+    # ops run by one scheduler, like compaction; concurrent-writer
+    # coordination belongs to that scheduler, not this rename.
     if not fs.delete(out_p, True) and fs.exists(out_p):
         raise OSError(f"manifest swap failed: could not delete old {out}")
     if not fs.rename(tmp_p, out_p):

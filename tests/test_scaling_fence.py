@@ -379,12 +379,23 @@ def test_grouped_rank_single_class_stays_flat(spark):
     2.9 s).  A regression that reintroduces a per-class sort task (a
     window sneaking back in, the checkpoint fork collapsing to one
     partition) lands near the data ratio; fence at 2.5 — the
-    stable-band convention, ~2x the measured top."""
+    stable-band convention, ~2x the measured top.
+
+    Canary-gated (ADVICE r12): this is a wall-clock ratio on the box
+    whose documented heavy-tailed host contention is the reason bench
+    moved to median-of-3 — a contended CI run could flake the fence
+    despite the ~2x headroom.  The timed section is bracketed by the
+    spin canary; a FAILING ratio under a disagreeing canary pair (>10%)
+    is remeasured once, and if the pair still disagrees the run is
+    SKIPPED as unattributable (contention, not code).  A failing ratio
+    under agreeing canaries fails for real — the gate never excuses a
+    quiet-box regression."""
     import time
 
     from pyspark.sql import functions as F
 
     from etl_bom_radiation_spark.scale import grouped_rank_index
+    from tools.scaling_probe import _spin_canary
 
     def frame(n):
         return (
@@ -414,11 +425,46 @@ def test_grouped_rank_single_class_stays_flat(spark):
     d1 = frame(1_000_000)
     d4 = frame(4_000_000)
     d1.count(), d4.count()  # materialize outside the timers
-    t1, t4 = timed(d1), timed(d4)
-    ratio = t4 / t1 if t1 > 0 else float("inf")
+
+    def measure():
+        c0 = _spin_canary()
+        t1, t4 = timed(d1), timed(d4)
+        c1 = _spin_canary()
+        r = t4 / t1 if t1 > 0 else float("inf")
+        quiet = abs(c1 - c0) / max(c0, c1) <= 0.10
+        return r, quiet, (t1, t4, c0, c1)
+
+    ratio, quiet, (t1, t4, c0, c1) = measure()
+    if ratio >= 2.5 and not quiet:
+        ratio, quiet, (t1, t4, c0, c1) = measure()  # one contended retry
+    if ratio >= 2.5 and not quiet:
+        pytest.skip(
+            f"spin canaries disagree ({c0:.3f} vs {c1:.3f}) around a "
+            f"failing ratio {ratio:.2f} — host contention, unattributable"
+        )
     assert ratio < 2.5, (
         f"grouped_rank_index single-class: t(1M)={t1:.3f}s t(4M)={t4:.3f}s "
-        f"ratio={ratio:.2f} >= 2.5 — the per-class rank is no longer "
+        f"ratio={ratio:.2f} >= 2.5 under agreeing canaries "
+        f"({c0:.3f}/{c1:.3f}) — the per-class rank is no longer "
         "task-parallel under a dominant class (window/per-class sort "
         "regression?); see DRIFT_r12 and scale.grouped_rank_index"
     )
+
+
+def test_plateau_flatness_helpers():
+    """Pure-logic fences for the --plateau probe's flatness predicates
+    (ADVICE r12: an all-zero state curve must read as FLAT — the old
+    prev > 0 guard ran the full ladder and reported plateau=false on
+    the flattest possible pipeline)."""
+    from tools.scaling_probe import flat_step, tail_ratio
+
+    assert flat_step(None, 5) is False  # first rung: nothing to compare
+    assert flat_step(0, 0) is True  # flat at zero IS flat
+    assert flat_step(0, 3) is False  # growth from zero is not
+    assert flat_step(2000, 2001) is True  # within 10%
+    assert flat_step(1000, 1500) is False
+    assert tail_ratio({8: 1301}) is None  # single rung
+    assert tail_ratio({8: 1301, 16: 2001, 32: 2001}) == 1.0  # t09's curve
+    assert tail_ratio({8: 0, 16: 0}) == 1.0  # flat at zero -> plateau true
+    assert tail_ratio({8: 0, 16: 7}) is None  # 0 -> nonzero: no ratio
+    assert tail_ratio({8: 1000, 16: 1540}) == 1.54

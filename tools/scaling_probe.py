@@ -447,6 +447,27 @@ def stream_main(mult: int, filters: list[str]) -> int:
     return 0
 
 
+def flat_step(prev: int | None, cur: int) -> bool:
+    """True when a ladder doubling left the state flat: exactly equal —
+    INCLUDING 0 -> 0, the flattest curve possible; requiring prev > 0
+    made an all-zero pipeline run the full ladder and report
+    plateau=false (ADVICE r12) — or within 10% relative."""
+    return prev is not None and (
+        cur == prev or (prev > 0 and abs(cur - prev) / prev < 0.10)
+    )
+
+
+def tail_ratio(curve: dict[int, int]) -> float | None:
+    """state(last rung) / state(previous rung) — the plateau statistic.
+    0 -> 0 is ratio 1.0 (flat at zero); 0 -> nonzero has no meaningful
+    ratio and stays None (plateau reads false); a single rung is None."""
+    rungs = sorted(curve)
+    if len(rungs) < 2:
+        return None
+    a, b = curve[rungs[-2]], curve[rungs[-1]]
+    return round(b / a, 3) if a else (1.0 if b == 0 else None)
+
+
 def plateau_main(filters: list[str]) -> int:
     """State-plateau probe (``--plateau``, VERDICT r11 #4): drain each
     stateful pipeline at a GEOMETRIC ladder of batch counts (8, 16, 32,
@@ -492,17 +513,10 @@ def plateau_main(filters: list[str]) -> int:
                     f" (input {res['input_rows']})",
                     file=sys.stderr,
                 )
-                if prev is not None and prev > 0 and (
-                    abs(curve[nb] - prev) / prev < 0.10
-                ):
+                if flat_step(prev, curve[nb]):
                     break  # flat across a doubling: plateau shown
                 prev = curve[nb]
-            rungs = sorted(curve)
-            final_ratio = (
-                round(curve[rungs[-1]] / curve[rungs[-2]], 3)
-                if len(rungs) >= 2 and curve[rungs[-2]]
-                else None
-            )
+            final_ratio = tail_ratio(curve)
             out[name] = {
                 "curve": {str(k): curve[k] for k in rungs},
                 "plateau": final_ratio is not None and abs(final_ratio - 1) < 0.10,
