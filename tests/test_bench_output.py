@@ -111,3 +111,104 @@ def test_format_output_never_carries_v2_fields():
     parsed = json.loads(line)
     for k in ("common_set_total_v2", "methodology_v2", "queries_v2"):
         assert k not in parsed and k not in full
+
+
+# --------------------------------------------------------- bench_diff tool
+
+from tools import bench_diff  # noqa: E402
+
+
+def test_bench_diff_uniform_shift_is_not_a_regression():
+    """The box signature (DRIFT/VERDICT r12): every entry moves together.
+    A 20% across-the-board slowdown classifies uniform, flags nothing."""
+    old = {f"q{i}": 1.0 for i in range(10)}
+    new = {f"q{i}": 1.2 for i in range(10)}
+    r = bench_diff.classify(old, new)
+    assert r["verdict"] == "uniform"
+    assert r["median_ratio"] == 1.2
+    assert r["out_of_band"] == [] and r["regressions"] == []
+
+
+def test_bench_diff_targeted_drift_is_flagged():
+    """One entry 2x slower while the basket holds: targeted, regression."""
+    old = {f"q{i}": 1.0 for i in range(10)}
+    new = {f"q{i}": 1.0 for i in range(10)}
+    new["q3"] = 2.0
+    r = bench_diff.classify(old, new)
+    assert r["verdict"] == "targeted"
+    assert r["out_of_band"] == ["q3"] and r["regressions"] == ["q3"]
+
+
+def test_bench_diff_targeted_improvement_is_not_a_regression():
+    """An entry much FASTER than the basket is out-of-band (worth a look)
+    but never a regression — only the slow side can fail the run."""
+    old = {f"q{i}": 1.0 for i in range(10)}
+    new = {f"q{i}": 1.0 for i in range(10)}
+    new["q3"] = 0.4
+    r = bench_diff.classify(old, new)
+    assert r["out_of_band"] == ["q3"] and r["regressions"] == []
+
+
+def test_bench_diff_mixed_shift_plus_regression():
+    """A uniform box slowdown must not mask a genuinely targeted one:
+    basket 1.3x, one entry 2.6x — the median absorbs the former, the
+    deviation convicts the latter."""
+    old = {f"q{i}": 1.0 for i in range(10)}
+    new = {f"q{i}": 1.3 for i in range(10)}
+    new["q7"] = 2.6
+    r = bench_diff.classify(old, new)
+    assert r["regressions"] == ["q7"]
+    assert abs(r["median_ratio"] - 1.3) < 1e-9
+
+
+def test_bench_diff_registry_churn_reported_not_classified():
+    old = {"a": 1.0, "gone": 1.0}
+    new = {"a": 1.0, "fresh": 1.0}
+    r = bench_diff.classify(old, new)
+    assert r["added"] == ["fresh"] and r["removed"] == ["gone"]
+    assert [e["name"] for e in r["entries"]] == ["a"]
+
+
+def test_bench_diff_canary_gate():
+    assert abs(bench_diff.pair_disagreement([1.0, 1.05]) - 0.05 / 1.05) < 1e-12
+    assert bench_diff.pair_disagreement(None) is None
+    assert bench_diff.pair_disagreement([0.0, 1.0]) is None
+    quiet = bench_diff.canary_report({"spin": [1.0, 1.01], "io_spin": [0.2, 0.21]})
+    assert quiet["quiet"] is True
+    loud = bench_diff.canary_report({"spin": [1.0, 1.5], "io_spin": [0.2, 0.21]})
+    assert loud["quiet"] is False
+    # canary-less artifacts (pre-r10) are not disqualified
+    assert bench_diff.canary_report({})["quiet"] is True
+
+
+def test_bench_diff_main_fails_only_when_quiet(tmp_path):
+    """End-to-end exit-code contract: targeted drift >25% fails ONLY when
+    both captures' canary pairs are quiet."""
+    import json as _json
+
+    def art(path, queries, spin):
+        p = tmp_path / path
+        p.write_text(_json.dumps({
+            "queries": queries, "spin": spin, "io_spin": [0.2, 0.2],
+            "methodology": "build+execute v3, median-of-3",
+        }))
+        return str(p)
+
+    old_q = {f"q{i}": 1.0 for i in range(10)}
+    bad_q = dict(old_q, q3=2.0)
+    o = art("old.json", old_q, [1.0, 1.0])
+    n_quiet = art("new_quiet.json", bad_q, [1.0, 1.0])
+    n_loud = art("new_loud.json", bad_q, [1.0, 1.5])
+    assert bench_diff.main([o, n_quiet]) == 1
+    assert bench_diff.main([o, n_loud]) == 0  # contended: cannot convict
+    ok = art("new_ok.json", old_q, [1.0, 1.0])
+    assert bench_diff.main([o, ok]) == 0
+
+
+def test_bench_diff_reads_driver_wrapper(tmp_path):
+    """The driver's BENCH_r{N}.json wraps the line under 'parsed'."""
+    import json as _json
+
+    p = tmp_path / "wrapped.json"
+    p.write_text(_json.dumps({"n": 12, "parsed": {"queries": {"a": 1.0}}}))
+    assert bench_diff.load_artifact(str(p))["queries"] == {"a": 1.0}

@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Mechanical cross-round bench comparison (VERDICT r12 #2).
+
+The v3 per-entry medians make round-over-round regression detection
+meaningful, but the judgment call — "uniform shift = box noise, targeted
+drift = code" — was prose in every round's VERDICT/DRIFT.  This tool
+makes it mechanical:
+
+    python tools/bench_diff.py BENCH_r12.json BENCH_r13.json
+    python tools/bench_diff.py BENCH_r12.json my_run.json --markdown
+
+* loads two bench artifacts (either the driver's ``BENCH_r{N}.json``
+  wrapper — the line lives under ``parsed`` — or a raw printed line / a
+  full BENCH_IO-style dict),
+* checks BOTH captures' canary pairs (CPU spin + disk io_spin; a >10%
+  within-run disagreement means that capture itself saw contention —
+  DRIFT_r11's convention),
+* prints the per-entry delta table over the shared query set,
+* classifies: **uniform** (every entry's ratio sits within a band around
+  the median ratio — the whole basket moved together, which is what host
+  contention does to identical code: r12 measured every entry −4%..−28%
+  on an untouched basket) vs **targeted** (specific entries out of band —
+  what a plan regression does),
+* exits nonzero ONLY on targeted drift beyond ``--targeted`` (default
+  25% slower than the basket's common shift) when both captures' canary
+  pairs are quiet — a noisy capture cannot convict code, and a uniform
+  shift never does.
+
+The classification core is pure (``pair_disagreement`` / ``classify``)
+and unit-tested in tests/test_bench_output.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+#: within-run canary-pair disagreement above which a capture is flagged
+#: as contended (the DRIFT_r11 "compare only when canaries agree" rule)
+CANARY_BAND = 0.10
+
+#: an entry is out-of-band when its ratio deviates from the basket's
+#: median ratio by more than this (relative); only slower-than-basket
+#: outliers beyond --targeted can fail the run
+DEFAULT_BAND = 0.15
+DEFAULT_TARGETED = 0.25
+
+
+def load_artifact(path: str) -> dict:
+    """A bench record from any of its on-disk shapes: the driver wrapper
+    (``{"n": .., "parsed": {line}}``), the raw printed line, or the full
+    BENCH_IO artifact — all expose ``queries``/``spin``/``io_spin``."""
+    with open(path) as fh:
+        data = json.load(fh)
+    rec = data.get("parsed") if isinstance(data.get("parsed"), dict) else data
+    if not isinstance(rec.get("queries"), dict):
+        raise SystemExit(f"{path}: no 'queries' dict — not a bench artifact")
+    return rec
+
+
+def pair_disagreement(pair) -> float | None:
+    """Relative disagreement of a before/after canary pair — None when
+    the pair is absent or degenerate (zero/negative readings)."""
+    if not pair or len(pair) != 2:
+        return None
+    a, b = pair
+    if not (a > 0 and b > 0):
+        return None
+    return abs(a - b) / max(a, b)
+
+
+def canary_report(rec: dict) -> dict:
+    """{spin: x, io_spin: y, quiet: bool} for one capture.  A missing
+    pair does not disqualify (old artifacts predate the canaries), but a
+    present-and-disagreeing one marks the capture contended."""
+    spin = pair_disagreement(rec.get("spin"))
+    io = pair_disagreement(rec.get("io_spin"))
+    quiet = all(d is None or d <= CANARY_BAND for d in (spin, io))
+    return {"spin_disagreement": spin, "io_disagreement": io, "quiet": quiet}
+
+
+def classify(
+    old_q: dict[str, float],
+    new_q: dict[str, float],
+    band: float = DEFAULT_BAND,
+    targeted: float = DEFAULT_TARGETED,
+) -> dict:
+    """The mechanical uniform-vs-targeted verdict over the shared keys.
+
+    Per entry: ratio = new/old.  The basket's common shift is the MEDIAN
+    ratio (robust — up to half the basket can drift without moving it).
+    An entry is out-of-band when its ratio deviates from that median by
+    more than ``band`` relative; it is a *regression suspect* when it is
+    out-of-band on the SLOW side by more than ``targeted``.  Entries
+    present on only one side are reported, never classified (a renamed
+    or new bench entry is registry churn, not drift)."""
+    shared = sorted(set(old_q) & set(new_q))
+    usable = [k for k in shared if old_q[k] > 0]
+    entries = []
+    ratios = []
+    for k in usable:
+        r = new_q[k] / old_q[k]
+        ratios.append(r)
+        entries.append({"name": k, "old": old_q[k], "new": new_q[k], "ratio": round(r, 4)})
+    if not ratios:
+        return {
+            "entries": [], "median_ratio": None, "out_of_band": [],
+            "regressions": [], "verdict": "no-overlap",
+            "added": sorted(set(new_q) - set(old_q)),
+            "removed": sorted(set(old_q) - set(new_q)),
+        }
+    s = sorted(ratios)
+    n = len(s)
+    med = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    out, regressions = [], []
+    for e in entries:
+        dev = e["ratio"] / med - 1
+        e["vs_basket"] = round(dev, 4)
+        if abs(dev) > band:
+            out.append(e["name"])
+        if dev > targeted:
+            regressions.append(e["name"])
+    verdict = "uniform" if not out else "targeted"
+    return {
+        "entries": entries,
+        "median_ratio": round(med, 4),
+        "out_of_band": out,
+        "regressions": regressions,
+        "verdict": verdict,
+        "added": sorted(set(new_q) - set(old_q)),
+        "removed": sorted(set(old_q) - set(new_q)),
+    }
+
+
+def render_table(result: dict, markdown: bool = False) -> str:
+    """The per-entry delta table (plain or markdown for DRIFT_r*.md)."""
+    rows = [("entry", "old s", "new s", "ratio", "vs basket", "flag")]
+    for e in result["entries"]:
+        flag = ""
+        if e["name"] in result["regressions"]:
+            flag = "REGRESSION?"
+        elif e["name"] in result["out_of_band"]:
+            flag = "out-of-band"
+        rows.append((
+            e["name"], f"{e['old']:.3f}", f"{e['new']:.3f}",
+            f"{e['ratio']:.3f}", f"{e['vs_basket']:+.1%}", flag,
+        ))
+    if markdown:
+        lines = ["| " + " | ".join(rows[0]) + " |",
+                 "|" + "|".join("---" for _ in rows[0]) + "|"]
+        lines += ["| " + " | ".join(r) + " |" for r in rows[1:]]
+        return "\n".join(lines)
+    widths = [max(len(r[i]) for r in rows) for i in range(len(rows[0]))]
+    return "\n".join(
+        "  ".join(c.ljust(w) for c, w in zip(r, widths)).rstrip() for r in rows
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("old", help="baseline artifact (e.g. BENCH_r12.json)")
+    ap.add_argument("new", help="candidate artifact")
+    ap.add_argument("--band", type=float, default=DEFAULT_BAND,
+                    help="out-of-band threshold vs the median ratio")
+    ap.add_argument("--targeted", type=float, default=DEFAULT_TARGETED,
+                    help="slow-side deviation that counts as a regression")
+    ap.add_argument("--markdown", action="store_true",
+                    help="emit the delta table as markdown (for DRIFT_r*.md)")
+    args = ap.parse_args(argv)
+
+    old, new = load_artifact(args.old), load_artifact(args.new)
+    c_old, c_new = canary_report(old), canary_report(new)
+    result = classify(old["queries"], new["queries"], args.band, args.targeted)
+
+    meth_old, meth_new = old.get("methodology"), new.get("methodology")
+    warnings = []
+    if meth_old != meth_new:
+        warnings.append(
+            f"methodology mismatch: {meth_old!r} vs {meth_new!r} — deltas are "
+            "cross-statistic, treat as indicative only"
+        )
+    for tag, rep in (("old", c_old), ("new", c_new)):
+        for kind in ("spin", "io"):
+            d = rep[f"{kind}_disagreement"]
+            if d is not None and d > CANARY_BAND:
+                warnings.append(
+                    f"{tag} capture's {kind} canary pair disagrees {d:.0%} — "
+                    "that capture saw contention"
+                )
+
+    quiet = c_old["quiet"] and c_new["quiet"]
+    # fail loudly ONLY on targeted drift under quiet canaries: a contended
+    # capture cannot convict code, and a uniform shift is the box
+    fail = bool(result["regressions"]) and quiet
+
+    print(render_table(result, markdown=args.markdown), file=sys.stderr)
+    for w in warnings:
+        print(f"WARNING: {w}", file=sys.stderr)
+    summary = {
+        "mode": "bench_diff",
+        "old": args.old,
+        "new": args.new,
+        "median_ratio": result["median_ratio"],
+        "verdict": result["verdict"],
+        "out_of_band": result["out_of_band"],
+        "regressions": result["regressions"],
+        "added": result["added"],
+        "removed": result["removed"],
+        "canaries_quiet": quiet,
+        "common_set_total": [old.get("common_set_total"), new.get("common_set_total")],
+        "fail": fail,
+    }
+    print(json.dumps(summary, separators=(",", ":")))
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
