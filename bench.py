@@ -108,6 +108,9 @@ HEADLINE = [
     # offsets, no WindowExec) — wall time guards the checkpointed
     # two-branch shape against a regression back to a per-class sort
     "q23b_ranking_at_scale",
+    # round-13: grouped NTILE — q23b's shape plus the class-total column
+    # (one more metadata-sized agg riding the same broadcast join)
+    "q23c_ntile_at_scale",
 ]
 
 # Fixed cross-round comparison set (VERDICT r5 #6): the full total grows

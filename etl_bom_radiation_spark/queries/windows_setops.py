@@ -19,7 +19,9 @@ LOW-cardinality partition keys are the remaining window ceiling (q23
 ranks within 5 priority classes = 5 sort tasks whatever the cluster
 size); q23b is the same rank through scale.grouped_rank_index — a range
 exchange over (class, key) + broadcast offsets, no WindowExec — for when
-that ceiling binds (measured M=10 ratio 1.26 vs q23's 1.84).
+that ceiling binds (measured M=10 ratio 1.26 vs q23's 1.84), and q23c
+completes the family: exact NTILE(k) derived from the grouped rank +
+class total (total_name), same no-Window plan.
 """
 
 from __future__ import annotations
@@ -93,6 +95,63 @@ def q23b_ranking_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
     )
     return ranked.select("o_orderkey", "o_orderpriority", "rn")
+
+
+@register(
+    "q23c_ntile_at_scale",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROW_NUMBER() OVER w AS rn,
+           NTILE(4)     OVER w AS quart
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def q23c_ntile_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q23's NTILE(4) in the scale-safe shape (VERDICT r12 #4) — the last
+    member of the per-class window family without a per-class sort task.
+
+    NTILE is a pure function of (per-class rank, per-class total):
+    with ``q = total div k`` and ``r = total % k``, the SQL-standard
+    larger-first split gives the first ``r`` tiles ``q+1`` rows and the
+    rest ``q`` — so ``tile = (rn-1) div (q+1) + 1`` inside the first
+    ``r*(q+1)`` ranks and ``r + (rn - r*(q+1) - 1) div q + 1`` after
+    (validated exhaustively against the windowed NTILE for all N<=200,
+    k in {1,2,3,4,5,7,16}).  ``grouped_rank_index(total_name=...)``
+    supplies both inputs from one range exchange + one broadcast offsets
+    join — NO Window node (plan-asserted), constant per-task work at any
+    class skew.  Hash-matched against q23's own NTILE oracle.
+
+    The ``greatest(_q, 1)`` denominator is unreachable armor: the
+    second branch requires ``rn > r*(q+1)``, and when q=0 that bound is
+    r = total >= rn — but ANSI mode must never see a 0 divisor even on
+    an unevaluated branch's domain checks."""
+    from ..scale import grouped_rank_index
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    ranked = grouped_rank_index(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        total_name="_total",
+    )
+    return (
+        ranked.withColumn("_q", F.expr("_total div 4"))
+        .withColumn("_r", F.col("_total") % 4)
+        .withColumn(
+            "quart",
+            F.when(
+                F.col("rn") <= F.col("_r") * (F.col("_q") + 1),
+                F.expr("(rn - 1) div (_q + 1) + 1"),
+            )
+            .otherwise(
+                F.expr("_r + (rn - _r * (_q + 1) - 1) div greatest(_q, 1) + 1")
+            )
+            .cast("bigint"),
+        )
+        .select("o_orderkey", "o_orderpriority", "rn", "quart")
+    )
 
 
 @register(

@@ -175,6 +175,20 @@ def test_grouped_rank_no_per_class_sort_task(spark, oracle_sf_dir):
     assert "BroadcastHashJoin" in p
 
 
+def test_grouped_ntile_no_per_class_sort_task(spark, oracle_sf_dir):
+    """q23c (VERDICT r12 #4): NTILE(4) derived from the grouped rank +
+    class total — the same no-Window contract as q23b (a tile function
+    regressing to a per-class WindowExec would reintroduce the 5-task
+    ceiling q23b escaped)."""
+    df = QS["q23c_ntile_at_scale"].fn(spark, oracle_sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p
+    assert "SinglePartition" not in p
+    assert "ExistingRDD" in p  # checkpointed lineage pins one partitioning
+    assert "BroadcastHashJoin" in p  # offsets+totals ride one broadcast join
+
+
 def _window_nodes(df):
     """All logical Window nodes of a DataFrame as parsed JSON dicts."""
     import json
@@ -201,6 +215,110 @@ def test_no_declared_query_uses_unpartitioned_window(spark, oracle_sf_dir):
                 offenders.append(name)
                 break
     assert offenders == [], f"unpartitioned window in: {offenders}"
+
+
+def _partition_attr_names(node) -> set[str]:
+    """Attribute names referenced by a logical Window node's partitionSpec
+    (recursive walk of the serialized expression JSON — a spec entry may
+    be a bare AttributeReference or an expression over several)."""
+    names: set[str] = set()
+
+    def walk(x):
+        if isinstance(x, dict):
+            if str(x.get("class", "")).endswith("AttributeReference"):
+                names.add(x["name"])
+            for v in x.values():
+                walk(v)
+        elif isinstance(x, (list, tuple)):
+            for v in x:
+                walk(v)
+
+    walk(node.get("partitionSpec"))
+    return names
+
+
+#: Columns whose per-key group stays BOUNDED as the table grows (entity
+#: keys: the number of groups scales with the data, each group's rows do
+#: not) — a window partitioned on any of these parallelizes with the
+#: data.  Derived digest/bucket keys count: their NDV is corpus-sized by
+#: construction.  Curated from a registry-wide discovery sweep (r13).
+HIGH_CARDINALITY_WINDOW_KEYS = {
+    # entity keys of the fact tables
+    "o_orderkey", "l_orderkey", "c_custkey", "s_suppkey", "p_partkey",
+    "user_id", "event_id", "doc_id", "vec_id",
+    # corpus-sized derived keys: content digests, bucket/band keys,
+    # shingle/window hashes, chunk/shard ids
+    "h", "digest", "fp", "sh", "shingle", "band", "bk", "bucket",
+    "sig", "cell", "src", "source_day", "day", "shard", "chunk_id",
+    "win_id", "grp",
+    # n39's rolling-window hash (one per token position — corpus-sized)
+    "wh",
+    # n34's packing shard (corpus tokens / shard budget — corpus-sized)
+    "shard_id",
+    # the raster cell entity key: (Latitude, Longitude) NDV = grid cells,
+    # scaling with resolution; a cell's group holds its time steps, like
+    # a user_id's events (g_cell_anomaly)
+    "Latitude", "Longitude",
+}
+
+#: Windows DELIBERATELY partitioned on a low-NDV key — each entry names
+#: the documented ceiling and its escape hatch, the VERDICT r12 #5
+#: convention (found-by-eye q23 is now the lint's template).  Adding an
+#: entry here requires BOTH a scale note in the query's docstring and
+#: either a measured bound or a scale-safe twin.
+LOW_NDV_WINDOW_ALLOWLIST: dict[str, str] = {
+    "q23_ranking": (
+        "partitions on o_orderpriority (5 classes) — 5 sort tasks at any "
+        "cluster size; scale-safe twins q23b (grouped_rank_index, rank) "
+        "and q23c (grouped ntile) carry the same results without a "
+        "Window node"
+    ),
+    "x02_gapfill": (
+        "LOCF window partitions on prio (5 classes) but runs over the "
+        "AGGREGATED calendar grid (days x keys), never the fact table — "
+        "per-class rows = days in range, bounded by time span, not data "
+        "volume (docstring scale note); the fact-sized stage is the "
+        "daily pre-aggregation, one partial+final shuffle"
+    ),
+}
+
+
+def test_registry_window_partitions_are_scale_safe(spark, oracle_sf_dir):
+    """Registry-wide low-NDV window lint (VERDICT r12 #5): q23's 5-class
+    partition ceiling was found by eye; this walks every declared
+    query's optimized plan and requires each Window's partition keys to
+    include a known high-cardinality column, carry a WindowGroupLimit
+    (per-partition heaps bound the per-class sort at k rows per map
+    task, so class NDV stops being the parallelism cap), or sit on the
+    reviewed allowlist naming the documented ceiling + escape hatch."""
+    offenders: dict[str, list[str]] = {}
+    for name, q in QS.items():
+        if q.streaming:
+            continue  # same exclusion as the unpartitioned-window lint
+        if name in LOW_NDV_WINDOW_ALLOWLIST:
+            continue
+        df = q.fn(spark, oracle_sf_dir)
+        nodes = _window_nodes(df)
+        if not nodes:
+            continue
+        has_group_limit = "WindowGroupLimit" in (
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+        for node in nodes:
+            cols = _partition_attr_names(node)
+            if not cols:
+                continue  # unpartitioned: the other lint owns that case
+            if cols & HIGH_CARDINALITY_WINDOW_KEYS:
+                continue
+            if has_group_limit:
+                continue
+            offenders.setdefault(name, []).extend(sorted(cols))
+    assert offenders == {}, (
+        "window partitioned on unrecognized (possibly low-NDV) keys — "
+        "add the column to HIGH_CARDINALITY_WINDOW_KEYS if per-key "
+        "groups stay bounded as data grows, or allowlist the query with "
+        f"its documented ceiling + escape hatch: {offenders}"
+    )
 
 
 def test_bucketed_range_join_avoids_nested_loop(spark, oracle_sf_dir):

@@ -207,6 +207,64 @@ def test_global_sort_index_edge_cases(spark):
     assert {(r["k"], r["pos"]) for r in sparse} == {(3, 1), (1, 2), (2, 3)}
 
 
+def test_grouped_rank_index_total_name(spark):
+    """total_name attaches the exact per-class row count on every row
+    (q23c's second NTILE input), including boundary-straddling classes
+    and the NULL class, with no extra fact pass (carried by the same
+    broadcast offsets join)."""
+    import random
+
+    rng = random.Random(47)
+    rows = [(i, f"c{rng.randrange(4)}", rng.randrange(30) * 1.0) for i in range(3000)]
+    rows += [(3000 + i, None, float(i)) for i in range(37)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, cls string, v double")
+    out = scale.grouped_rank_index(
+        df,
+        ["cls"],
+        [F.col("v").asc(), F.col("k").asc()],
+        num_partitions=16,
+        total_name="tot",
+    ).collect()
+    sizes: dict = {}
+    for _k, cls, _v in rows:
+        sizes[cls] = sizes.get(cls, 0) + 1
+    assert len(out) == len(rows)
+    for r in out:
+        assert r["tot"] == sizes[r["cls"]], (r["cls"], r["tot"])
+        assert 1 <= r["rn"] <= r["tot"]
+
+
+def test_index_helpers_reject_reserved_column_collisions(spark):
+    """ADVICE r12: an input column named like an internal helper (_mid,
+    _pid, ...) or like the requested index_name was silently overwritten
+    by withColumn — now refused loudly."""
+    import pytest
+
+    bad_mid = spark.createDataFrame([(1, 2.0, 9)], ["k", "v", "_mid"])
+    with pytest.raises(ValueError, match="_mid"):
+        scale.global_sort_index(bad_mid, F.col("v").asc(), F.col("k").asc())
+    with pytest.raises(ValueError, match="_mid"):
+        scale.grouped_rank_index(bad_mid, ["k"], [F.col("v").asc()])
+    # index_name collision: the default 'rn' on grouped_rank_index
+    bad_rn = spark.createDataFrame([(1, "a", 2.0, 9)], ["k", "c", "v", "rn"])
+    with pytest.raises(ValueError, match="rn"):
+        scale.grouped_rank_index(bad_rn, ["c"], [F.col("v").asc(), F.col("k").asc()])
+    # total_name collision
+    bad_tot = spark.createDataFrame([(1, "a", 2.0, 9)], ["k", "c", "v", "tot"])
+    with pytest.raises(ValueError, match="tot"):
+        scale.grouped_rank_index(
+            bad_tot, ["c"], [F.col("v").asc(), F.col("k").asc()], total_name="tot"
+        )
+    # group-col-derived helper names (_q_<c>/_o_<c>/_t_<c>)
+    bad_q = spark.createDataFrame([(1, "a", 2.0, 9)], ["k", "c", "v", "_q_c"])
+    with pytest.raises(ValueError, match="_q_c"):
+        scale.grouped_rank_index(bad_q, ["c"], [F.col("v").asc(), F.col("k").asc()])
+    # clean inputs still work unchanged
+    ok = spark.createDataFrame([(1, "a", 2.0)], ["k", "c", "v"])
+    assert scale.grouped_rank_index(ok, ["c"], [F.col("v").asc()]).count() == 1
+
+
 def test_truncation_dedup_hot_bucket_aqe_skew_split(spark, tmp_path):
     """The dedup family's documented skew lever, exercised (VERDICT r4 #3):
     a corpus where 1500 docs share one prefix-8 opening puts n_hot² verify
