@@ -2001,3 +2001,27 @@ def test_split_batch_refuses_overflowing_id_span(spark, tmp_path):
         (-(2**61), 0),
         (2**61, 1),
     ]
+
+
+def test_admit_batch_subbatches_share_one_committed_read(spark, tmp_path, monkeypatch):
+    """Generation reuse (VERDICT r12 #6): a sub-batched admission reads
+    the committed index tables ONCE (the _IndexView pin), not once per
+    sub-batch cycle — each later cycle sees base ∪ committed deltas.
+    Without the view this admission made one bands+hsets read per probe
+    plus one bands read per fold (3 sub-batches = 6 bands + 3 hsets)."""
+    import etl_bom_radiation_spark.lsh_index as L
+
+    d = str(tmp_path / "idx")
+    L.build_lsh_index(spark, _docs_frame(spark, _EPOCH_SEED), d)
+
+    reads = []
+    real = L._committed
+
+    def counting(spark_, index_dir_, name, hw):
+        reads.append(name)
+        return real(spark_, index_dir_, name, hw)
+
+    monkeypatch.setattr(L, "_committed", counting)
+    out = _kp(L.admit_batch(spark, d, _docs_frame(spark, _EPOCH_BATCH), max_docs=2))
+    assert len(out) == len(_EPOCH_BATCH)
+    assert reads.count("bands") == 1 and reads.count("hsets") == 1, reads
