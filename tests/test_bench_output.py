@@ -212,3 +212,41 @@ def test_bench_diff_reads_driver_wrapper(tmp_path):
     p = tmp_path / "wrapped.json"
     p.write_text(_json.dumps({"n": 12, "parsed": {"queries": {"a": 1.0}}}))
     assert bench_diff.load_artifact(str(p))["queries"] == {"a": 1.0}
+
+
+def test_bench_diff_zero_baseline_reported_not_silently_dropped():
+    """A 0.0 baseline (sub-0.5ms at 3dp rounding) has no ratio — the
+    entry must surface in 'unratioable', never vanish (code-review r13:
+    a regression on such an entry was invisible and exited 0)."""
+    old = {f"q{i}": 1.0 for i in range(5)}
+    old["tiny"] = 0.0
+    new = dict(old, tiny=5.0)
+    r = bench_diff.classify(old, new)
+    assert r["unratioable"] == ["tiny"]
+    assert all(e["name"] != "tiny" for e in r["entries"])
+
+
+def test_bench_diff_zero_median_does_not_crash():
+    """All-zero new-side timings: median ratio 0 — zero-ratio entries
+    moved with the basket, a nonzero one is flagged, and there is no
+    ZeroDivisionError (code-review r13)."""
+    old = {f"q{i}": 1.0 for i in range(4)}
+    new = {f"q{i}": 0.0 for i in range(4)}
+    r = bench_diff.classify(old, new)
+    assert r["verdict"] == "uniform" and r["median_ratio"] == 0.0
+    new["q2"] = 3.0
+    r2 = bench_diff.classify(old, new)
+    assert "q2" in r2["regressions"]
+
+
+def test_bench_diff_markdown_goes_to_stdout(tmp_path, capsys):
+    """--markdown exists to capture the table into DRIFT_r*.md — it must
+    land on stdout, not stderr (code-review r13)."""
+    import json as _json
+
+    q = {"a": 1.0}
+    for nm in ("o.json", "n.json"):
+        (tmp_path / nm).write_text(_json.dumps({"queries": q}))
+    bench_diff.main([str(tmp_path / "o.json"), str(tmp_path / "n.json"), "--markdown"])
+    cap = capsys.readouterr()
+    assert "| entry |" in cap.out and "| entry |" not in cap.err

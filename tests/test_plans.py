@@ -283,14 +283,29 @@ LOW_NDV_WINDOW_ALLOWLIST: dict[str, str] = {
 }
 
 
+def _group_limited_specs(df) -> set[frozenset[str]]:
+    """Partition-column name sets of every WindowGroupLimit in the
+    physical plan — so the lint can excuse exactly the window a group
+    limit bounds, not every window in the query (a second, unlimited
+    low-NDV window must still be flagged; code-review r13)."""
+    import re
+
+    p = df._jdf.queryExecution().executedPlan().toString()
+    specs = set()
+    for spec in re.findall(r"WindowGroupLimit\s*\[([^\]]*)\]", p):
+        specs.add(frozenset(re.findall(r"(\w+)#\d+", spec)))
+    return specs
+
+
 def test_registry_window_partitions_are_scale_safe(spark, oracle_sf_dir):
     """Registry-wide low-NDV window lint (VERDICT r12 #5): q23's 5-class
     partition ceiling was found by eye; this walks every declared
     query's optimized plan and requires each Window's partition keys to
-    include a known high-cardinality column, carry a WindowGroupLimit
-    (per-partition heaps bound the per-class sort at k rows per map
-    task, so class NDV stops being the parallelism cap), or sit on the
-    reviewed allowlist naming the documented ceiling + escape hatch."""
+    include a known high-cardinality column, carry a WindowGroupLimit on
+    ITS OWN partition spec (per-partition heaps bound that window's sort
+    at k rows per map task, so class NDV stops being the parallelism
+    cap), or sit on the reviewed allowlist naming the documented ceiling
+    + escape hatch."""
     offenders: dict[str, list[str]] = {}
     for name, q in QS.items():
         if q.streaming:
@@ -301,16 +316,14 @@ def test_registry_window_partitions_are_scale_safe(spark, oracle_sf_dir):
         nodes = _window_nodes(df)
         if not nodes:
             continue
-        has_group_limit = "WindowGroupLimit" in (
-            df._jdf.queryExecution().executedPlan().toString()
-        )
+        limited_specs = _group_limited_specs(df)
         for node in nodes:
             cols = _partition_attr_names(node)
             if not cols:
                 continue  # unpartitioned: the other lint owns that case
             if cols & HIGH_CARDINALITY_WINDOW_KEYS:
                 continue
-            if has_group_limit:
+            if frozenset(cols) in limited_specs:
                 continue
             offenders.setdefault(name, []).extend(sorted(cols))
     assert offenders == {}, (

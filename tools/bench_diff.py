@@ -97,6 +97,10 @@ def classify(
     or new bench entry is registry churn, not drift)."""
     shared = sorted(set(old_q) & set(new_q))
     usable = [k for k in shared if old_q[k] > 0]
+    # a 0.0 baseline (sub-0.5ms at the 3dp artifact rounding) makes the
+    # ratio undefined — report the names instead of silently excluding
+    # them (the repo's no-silent-caps discipline; code-review r13)
+    unratioable = [k for k in shared if old_q[k] <= 0]
     entries = []
     ratios = []
     for k in usable:
@@ -107,6 +111,7 @@ def classify(
         return {
             "entries": [], "median_ratio": None, "out_of_band": [],
             "regressions": [], "verdict": "no-overlap",
+            "unratioable": unratioable,
             "added": sorted(set(new_q) - set(old_q)),
             "removed": sorted(set(old_q) - set(new_q)),
         }
@@ -115,8 +120,14 @@ def classify(
     med = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
     out, regressions = [], []
     for e in entries:
-        dev = e["ratio"] / med - 1
-        e["vs_basket"] = round(dev, 4)
+        # med == 0 (most of the basket's NEW timings round to 0.0): a
+        # zero-ratio entry moved with the basket; a nonzero one is
+        # infinitely slower than it — classify, never divide by zero
+        if med > 0:
+            dev = e["ratio"] / med - 1
+        else:
+            dev = 0.0 if e["ratio"] == 0 else float("inf")
+        e["vs_basket"] = round(dev, 4) if dev != float("inf") else dev
         if abs(dev) > band:
             out.append(e["name"])
         if dev > targeted:
@@ -128,6 +139,7 @@ def classify(
         "out_of_band": out,
         "regressions": regressions,
         "verdict": verdict,
+        "unratioable": unratioable,
         "added": sorted(set(new_q) - set(old_q)),
         "removed": sorted(set(old_q) - set(new_q)),
     }
@@ -194,7 +206,18 @@ def main(argv: list[str] | None = None) -> int:
     # capture cannot convict code, and a uniform shift is the box
     fail = bool(result["regressions"]) and quiet
 
-    print(render_table(result, markdown=args.markdown), file=sys.stderr)
+    # --markdown is FOR capturing (DRIFT_r*.md) — the table goes to
+    # stdout so `> section.md` works; the human-oriented plain table
+    # stays on stderr, keeping stdout's last line the JSON summary
+    print(
+        render_table(result, markdown=args.markdown),
+        file=sys.stdout if args.markdown else sys.stderr,
+    )
+    if result["unratioable"]:
+        warnings.append(
+            f"entries with a 0.0 baseline timing excluded from ratios: "
+            f"{result['unratioable']}"
+        )
     for w in warnings:
         print(f"WARNING: {w}", file=sys.stderr)
     summary = {
@@ -205,6 +228,7 @@ def main(argv: list[str] | None = None) -> int:
         "verdict": result["verdict"],
         "out_of_band": result["out_of_band"],
         "regressions": result["regressions"],
+        "unratioable": result["unratioable"],
         "added": result["added"],
         "removed": result["removed"],
         "canaries_quiet": quiet,

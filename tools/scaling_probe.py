@@ -518,7 +518,7 @@ def plateau_main(filters: list[str]) -> int:
                 prev = curve[nb]
             final_ratio = tail_ratio(curve)
             out[name] = {
-                "curve": {str(k): curve[k] for k in rungs},
+                "curve": {str(k): curve[k] for k in sorted(curve)},
                 "plateau": final_ratio is not None and abs(final_ratio - 1) < 0.10,
                 "final_ratio": final_ratio,
             }
