@@ -120,10 +120,15 @@ def global_sort_index(
     ``sort_cols`` must define a total order (supply a unique tiebreaker)
     or positions within ties are arbitrary.
     """
-    _reject_reserved(
-        df, {"_mid", "_pid", "_rn", "_cnt", "_qid", "_qcnt", "_off", index_name},
-        "global_sort_index",
-    )
+    internal = {"_mid", "_pid", "_rn", "_cnt", "_qid", "_qcnt", "_off"}
+    if index_name in internal:
+        # the final drop list would delete the just-computed index —
+        # output silently missing its column (code-review r13)
+        raise ValueError(
+            f"global_sort_index: index_name {index_name!r} is an internal "
+            "helper name — choose another"
+        )
+    _reject_reserved(df, internal | {index_name}, "global_sort_index")
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     part = (
@@ -192,10 +197,29 @@ def grouped_rank_index(
     tile functions need: q23c derives the exact NTILE(k) from them
     (VERDICT r12 #4).
     """
-    reserved = {"_mid", "_pid", "_seq", "_gmin", "_off", "_cnt", "_qid",
-                "_qcnt", "_o_pid", index_name}
+    internal = {"_mid", "_pid", "_seq", "_gmin", "_off", "_cnt", "_qid",
+                "_qcnt", "_o_pid"}
     for c in group_cols:
-        reserved |= {f"_q_{c}", f"_o_{c}", f"_t_{c}"}
+        internal |= {f"_q_{c}", f"_o_{c}", f"_t_{c}"}
+    # parameter-level collisions (code-review r13): an index_name that is
+    # itself an internal name gets deleted by the final drop list, and
+    # total_name == index_name makes the rank withColumn silently replace
+    # the just-attached total — both the silent-loss class this guard
+    # exists to refuse
+    if index_name in internal:
+        raise ValueError(
+            f"grouped_rank_index: index_name {index_name!r} is an internal "
+            "helper name — choose another"
+        )
+    if total_name is not None and (
+        total_name in internal or total_name == index_name
+    ):
+        raise ValueError(
+            f"grouped_rank_index: total_name {total_name!r} collides with "
+            f"{'index_name' if total_name == index_name else 'an internal helper name'}"
+            " — choose another"
+        )
+    reserved = internal | {index_name}
     if total_name is not None:
         reserved.add(total_name)
     _reject_reserved(df, reserved, "grouped_rank_index")

@@ -250,3 +250,24 @@ def test_bench_diff_markdown_goes_to_stdout(tmp_path, capsys):
     bench_diff.main([str(tmp_path / "o.json"), str(tmp_path / "n.json"), "--markdown"])
     cap = capsys.readouterr()
     assert "| entry |" in cap.out and "| entry |" not in cap.err
+
+
+def test_bench_diff_second_pass_edges():
+    """Second-review fixes (r13): a null canary element (the pre-r10
+    [null, a] artifact shape) is absent-equivalent for pair_disagreement
+    but a PRESENT degenerate pair is never quiet; a regression is
+    out-of-band by definition even with --targeted below --band; and
+    verdict/exit can no longer contradict each other."""
+    assert bench_diff.pair_disagreement([None, 1.2]) is None  # no crash
+    assert bench_diff.pair_disagreement([1.2]) is None
+    # present-but-degenerate pair: carries no evidence of quiet
+    assert bench_diff.canary_report({"spin": [None, 1.2]})["quiet"] is False
+    assert bench_diff.canary_report({"spin": [0.0, 0.9]})["quiet"] is False
+    # absent pair: still not disqualifying
+    assert bench_diff.canary_report({})["quiet"] is True
+    # targeted < band: the +30% entry is both regression AND out-of-band
+    old = {f"q{i}": 1.0 for i in range(9)}
+    new = dict(old, q3=1.3)
+    r = bench_diff.classify(old, new, band=0.5, targeted=0.2)
+    assert r["regressions"] == ["q3"]
+    assert "q3" in r["out_of_band"] and r["verdict"] == "targeted"

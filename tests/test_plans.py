@@ -218,22 +218,38 @@ def test_no_declared_query_uses_unpartitioned_window(spark, oracle_sf_dir):
 
 
 def _partition_attr_names(node) -> set[str]:
-    """Attribute names referenced by a logical Window node's partitionSpec
-    (recursive walk of the serialized expression JSON — a spec entry may
-    be a bare AttributeReference or an expression over several)."""
+    """Per partitionSpec ENTRY: the bare attribute name when the entry's
+    ROOT is an AttributeReference, else an ``expr:<Class>`` marker that
+    can never match the high-cardinality list.  Root-only on purpose
+    (code-review r13): a low-NDV expression over a high-NDV column must
+    not inherit the column's excusal.  In practice Catalyst's
+    ExtractWindowExpressions pre-projects computed partition keys into
+    synthetic ``_w0`` attributes (probed on Spark 4.1), so expression
+    keys surface as unrecognized names and are flagged either way —
+    ``test_window_lint_flags_expression_partition_keys`` pins that."""
+    # Catalyst wraps float/double partition keys in 1:1 normalization
+    # nodes (NormalizeFloatingNumbers rule) — cardinality-preserving, so
+    # a chain of ONLY these over exactly one attribute IS that attribute
+    transparent = ("KnownFloatingPointNormalized", "NormalizeNaNAndZero")
     names: set[str] = set()
-
-    def walk(x):
-        if isinstance(x, dict):
-            if str(x.get("class", "")).endswith("AttributeReference"):
-                names.add(x["name"])
-            for v in x.values():
-                walk(v)
-        elif isinstance(x, (list, tuple)):
-            for v in x:
-                walk(v)
-
-    walk(node.get("partitionSpec"))
+    for entry in node.get("partitionSpec") or []:
+        nodes = entry if isinstance(entry, list) else [entry]
+        attrs = [
+            n["name"] for n in nodes
+            if isinstance(n, dict)
+            and str(n.get("class", "")).endswith("AttributeReference")
+        ]
+        others = [
+            str(n.get("class", "")).rsplit(".", 1)[-1] for n in nodes
+            if isinstance(n, dict)
+            and not str(n.get("class", "")).endswith("AttributeReference")
+        ]
+        if len(attrs) == 1 and all(c in transparent for c in others):
+            names.add(attrs[0])
+        else:
+            root = nodes[0] if nodes else {}
+            cls = str(root.get("class", "")) if isinstance(root, dict) else ""
+            names.add(f"expr:{cls.rsplit('.', 1)[-1]}")
     return names
 
 
@@ -263,23 +279,27 @@ HIGH_CARDINALITY_WINDOW_KEYS = {
 
 #: Windows DELIBERATELY partitioned on a low-NDV key — each entry names
 #: the documented ceiling and its escape hatch, the VERDICT r12 #5
-#: convention (found-by-eye q23 is now the lint's template).  Adding an
-#: entry here requires BOTH a scale note in the query's docstring and
-#: either a measured bound or a scale-safe twin.
-LOW_NDV_WINDOW_ALLOWLIST: dict[str, str] = {
-    "q23_ranking": (
-        "partitions on o_orderpriority (5 classes) — 5 sort tasks at any "
-        "cluster size; scale-safe twins q23b (grouped_rank_index, rank) "
-        "and q23c (grouped ntile) carry the same results without a "
-        "Window node"
-    ),
-    "x02_gapfill": (
-        "LOCF window partitions on prio (5 classes) but runs over the "
-        "AGGREGATED calendar grid (days x keys), never the fact table — "
-        "per-class rows = days in range, bounded by time span, not data "
-        "volume (docstring scale note); the fact-sized stage is the "
-        "daily pre-aggregation, one partial+final shuffle"
-    ),
+#: convention (found-by-eye q23 is now the lint's template), PLUS the
+#: exact number of low-NDV windows sanctioned: the lint still walks
+#: allowlisted queries and fails if MORE unrecognized windows appear
+#: than the entry sanctions (code-review r13 — a whole-query skip would
+#: excuse future additions with zero review).  Adding/raising an entry
+#: requires BOTH a scale note in the query's docstring and either a
+#: measured bound or a scale-safe twin.
+LOW_NDV_WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
+    "q23_ranking": (1, (
+        "one window partitioned on o_orderpriority (5 classes) — 5 sort "
+        "tasks at any cluster size; scale-safe twins q23b "
+        "(grouped_rank_index, rank) and q23c (grouped ntile) carry the "
+        "same results without a Window node"
+    )),
+    "x02_gapfill": (1, (
+        "one LOCF window partitioned on prio (5 classes) but running "
+        "over the AGGREGATED calendar grid (days x keys), never the "
+        "fact table — per-class rows = days in range, bounded by time "
+        "span, not data volume (docstring scale note); the fact-sized "
+        "stage is the daily pre-aggregation, one partial+final shuffle"
+    )),
 }
 
 
@@ -310,13 +330,12 @@ def test_registry_window_partitions_are_scale_safe(spark, oracle_sf_dir):
     for name, q in QS.items():
         if q.streaming:
             continue  # same exclusion as the unpartitioned-window lint
-        if name in LOW_NDV_WINDOW_ALLOWLIST:
-            continue
         df = q.fn(spark, oracle_sf_dir)
         nodes = _window_nodes(df)
         if not nodes:
             continue
         limited_specs = _group_limited_specs(df)
+        suspects: list[str] = []
         for node in nodes:
             cols = _partition_attr_names(node)
             if not cols:
@@ -325,12 +344,37 @@ def test_registry_window_partitions_are_scale_safe(spark, oracle_sf_dir):
                 continue
             if frozenset(cols) in limited_specs:
                 continue
-            offenders.setdefault(name, []).extend(sorted(cols))
+            suspects.extend(sorted(cols))
+        sanctioned = LOW_NDV_WINDOW_ALLOWLIST.get(name, (0, ""))[0]
+        if len(suspects) > sanctioned:
+            offenders[name] = suspects
     assert offenders == {}, (
         "window partitioned on unrecognized (possibly low-NDV) keys — "
         "add the column to HIGH_CARDINALITY_WINDOW_KEYS if per-key "
         "groups stay bounded as data grows, or allowlist the query with "
         f"its documented ceiling + escape hatch: {offenders}"
+    )
+
+
+def test_window_lint_flags_expression_partition_keys(spark):
+    """Liveness for the lint's expression handling (code-review r13): a
+    window partitioned on a low-NDV EXPRESSION over a high-NDV column
+    (pmod(id, 5) — 5 partitions, the exact ceiling the lint exists to
+    catch) must NOT inherit the column's excusal.  On Spark 4.1 the
+    computed key surfaces as a synthetic _w0 attribute; either way the
+    collected key set must not intersect the high-cardinality list."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v"))
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(5))).orderBy("v")
+    out = df.select("doc_id", F.row_number().over(w).alias("rn"))
+    nodes = _window_nodes(out)
+    assert nodes, "expected a Window node"
+    cols = set().union(*(_partition_attr_names(n) for n in nodes))
+    assert cols, "expected partition keys"
+    assert not (cols & HIGH_CARDINALITY_WINDOW_KEYS), (
+        f"a low-NDV expression key inherited a high-cardinality excusal: {cols}"
     )
 
 

@@ -263,6 +263,21 @@ def test_index_helpers_reject_reserved_column_collisions(spark):
     # clean inputs still work unchanged
     ok = spark.createDataFrame([(1, "a", 2.0)], ["k", "c", "v"])
     assert scale.grouped_rank_index(ok, ["c"], [F.col("v").asc()]).count() == 1
+    # parameter-level collisions (second review r13): an internal-name
+    # index_name would be deleted by the final drop; total_name ==
+    # index_name would be silently replaced by the rank withColumn
+    with pytest.raises(ValueError, match="internal helper name"):
+        scale.global_sort_index(ok, F.col("v").asc(), index_name="_rn")
+    with pytest.raises(ValueError, match="internal helper name"):
+        scale.grouped_rank_index(ok, ["c"], [F.col("v").asc()], index_name="_seq")
+    with pytest.raises(ValueError, match="index_name"):
+        scale.grouped_rank_index(
+            ok, ["c"], [F.col("v").asc()], index_name="rn", total_name="rn"
+        )
+    with pytest.raises(ValueError, match="internal helper name"):
+        scale.grouped_rank_index(
+            ok, ["c"], [F.col("v").asc()], total_name="_gmin"
+        )
 
 
 def test_truncation_dedup_hot_bucket_aqe_skew_split(spark, tmp_path):

@@ -61,23 +61,36 @@ def load_artifact(path: str) -> dict:
 
 def pair_disagreement(pair) -> float | None:
     """Relative disagreement of a before/after canary pair — None when
-    the pair is absent or degenerate (zero/negative readings)."""
+    the pair is absent or degenerate (wrong length, null element — the
+    pre-ADVICE-r10 programmatic-mains shape printed [null, a] —, or
+    zero/negative readings)."""
     if not pair or len(pair) != 2:
         return None
     a, b = pair
-    if not (a > 0 and b > 0):
+    if not all(isinstance(x, (int, float)) and x > 0 for x in (a, b)):
         return None
     return abs(a - b) / max(a, b)
 
 
 def canary_report(rec: dict) -> dict:
-    """{spin: x, io_spin: y, quiet: bool} for one capture.  A missing
+    """{spin: x, io_spin: y, quiet: bool} for one capture.  An ABSENT
     pair does not disqualify (old artifacts predate the canaries), but a
-    present-and-disagreeing one marks the capture contended."""
-    spin = pair_disagreement(rec.get("spin"))
-    io = pair_disagreement(rec.get("io_spin"))
-    quiet = all(d is None or d <= CANARY_BAND for d in (spin, io))
-    return {"spin_disagreement": spin, "io_disagreement": io, "quiet": quiet}
+    present pair must be valid AND agreeing: a disagreeing pair marks
+    the capture contended, and a present-but-degenerate one (null/zero
+    element, wrong length) carries no evidence of quiet — it must not
+    let a capture convict code (code-review r13)."""
+    out = {}
+    quiet = True
+    for key, field in (("spin", "spin_disagreement"), ("io_spin", "io_disagreement")):
+        pair = rec.get(key)
+        d = pair_disagreement(pair)
+        out[field] = d
+        if pair is None:
+            continue  # absent: pre-canary artifact, not disqualifying
+        if d is None or d > CANARY_BAND:
+            quiet = False  # degenerate or disagreeing
+    out["quiet"] = quiet
+    return out
 
 
 def classify(
@@ -128,10 +141,14 @@ def classify(
         else:
             dev = 0.0 if e["ratio"] == 0 else float("inf")
         e["vs_basket"] = round(dev, 4) if dev != float("inf") else dev
-        if abs(dev) > band:
-            out.append(e["name"])
-        if dev > targeted:
+        is_regression = dev > targeted
+        if is_regression:
             regressions.append(e["name"])
+        # regressions are out-of-band BY DEFINITION even when --targeted
+        # is set below --band: verdict and exit code must never
+        # contradict each other (code-review r13)
+        if abs(dev) > band or is_regression:
+            out.append(e["name"])
     verdict = "uniform" if not out else "targeted"
     return {
         "entries": entries,
