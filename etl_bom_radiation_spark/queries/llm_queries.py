@@ -165,11 +165,24 @@ def n02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "n03_topk_cosine",
     oracle="""
-    SELECT b.vec_id,
-           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
-    FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-    ORDER BY sim DESC, b.vec_id ASC
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                WHERE vec_id = 0),
+               CAST(embedding AS DOUBLE[])), 6) AS sim
+    -- searchable side excludes NULL and zero-norm vectors: DuckDB's
+    -- list_cosine_similarity RAISES on a NULL list from a scan and
+    -- returns -1.0 for a zero vector, while the Spark side's try_divide
+    -- yields NULL — neither is a meaningful similarity, so both engines
+    -- skip them. The query vector is a scalar subquery, not a joined
+    -- derived table: DuckDB's cross-join plan evaluates the similarity
+    -- before the derived-table filter and raises on the NULL row
+    -- (NULL-parity net r13)
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[])) > 0
+    ORDER BY sim DESC, vec_id ASC
     LIMIT 10
     """,
 )
@@ -186,6 +199,10 @@ def n03_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.crossJoin(F.broadcast(q))
         .select("vec_id", F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("sim"))
+        # NULL sim = NULL or zero-norm vector (try_divide in _cosine):
+        # unsearchable, skipped — mirrors the oracle's WHERE (no-op on the
+        # driver fixtures, which have no NULL/zero vectors)
+        .filter(F.col("sim").isNotNull())
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
@@ -201,7 +218,11 @@ def n03b_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    feat = e.select("vec_id", array_to_vector("embedding").alias("features"))
+    # NULL embeddings are unsearchable and crash VectorUDT fit/transform
+    # (no-op on the driver fixtures — zero NULL vectors there)
+    feat = e.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", array_to_vector("embedding").alias("features")
+    )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
     )
@@ -226,7 +247,10 @@ def n03c_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    feat = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    # NULL embeddings crash KMeans.fit; skip them (no-op on driver data)
+    feat = e.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    )
     km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cell")
     model = km.fit(feat)
     assigned = model.transform(feat)
@@ -314,9 +338,23 @@ def n04b_similarity_selfjoin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.sqrt(
         F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
     )
-    unit = e.select(
-        "vec_id",
-        array_to_vector(F.transform(vec, lambda x: x / norm)).alias("features"),
+    # NULL embeddings crash the vector conversion and a zero-norm vector
+    # has no unit form (the x / norm below would ANSI-abort): both are
+    # un-normalizable, skip them (no-op on driver data — none exist there).
+    # localCheckpoint cuts the optimizer lineage: without it Catalyst's
+    # CombineFilters merges this guard with the LSH transform's internal
+    # UDF filter into ONE conjunction whose evaluation order is NOT
+    # short-circuited — the x / norm transform evaluated on the very
+    # zero-norm rows the guard excludes (measured: ANSI DIVIDE_BY_ZERO
+    # from inside a GeneratedClass$SpecificPredicate, NULL-parity net r13)
+    unit = (
+        e.filter(F.col("embedding").isNotNull())
+        .filter(norm > 0)
+        .select(
+            "vec_id",
+            array_to_vector(F.transform(vec, lambda x: x / norm)).alias("features"),
+        )
+        .localCheckpoint(eager=False)
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=1.0, numHashTables=6, seed=7
@@ -453,21 +491,25 @@ def n08_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ws").cast("int").alias("n_tokens"),
         F.size(F.filter("ws", lambda t: F.array_contains(stop, t))).alias("stop_hits"),
     )
+    # try_divide: the n_tokens >= 15 conjunct does NOT guarantee the ratio
+    # is only evaluated on nonzero divisors (vectorized predicates don't
+    # short-circuit row-wise), so a zero-token doc would ANSI-abort with a
+    # plain '/'. DuckDB's double division already yields NULL on /0, and
+    # NULL <= 0.6 is false on both engines — semantics unchanged.
+    ratio = F.try_divide(F.col("stop_hits").cast("double"), F.col("n_tokens"))
     return (
         scored.filter(
             F.col("n_chars").between(100, 450)
             & F.col("lang").isin("en", "es", "de")
             & (F.col("n_tokens") >= 15)
-            & (F.col("stop_hits").cast("double") / F.col("n_tokens") <= 0.6)
+            & (ratio <= 0.6)
         )
         .select(
             "doc_id",
             "lang",
             "n_chars",
             "n_tokens",
-            F.round(F.col("stop_hits").cast("double") / F.col("n_tokens"), 6).alias(
-                "stop_ratio"
-            ),
+            F.round(ratio, 6).alias("stop_ratio"),
         )
     )
 
@@ -502,7 +544,10 @@ def n09_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         hits.cast("int").alias("en_hits"),
-        F.when(hits.cast("double") / F.size("ws") >= 0.05, "en")
+        # try_divide: an empty doc has 0 tokens and plain '/' ANSI-aborts;
+        # NULL ratio falls to 'unk', exactly like the oracle (DuckDB's
+        # double /0 is NULL and CASE NULL >= 0.05 takes the ELSE branch)
+        F.when(F.try_divide(hits.cast("double"), F.size("ws")) >= 0.05, "en")
         .otherwise("unk")
         .alias("guessed_lang"),
     )
@@ -522,8 +567,13 @@ def n09_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     )
     SELECT doc_id,
-           CAST(list_min(list_transform(shingles,
-                s -> {_duck_polyhash('s')})) AS BIGINT) AS fingerprint
+           -- NULL text -> NULL fingerprint: the Spark side's array_join
+           -- propagates the NULL token array, while DuckDB's
+           -- array_to_string(NULL) would otherwise degrade to the hash of
+           -- '' (NULL-parity net r13)
+           CASE WHEN toks IS NULL THEN NULL ELSE
+               CAST(list_min(list_transform(shingles,
+                    s -> {_duck_polyhash('s')})) AS BIGINT) END AS fingerprint
     FROM sh
     """,
 )
@@ -738,10 +788,13 @@ def n13_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm01_multimodal_features",
     oracle="""
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-           CAST(octet_length(encode(text)) // 256 AS INT) AS n_frames,
+           CAST(octet_length(encode(coalesce(text, ''))) AS INT) AS n_bytes,
+           CAST(octet_length(encode(coalesce(text, ''))) // 256 AS INT) AS n_frames,
            'application/octet-stream' AS mime
     FROM documents
+    -- coalesce: a NULL payload decodes as an EMPTY payload on the Spark
+    -- side (the kernels' None guard — a real decoder sees b''), pinned
+    -- identically here (NULL-parity net r13)
     """,
 )
 def mm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,7 +814,10 @@ def mm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            raw = pdf["payload"]
+            # None -> b'': a NULL payload is an empty payload (len() on
+            # None raised before the NULL-parity net; the oracle coalesces
+            # identically)
+            raw = pdf["payload"].map(lambda b: b if b is not None else b"")
             n_bytes = raw.map(len)
             yield pd.DataFrame(
                 {
@@ -781,7 +837,9 @@ def mm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm02_frame_sample",
     oracle="""
     WITH meta AS (
-        SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+        -- coalesce: NULL payload = empty payload, as in mm01
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n_bytes
+        FROM documents
     )
     SELECT doc_id, CAST(i AS INT) AS frame_idx,
            CAST(i * 256 AS INT) AS byte_offset
@@ -803,7 +861,7 @@ def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out_doc, out_idx, out_off = [], [], []
             for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = len(raw) // 256 + 1
+                n_frames = len(raw or b"") // 256 + 1
                 for i in range(0, n_frames, 4):
                     out_doc.append(doc_id)
                     out_idx.append(i)
@@ -1256,10 +1314,13 @@ def n23_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "n24_length_percentile",
     oracle="""
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-           ROUND(PERCENT_RANK() OVER (ORDER BY n_chars ASC, doc_id ASC), 6) AS pct
+           ROUND(PERCENT_RANK() OVER (ORDER BY n_chars ASC NULLS FIRST,
+                                      doc_id ASC), 6) AS pct
     FROM documents
     -- PERCENT_RANK of a single row is 0.0; the Spark side guards its
-    -- (pos-1)/(N-1) with try_divide to match
+    -- (pos-1)/(N-1) with try_divide to match. NULLS FIRST pins DuckDB to
+    -- Spark's ascending NULL order (global_sort_index sorts NULL n_chars
+    -- first; DuckDB's default is nulls_last)
     """,
 )
 def n24_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:

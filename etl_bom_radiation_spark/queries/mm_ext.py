@@ -57,7 +57,12 @@ def _py_tokens(s):
     "mm03_thumbnail",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents
+        -- coalesce: _py_tokens maps a NULL payload to the empty token
+        -- list (a real decode kernel sees an empty payload); the oracle
+        -- pins the same convention, since _DUCK_TOKENS would otherwise
+        -- propagate NULL through every output (NULL-parity net r13)
+        SELECT doc_id, {_DUCK_TOKENS} AS ws
+        FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     ), m AS (
         SELECT doc_id, ws, len(ws) AS n,
                CAST(ceil(len(ws) / {IN_W}.0) AS INT) AS in_h
@@ -76,7 +81,9 @@ def _py_tokens(s):
            in_h,
            CAST(ceil(in_h / {STRIDE}.0) AS INT) AS out_h,
            CAST(len(kept) AS INT) AS n_kept,
-           md5(array_to_string(kept, ' ')) AS thumb_md5
+           -- coalesce: DuckDB's array_to_string([]) is NULL, not '' — the
+           -- kernel hashes the empty string for an empty thumbnail
+           md5(coalesce(array_to_string(kept, ' '), '')) AS thumb_md5
     FROM k
     """,
 )
@@ -133,7 +140,9 @@ FRAME, HOP = 8, 4
     "mm04_audio_frames",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents
+        -- coalesce: NULL payload = empty payload, as in mm03
+        SELECT doc_id, {_DUCK_TOKENS} AS ws
+        FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     ), m AS (
         SELECT doc_id,
                list_transform(ws, w -> CAST(length(w) AS BIGINT)) AS samples,
@@ -158,7 +167,8 @@ FRAME, HOP = 8, 4
                AS total_energy,
            CAST(coalesce(list_aggregate(energies, 'max'), 0) AS BIGINT)
                AS peak_energy,
-           md5(array_to_string(energies, ',')) AS frames_md5
+           -- coalesce: array_to_string([]) is NULL in DuckDB (see mm03)
+           md5(coalesce(array_to_string(energies, ','), '')) AS frames_md5
     FROM f
     """,
 )

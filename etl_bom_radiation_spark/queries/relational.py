@@ -383,9 +383,19 @@ def q11_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.event_id,
            COALESCE(CAST(epoch_us(c.ts) AS BIGINT), -1) AS last_click_us
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+    ASOF LEFT JOIN (SELECT * FROM events
+                    WHERE event_type = 'click' AND ts IS NOT NULL) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
+    -- NULL-ts rows are handled OUTSIDE the ASOF join: SQL comparison
+    -- semantics say a NULL-ts purchase matches nothing (the Spark side's
+    -- last() window gives it -1), but DuckDB's sort-based ASOF implements
+    -- NULL probes as greatest-key matches; a NULL-ts click can likewise
+    -- never be "last at or before". Union the no-match rows explicitly.
+    UNION ALL
+    SELECT event_id, -1 AS last_click_us
+    FROM events WHERE event_type = 'purchase' AND ts IS NULL
     """,
 )
 def q12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

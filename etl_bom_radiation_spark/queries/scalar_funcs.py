@@ -301,9 +301,13 @@ def f_grammar_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stem = F.regexp_replace(fn, r"\.[^.]*$", "")
     p = F.split(stem, "_")
-    ts = F.to_timestamp(
+    # try_to_timestamp, not to_timestamp: a NULL o_orderdate makes the
+    # synthesized filename NULL, and concat_ws SKIPS nulls — the parse
+    # input degrades to '' which ANSI to_timestamp ABORTS on; try_ yields
+    # NULL, matching the oracle's strptime(NULL) (NULL-parity net r13)
+    ts = F.try_to_timestamp(
         F.concat_ws(" ", F.element_at(p, 3), F.substring(F.element_at(p, 4), 1, 2)),
-        "yyyyMMdd H",
+        F.lit("yyyyMMdd H"),
     )
     return o.select(
         "o_orderkey",
@@ -429,8 +433,8 @@ def q44_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            ROUND(MEDIAN(l_quantity), 4) AS med_qty,
-           BOOL_AND(l_quantity > 0) AS all_pos,
-           BOOL_OR(l_discount > 0.09) AS any_big_disc,
+           COALESCE(BOOL_AND(l_quantity > 0), FALSE) AS all_pos,
+           COALESCE(BOOL_OR(l_discount > 0.09), FALSE) AS any_big_disc,
            CAST(BIT_AND(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS band,
            CAST(BIT_OR(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS bor,
            CAST(BIT_XOR(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS bxor,
@@ -447,8 +451,14 @@ def q45_extended_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     return li.groupBy("l_returnflag").agg(
         F.round(F.median("l_quantity"), 4).alias("med_qty"),
-        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
-        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
+        # coalesce to FALSE: bool_and/bool_or over an all-NULL group is
+        # SQL-NULL on both engines, but a NULL boolean round-trips as
+        # None (Spark) vs NaN (DuckDB) through pandas and the driver's
+        # value compare treats those as different — pin "unknown = false"
+        F.coalesce(F.bool_and(F.col("l_quantity") > 0), F.lit(False)).alias("all_pos"),
+        F.coalesce(F.bool_or(F.col("l_discount") > 0.09), F.lit(False)).alias(
+            "any_big_disc"
+        ),
         F.bit_and(F.col("l_linenumber").cast("long")).alias("band"),
         F.bit_or(F.col("l_linenumber").cast("long")).alias("bor"),
         F.bit_xor(F.col("l_linenumber").cast("long")).alias("bxor"),
@@ -562,7 +572,10 @@ def q48_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         s.getField("key").alias("k"),
         s.getField("prio").alias("p"),
-        F.to_json(s).alias("js"),
+        # ignoreNullFields=false: Spark's default DROPS null struct fields
+        # from the JSON while DuckDB's to_json keeps them as "prio":null —
+        # emitting nulls matches DuckDB exactly (NULL-parity net r13)
+        F.to_json(s, {"ignoreNullFields": "false"}).alias("js"),
     )
 
 

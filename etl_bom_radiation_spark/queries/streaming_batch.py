@@ -34,7 +34,10 @@ from . import load_events, register
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(value), 2) AS total
-    FROM events GROUP BY 1, 2
+    -- ts IS NOT NULL: Spark's window() emits no bucket for a NULL event
+    -- time (streaming would drop it at the watermark anyway); DuckDB's
+    -- time_bucket(NULL) would keep a NULL-bucket group
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def t02_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,7 +100,9 @@ def t03_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                          > INTERVAL '30 minutes'
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
+        -- ts IS NOT NULL: session_window, like window(), drops NULL event
+        -- times on the Spark side (see t02)
+        FROM events WHERE ts IS NOT NULL
     ), numbered AS (
         SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
                                          ROWS UNBOUNDED PRECEDING) AS session_id
@@ -160,11 +165,15 @@ def t06_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t07_stateful_running",
     oracle="""
     SELECT user_id, event_id,
-           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts NULLS FIRST, event_id)
                 AS BIGINT) AS seen_so_far,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts NULLS FIRST, event_id
                                   ROWS UNBOUNDED PRECEDING), 2) AS value_so_far
     FROM events
+    -- NULLS FIRST: Spark ascending sorts NULL ts first, DuckDB's default
+    -- is nulls_last — pinned so the running prefix agrees on NULL keys
     """,
 )
 def t07_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:

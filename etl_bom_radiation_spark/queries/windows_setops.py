@@ -163,7 +163,10 @@ def q23c_ntile_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(LEAD(event_type) OVER w, 'none') AS next_type,
            FIRST_VALUE(event_type) OVER w AS first_type
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    -- NULLS FIRST pins the engines together on NULL order keys: Spark's
+    -- ascending default is NULLS FIRST, DuckDB's default_null_order is
+    -- nulls_last (NULL-parity net r13; driver fixtures are NULL-free)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC)
     """,
 )
 def q24_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,14 +189,15 @@ def q24_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            ROUND(SUM(value) OVER (PARTITION BY user_id
-                                  ORDER BY ts ASC, event_id ASC
+                                  ORDER BY ts ASC NULLS FIRST, event_id ASC
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                AS running_sum,
            ROUND(AVG(value) OVER (PARTITION BY user_id
-                                  ORDER BY ts ASC, event_id ASC
+                                  ORDER BY ts ASC NULLS FIRST, event_id ASC
                                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
                AS moving_avg4
     FROM events
+    -- NULLS FIRST: see q24 — pins DuckDB to Spark's ascending NULL order
     """,
 )
 def q25_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

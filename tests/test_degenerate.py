@@ -45,6 +45,9 @@ DOC_QUERIES = [
     "n33_split_leakage",
     "n34_sequence_packing",
     "n35_source_dup_matrix",
+    # round-13 (NULL-parity net): the mm kernels' None->empty-payload guard
+    "mm01_multimodal_features",
+    "mm02_frame_sample",
     # round-6 doc operators
     "n36_minhash_estimate",
     "n39_substring_dup_spans",
@@ -181,6 +184,9 @@ def test_embedding_queries_tolerate_zero_vectors(spark, weird_dir):
             # (2-dim / zero vectors, truncation dim > vector length)
             "n37_ivf_recall", "n38_lsh_recall", "n41_matryoshka_recall",
             "n43_embedding_dedup_clusters",
+            # round-13 (NULL-parity net): zero-norm/NULL-vector guards
+            "n03b_topk_cosine_lsh", "n03c_topk_cosine_ivf",
+            "n04b_similarity_selfjoin_lsh",
         ],
     )
 

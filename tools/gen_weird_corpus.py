@@ -1,0 +1,260 @@
+#!/usr/bin/env python
+"""Generate a NULL-riddled mirror of the testdata tables (NULL-parity net).
+
+The driver fixtures at every SF contain ZERO NULLs in any column of any
+table (verified r13), so the exact-hash oracle gate has never exercised
+NULL semantics — the exact place Spark and DuckDB silently diverge
+(NULLS FIRST/LAST defaults, NULL group keys, NULL join keys, aggregates
+over all-NULL groups). This tool writes a tiny corpus with the SAME
+physical parquet schemas as ``/root/testdata/sf*`` but NULLs injected
+into every class of column (group keys, order keys, join keys,
+aggregated measures, text), plus dangling foreign keys and boundary
+rows. ``tools/check_queries.py`` pointed at it via
+``SPARK_GRAFT_CHECK_SF`` sweeps every oracle-bearing registry entry on
+it; ``tests/test_null_parity.py`` pins the sweep in CI.
+
+Design constraints (so disagreements mean BUGS, not fixture noise):
+
+* every float is a small binary fraction (multiples of 1/64) — sums and
+  averages are exact in IEEE double regardless of reduction order, so
+  the driver-style bitwise float compare stays meaningful;
+* values that feed ORDER BY ... LIMIT boundaries are pairwise distinct —
+  top-k row sets are uniquely determined (ties at a LIMIT boundary would
+  make Spark-vs-DuckDB row sets legitimately diverge);
+* primary keys stay unique and non-NULL; foreign keys, group keys,
+  order keys and measures all carry NULLs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _ts(day: int, hour: int = 0, minute: int = 0) -> datetime:
+    return datetime(2024, 1 + (day - 1) // 28, 1 + (day - 1) % 28, hour, minute)
+
+
+def _write(out_dir: str, name: str, schema: pa.Schema, cols: dict[str, list]) -> None:
+    n = {len(v) for v in cols.values()}
+    assert len(n) == 1, f"{name}: ragged columns {sorted((k, len(v)) for k, v in cols.items())}"
+    table = pa.table({f.name: pa.array(cols[f.name], type=f.type) for f in schema}, schema=schema)
+    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+
+
+def write_corpus(out_dir: str) -> str:
+    """Write all ten tables; returns out_dir."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    _write(out_dir, "region", pa.schema([
+        ("r_regionkey", pa.int32()), ("r_name", pa.string()),
+    ]), {
+        "r_regionkey": [0, 1, 2, 3],
+        "r_name": ["AMERICA", "ASIA", None, "EUROPE"],
+    })
+
+    _write(out_dir, "nation", pa.schema([
+        ("n_nationkey", pa.int32()), ("n_name", pa.string()),
+        ("n_regionkey", pa.int32()),
+    ]), {
+        "n_nationkey": [0, 1, 2, 3, 4, 5, 6],
+        "n_name": ["BRAZIL", "CANADA", None, "FRANCE", "JAPAN", "KENYA", "PERU"],
+        # one NULL FK, one dangling FK (99 has no region row)
+        "n_regionkey": [0, 0, 1, 3, 1, None, 99],
+    })
+
+    _write(out_dir, "customer", pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+        ("c_mktsegment", pa.string()),
+    ]), {
+        "c_custkey": list(range(1, 15)),
+        "c_name": [f"Customer#{i:03d}" if i != 7 else None for i in range(1, 15)],
+        "c_nationkey": [0, 1, 2, 3, 4, 5, 6, None, 98, 0, 1, 2, 3, 4],
+        # distinct binary fractions, one negative, two NULLs
+        "c_acctbal": [12.25, -3.5, 7.75, 100.0625, 55.5, None, 41.25,
+                      8.125, -0.75, 63.0, 29.5, None, 91.75, 18.0625],
+        "c_mktsegment": ["BUILDING", "AUTOMOBILE", None, "MACHINERY", "BUILDING",
+                         "HOUSEHOLD", "FURNITURE", "BUILDING", None, "AUTOMOBILE",
+                         "MACHINERY", "HOUSEHOLD", "FURNITURE", "BUILDING"],
+    })
+
+    _write(out_dir, "supplier", pa.schema([
+        ("s_suppkey", pa.int64()), ("s_name", pa.string()),
+        ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64()),
+    ]), {
+        "s_suppkey": [1, 2, 3, 4, 5, 6, 7],
+        "s_name": ["Supplier#001", "Supplier#002", "Supplier#003", None,
+                   "Supplier#005", "Supplier#006", "Supplier#007"],
+        "s_nationkey": [0, 1, 2, None, 4, 99, 3],
+        "s_acctbal": [500.25, -12.5, None, 77.75, 310.0625, 42.5, 0.0],
+    })
+
+    _write(out_dir, "part", pa.schema([
+        ("p_partkey", pa.int64()), ("p_name", pa.string()),
+        ("p_brand", pa.string()), ("p_type", pa.string()),
+        ("p_size", pa.int32()), ("p_retailprice", pa.float64()),
+    ]), {
+        "p_partkey": list(range(1, 13)),
+        "p_name": ["azure steel box", "burnished copper wheel", None,
+                   "dim chocolate cog", "forest brass gear", "green tin plate",
+                   "hot pink rod", "ivory zinc screw", "jade nickel bolt",
+                   "khaki iron nut", "lime bronze pin", "misty silver cap"],
+        "p_brand": ["Brand#11", "Brand#12", "Brand#11", None, "Brand#13",
+                    "Brand#12", "Brand#11", "Brand#13", None, "Brand#12",
+                    "Brand#11", "Brand#13"],
+        "p_type": ["SMALL PLATED", "LARGE BRUSHED", "SMALL PLATED", "MEDIUM ANODIZED",
+                   None, "LARGE BRUSHED", "SMALL POLISHED", "MEDIUM ANODIZED",
+                   "SMALL PLATED", None, "LARGE POLISHED", "SMALL BRUSHED"],
+        "p_size": [1, 5, 10, None, 23, 5, 0, 15, 49, 12, None, 3],
+        "p_retailprice": [901.0, 902.25, None, 904.5, 905.125, 906.75,
+                          907.0625, 908.5, None, 910.25, 911.0, 912.375],
+    })
+
+    _write(out_dir, "orders", pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+        ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string()),
+    ]), {
+        "o_orderkey": list(range(1, 25)),
+        "o_custkey": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+                      1, 2, 3, None, 5, None, 999, 8, 9, 10],
+        "o_orderstatus": ["O", "F", "O", "P", "F", "O", None, "F", "O", "P",
+                          "F", "O", "F", None, "O", "F", "O", "P", "F", "O",
+                          "F", "O", "P", "F"],
+        # pairwise-distinct binary fractions (ORDER BY/LIMIT determinism)
+        "o_totalprice": [1001.25, 1002.5, 1003.75, None, 1005.0625, 1006.5,
+                         1007.25, 1008.125, None, 1010.75, 1011.5, 1012.25,
+                         1013.0625, 1014.5, 1015.25, 1016.75, 1017.125,
+                         1018.5, 1019.25, 1020.0625, 1021.5, 1022.75,
+                         1023.25, 1024.125],
+        "o_orderdate": [_ts(d) for d in (1, 3, 5, 8, 10, 12, 15, 17, 20, 22,
+                                         25, 28, 31, 33)] + [None, None] +
+                       [_ts(d) for d in (36, 40, 44, 48, 52, 56, 60, 64)],
+        "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                            "5-LOW", None, "1-URGENT", "2-HIGH", "3-MEDIUM",
+                            "5-LOW", "1-URGENT", None, "2-HIGH", "3-MEDIUM",
+                            "4-NOT SPECIFIED", "5-LOW", "1-URGENT", "2-HIGH",
+                            None, "3-MEDIUM", "5-LOW", "1-URGENT", "2-HIGH",
+                            "4-NOT SPECIFIED"],
+    })
+
+    li_n = 40
+    _write(out_dir, "lineitem", pa.schema([
+        ("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+        ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+        ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+        ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+        ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+        ("l_shipdate", pa.timestamp("us")),
+    ]), {
+        # two NULL order FKs, one dangling (777)
+        "l_orderkey": [1, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+                       15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 1, 2, 3,
+                       None, None, 777, 5, 6, 7, 8, 9, 10, 11, 12, 13],
+        "l_partkey": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 1, 2, 3,
+                      4, 5, 6, 7, 8, None, 10, 11, 12, 1, 2, 3, 4,
+                      5, 6, 7, 8, 9, None, 11, 12, 555, 2, 3, 4],
+        "l_suppkey": [1, 2, 3, 4, 5, 6, 7, 1, 2, 3, 4, 5, 6, 7, 1,
+                      2, 3, None, 5, 6, 7, 1, 2, 3, 4, 5, 6, 7,
+                      1, 2, 3, 4, None, 6, 7, 1, 2, 3, 444, 5],
+        "l_linenumber": [1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                         1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 3, 2, 2,
+                         1, 2, 1, 2, 2, 2, 2, 2, 2, 2, 2, 2],
+        "l_quantity": [float(q) if q is not None else None for q in
+                       (1, 2, 3, 4, 5, None, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+                        16, 17, 18, 19, None, 21, 22, 23, 24, 25, 26, 27, 28,
+                        29, 30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40)],
+        # distinct multiples of 0.25 (exact double sums in any order)
+        "l_extendedprice": [100.25 + 7.25 * i if i not in (5, 23) else None
+                            for i in range(li_n)],
+        "l_discount": [(0.0, 0.0625, 0.125, None)[i % 4] for i in range(li_n)],
+        "l_tax": [(0.03125, 0.0, None, 0.0625, 0.09375)[i % 5] for i in range(li_n)],
+        "l_returnflag": [("R", "A", "N", None, "R", "A", "N", "R")[i % 8]
+                         for i in range(li_n)],
+        "l_linestatus": [("O", "F", None, "O", "F", "O")[i % 6] for i in range(li_n)],
+        "l_shipdate": [(_ts(2 + 2 * i) if i % 9 != 7 else None) for i in range(li_n)],
+    })
+
+    ev_n = 30
+    users = [7, 7, 8, 9, None, 7, 8, 9, 10, 7, 8, None, 9, 10, 7,
+             8, 9, 10, 7, 8, None, 9, 10, 7, 8, 9, 10, 7, 8, 9]
+    etypes = [("view", "click", "purchase", None, "view", "click")[i % 6]
+              for i in range(ev_n)]
+    _write(out_dir, "events", pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ]), {
+        "event_id": list(range(1, ev_n + 1)),
+        # distinct minutes, two NULLs — order keys stay unique
+        "ts": [(_ts(1, 9 + i // 30, (3 * i) % 60) if i not in (11, 26) else None)
+               for i in range(ev_n)],
+        "user_id": users,
+        "event_type": etypes,
+        "value": [(2.25 + 0.8125 * i if i % 7 != 4 else None) for i in range(ev_n)],
+        "props": [('{"k":%d,"tag":"t%d"}' % (i, i % 3)) if i % 5 != 3 else None
+                  for i in range(ev_n)],
+    })
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        None,
+        "",
+        "single",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of doc 1
+        "sphinx of black quartz judge my vow sphinx of black quartz",
+        "data pipelines shuffle partitions and broadcast joins at scale",
+        "a a a a a a a a a a a a",
+        "mixed CASE Tokens And   irregular   whitespace here",
+    ]
+    _write(out_dir, "documents", pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+        ("source", pa.string()), ("n_chars", pa.int64()),
+    ]), {
+        "doc_id": list(range(1, 11)),
+        "text": texts,
+        "lang": ["en", "en", None, "en", "de", "en", None, "en", "xx", "en"],
+        "source": ["web", "books", "web", None, "code", "web", "books",
+                   None, "web", "code"],
+        "n_chars": [len(t) if t is not None else None for t in texts],
+    })
+
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.5, 0.5, 0.0, 0.0],
+        [0.25, 0.25, 0.25, 0.25],
+        [0.0, 0.0, 0.0, 0.0],          # zero vector (norm guard)
+        [0.75, -0.25, 0.5, 0.125],
+        [-0.5, 0.5, -0.5, 0.5],
+        None,                           # NULL embedding
+        [0.125, 0.25, 0.375, 0.5],
+        [1.0, 1.0, 1.0, 1.0],
+    ]
+    _write(out_dir, "embeddings", pa.schema([
+        ("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int32()),
+    ]), {
+        "vec_id": list(range(10)),
+        "embedding": vecs,
+        "label": [0, 1, 0, 1, 2, None, 1, 0, 2, None],
+    })
+
+    return out_dir
+
+
+def main() -> int:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/weird_corpus"
+    write_corpus(out)
+    print(f"wrote 10 tables to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
