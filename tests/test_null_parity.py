@@ -27,6 +27,13 @@ classes, all fixed and pinned here:
   (n03b, n03c), and the CombineFilters evaluation-order ANSI abort
   (n04b — see its localCheckpoint comment).
 
+The second axis is TIES (``write_tie_corpus``): every order/measure
+column drawn from a tiny value set, duplicate texts and vectors, no
+NULLs — any ORDER BY ... LIMIT / row_number / lag whose ordering is not
+total on BOTH sides picks engine-arbitrary rows. The r13 sweep found
+ZERO tie divergences (the SURVEY §7 M2 "break ties deterministically"
+discipline held); this net keeps future entries honest.
+
 Entries with ``streaming=True`` (real side-effecting pipelines) are
 exercised by the manual sweep (``SPARK_GRAFT_CHECK_SF=<dir>
 python tools/check_queries.py``) but skipped here for CI time.
@@ -39,7 +46,7 @@ import pytest
 
 from etl_bom_radiation_spark.queries import TABLES, load_all
 from tools.check_queries import compare, duck_connection
-from tools.gen_weird_corpus import write_corpus
+from tools.gen_weird_corpus import write_corpus, write_tie_corpus
 
 QS = load_all()
 
@@ -53,9 +60,16 @@ def weird_dir(tmp_path_factory) -> str:
     return write_corpus(str(tmp_path_factory.mktemp("null_parity")))
 
 
+@pytest.fixture(scope="module", params=["nulls", "ties"])
+def parity_dir(request, tmp_path_factory, weird_dir) -> str:
+    if request.param == "nulls":
+        return weird_dir
+    return write_tie_corpus(str(tmp_path_factory.mktemp("tie_parity")))
+
+
 @pytest.fixture(scope="module")
-def duck(weird_dir) -> duckdb.DuckDBPyConnection:
-    return duck_connection(weird_dir)
+def duck(parity_dir) -> duckdb.DuckDBPyConnection:
+    return duck_connection(parity_dir)
 
 
 def test_weird_corpus_schema_matches_testdata(weird_dir):
@@ -104,10 +118,31 @@ def test_every_table_carries_nulls(weird_dir):
         assert missing == [], f"{t}: columns with no NULL row: {missing}"
 
 
+def test_tie_corpus_actually_ties(tmp_path_factory):
+    """Tie-net liveness: the order/measure columns must carry heavy
+    duplication or the ties axis silently degrades to a plain re-check."""
+    out = write_tie_corpus(str(tmp_path_factory.mktemp("tie_liveness")))
+    con = duckdb.connect()
+    for table, col, max_distinct in [
+        ("orders", "o_totalprice", 2),
+        ("orders", "o_orderdate", 3),
+        ("lineitem", "l_extendedprice", 2),
+        ("events", "ts", 4),
+        ("events", "value", 2),
+        ("documents", "n_chars", 4),
+        ("embeddings", "embedding", 5),
+    ]:
+        n, d = con.execute(
+            f"SELECT count(*), count(DISTINCT {col}) "
+            f"FROM read_parquet('{out}/{table}.parquet')"
+        ).fetchone()
+        assert d <= max_distinct < n, (table, col, n, d)
+
+
 @pytest.mark.parametrize("name", PARITY_NAMES)
-def test_oracle_parity_on_nulls(spark, weird_dir, duck, name):
+def test_oracle_parity_on_adversarial_corpus(spark, parity_dir, duck, name):
     q = QS[name]
-    got = q.fn(spark, weird_dir).toPandas()
+    got = q.fn(spark, parity_dir).toPandas()
     want = duck.execute(q.oracle).df()
     problems = compare(name, got, want)
     assert problems == [], problems

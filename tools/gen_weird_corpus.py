@@ -249,10 +249,172 @@ def write_corpus(out_dir: str) -> str:
     return out_dir
 
 
+def write_tie_corpus(out_dir: str) -> str:
+    """Write all ten tables with HEAVY TIES and no NULLs (the determinism
+    net): every order/measure column draws from a tiny value set, so any
+    ORDER BY ... LIMIT, row_number, lag or rank whose ordering is not
+    total (missing a unique tiebreaker on EITHER side of a query/oracle
+    pair) picks engine-arbitrary rows and diverges. Primary keys stay
+    unique; NULLs are deliberately absent so a failure here is a
+    tie-determinism bug, not a NULL-semantics one."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    _write(out_dir, "region", pa.schema([
+        ("r_regionkey", pa.int32()), ("r_name", pa.string()),
+    ]), {
+        "r_regionkey": [0, 1, 2, 3],
+        "r_name": ["AMERICA", "ASIA", "ASIA", "EUROPE"],  # duplicate name
+    })
+
+    _write(out_dir, "nation", pa.schema([
+        ("n_nationkey", pa.int32()), ("n_name", pa.string()),
+        ("n_regionkey", pa.int32()),
+    ]), {
+        "n_nationkey": [0, 1, 2, 3, 4, 5],
+        "n_name": ["BRAZIL", "BRAZIL", "CANADA", "CANADA", "JAPAN", "JAPAN"],
+        "n_regionkey": [0, 0, 1, 1, 2, 2],
+    })
+
+    _write(out_dir, "customer", pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+        ("c_mktsegment", pa.string()),
+    ]), {
+        "c_custkey": list(range(1, 13)),
+        "c_name": [f"Customer#{i % 3:03d}" for i in range(1, 13)],  # 3 names
+        "c_nationkey": [(0, 1, 2)[i % 3] for i in range(12)],
+        "c_acctbal": [(10.5, 20.25)[i % 2] for i in range(12)],  # 2 values
+        "c_mktsegment": [("BUILDING", "MACHINERY")[i % 2] for i in range(12)],
+    })
+
+    _write(out_dir, "supplier", pa.schema([
+        ("s_suppkey", pa.int64()), ("s_name", pa.string()),
+        ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64()),
+    ]), {
+        "s_suppkey": [1, 2, 3, 4, 5, 6],
+        "s_name": ["Supplier#A", "Supplier#A", "Supplier#B", "Supplier#B",
+                   "Supplier#C", "Supplier#C"],
+        "s_nationkey": [0, 0, 1, 1, 2, 2],
+        "s_acctbal": [50.5, 50.5, 70.25, 70.25, 50.5, 70.25],
+    })
+
+    _write(out_dir, "part", pa.schema([
+        ("p_partkey", pa.int64()), ("p_name", pa.string()),
+        ("p_brand", pa.string()), ("p_type", pa.string()),
+        ("p_size", pa.int32()), ("p_retailprice", pa.float64()),
+    ]), {
+        "p_partkey": list(range(1, 11)),
+        "p_name": [("azure steel box", "green tin plate")[i % 2] for i in range(10)],
+        "p_brand": [("Brand#11", "Brand#12")[i % 2] for i in range(10)],
+        "p_type": [("SMALL PLATED", "LARGE BRUSHED")[i % 2] for i in range(10)],
+        "p_size": [(5, 10)[i % 2] for i in range(10)],
+        "p_retailprice": [(900.25, 901.5)[i % 2] for i in range(10)],
+    })
+
+    n_ord = 24
+    ts3 = [_ts(1, 10), _ts(15, 10), _ts(30, 10)]
+    _write(out_dir, "orders", pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+        ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string()),
+    ]), {
+        "o_orderkey": list(range(1, n_ord + 1)),
+        "o_custkey": [(i % 12) + 1 for i in range(n_ord)],
+        "o_orderstatus": [("O", "F")[i % 2] for i in range(n_ord)],
+        "o_totalprice": [(1000.25, 2000.5)[i % 2] for i in range(n_ord)],
+        "o_orderdate": [ts3[i % 3] for i in range(n_ord)],
+        "o_orderpriority": [("1-URGENT", "3-MEDIUM", "5-LOW")[i % 3]
+                            for i in range(n_ord)],
+    })
+
+    li_n = 40
+    _write(out_dir, "lineitem", pa.schema([
+        ("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+        ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+        ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+        ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+        ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+        ("l_shipdate", pa.timestamp("us")),
+    ]), {
+        "l_orderkey": [(i % n_ord) + 1 for i in range(li_n)],
+        "l_partkey": [(i % 10) + 1 for i in range(li_n)],
+        "l_suppkey": [(i % 6) + 1 for i in range(li_n)],
+        "l_linenumber": [i // n_ord + 1 for i in range(li_n)],
+        "l_quantity": [(1.0, 2.0)[i % 2] for i in range(li_n)],
+        "l_extendedprice": [(100.25, 200.5)[i % 2] for i in range(li_n)],
+        "l_discount": [(0.0, 0.0625)[i % 2] for i in range(li_n)],
+        "l_tax": [0.03125] * li_n,
+        "l_returnflag": [("R", "A", "N")[i % 3] for i in range(li_n)],
+        "l_linestatus": [("O", "F")[i % 2] for i in range(li_n)],
+        "l_shipdate": [ts3[i % 3] for i in range(li_n)],
+    })
+
+    ev_n = 30
+    ts4 = [_ts(1, 9, 0), _ts(1, 9, 10), _ts(1, 9, 20), _ts(1, 11, 0)]
+    _write(out_dir, "events", pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ]), {
+        "event_id": list(range(1, ev_n + 1)),
+        # only 4 distinct timestamps: ties WITHIN users and across them
+        "ts": [ts4[i % 4] for i in range(ev_n)],
+        "user_id": [(7, 8, 9)[i % 3] for i in range(ev_n)],
+        "event_type": [("view", "click", "purchase")[i % 3] for i in range(ev_n)],
+        "value": [(1.0, 2.0)[i % 2] for i in range(ev_n)],
+        "props": ['{"k":%d}' % (i % 2) for i in range(ev_n)],
+    })
+
+    texts = [
+        "alpha beta gamma delta",
+        "alpha beta gamma delta",
+        "epsilon zeta eta theta",
+        "epsilon zeta eta theta",
+        "iota kappa lambda mu nu",
+        "iota kappa lambda mu nu",
+        "omicron pi rho sigma tau",
+        "omicron pi rho sigma tau",
+    ]
+    _write(out_dir, "documents", pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+        ("source", pa.string()), ("n_chars", pa.int64()),
+    ]), {
+        "doc_id": list(range(1, 9)),
+        "text": texts,
+        "lang": ["en"] * 8,
+        "source": [("web", "books")[i % 2] for i in range(8)],
+        "n_chars": [len(t) for t in texts],  # tied lengths
+    })
+
+    # duplicate vectors: tied cosine similarities at every top-k boundary
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.5, 0.5, 0.0, 0.0],
+        [0.5, 0.5, 0.0, 0.0],
+        [0.25, 0.25, 0.25, 0.25],
+        [0.25, 0.25, 0.25, 0.25],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [1.0, 1.0, 1.0, 1.0],
+    ]
+    _write(out_dir, "embeddings", pa.schema([
+        ("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int32()),
+    ]), {
+        "vec_id": list(range(8)),
+        "embedding": vecs,
+        "label": [(0, 1)[i % 2] for i in range(8)],
+    })
+
+    return out_dir
+
+
 def main() -> int:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/weird_corpus"
-    write_corpus(out)
-    print(f"wrote 10 tables to {out}")
+    args = [a for a in sys.argv[1:] if a != "--ties"]
+    ties = "--ties" in sys.argv[1:]
+    out = args[0] if args else ("/tmp/tie_corpus" if ties else "/tmp/weird_corpus")
+    (write_tie_corpus if ties else write_corpus)(out)
+    print(f"wrote 10 {'tie' if ties else 'weird'} tables to {out}")
     return 0
 
 
