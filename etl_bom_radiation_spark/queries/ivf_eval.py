@@ -74,9 +74,18 @@ _DUCK_IDOT = (
 
 
 def base_vectors(e: DataFrame) -> DataFrame:
-    """(vec_id, v: array<double>) with NULL/empty embeddings dropped."""
+    """(vec_id, v: array<double>) with NULL/empty embeddings dropped —
+    and vectors carrying any non-finite component: NaN/Infinity cannot
+    quantize to BIGINT (the round(x*SCALE) cast would ANSI-abort with
+    CAST_OVERFLOW, specials-corpus net r13) and has no meaningful cell
+    anyway. No-op on the driver fixtures (all-finite there)."""
+    finite = ~F.exists(
+        "embedding",
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
     return e.filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0) & finite
     ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),

@@ -247,8 +247,16 @@ def n03c_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    # NULL embeddings crash KMeans.fit; skip them (no-op on driver data)
-    feat = e.filter(F.col("embedding").isNotNull()).select(
+    # NULL embeddings crash KMeans.fit, and Spark ML rejects NaN/Infinity
+    # vector components outright ("Vector values MUST NOT be NaN or
+    # Infinity"): skip both — unsearchable either way (no-op on driver
+    # data; NULL/specials-corpus nets r13)
+    finite = ~F.exists(
+        "embedding",
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    feat = e.filter(F.col("embedding").isNotNull() & finite).select(
         "vec_id", "embedding", array_to_vector("embedding").alias("features")
     )
     km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cell")

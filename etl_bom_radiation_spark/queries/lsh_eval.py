@@ -139,14 +139,13 @@ def n38_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-query recall@10 against the exact scan — the hyperplane-LSH
     quality claim under the driver's exact hash gate, plus the
     scanned-candidate fraction."""
+    from .ivf_eval import base_vectors
+
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    base = (
-        e.filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
-        .select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        )
-    )
+    # base_vectors also drops vectors with non-finite components — the
+    # round(x*SCALE) BIGINT quantization below shares ivf_eval's
+    # CAST_OVERFLOW hazard (specials-corpus net r13)
+    base = base_vectors(e)
     quant = base.select(
         "vec_id",
         F.transform("v", lambda x: F.round(x * SCALE).cast("long")).alias("qv"),

@@ -82,9 +82,12 @@ def n28_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _code(x):
         return F.round((x - vmin) * LEVELS / span)
 
+    # try_cast: a NaN/Infinity component makes the code non-finite, which
+    # must degrade to a NULL code, not an ANSI CAST_OVERFLOW abort
+    # (specials-corpus net r13); identical to cast for finite components
     q8 = F.when(
         vmax == vmin, F.transform("emb", lambda x: F.lit(0).cast("int"))
-    ).otherwise(F.transform("emb", lambda x: _code(x).cast("int")))
+    ).otherwise(F.transform("emb", lambda x: _code(x).try_cast("int")))
     abs_err = F.transform(
         "emb", lambda x: F.abs(x - (vmin + _code(x) * span / LEVELS))
     )

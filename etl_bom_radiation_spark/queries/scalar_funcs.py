@@ -84,15 +84,19 @@ def q37_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.round("l_extendedprice", 1).alias("r1"),
-        F.floor("l_extendedprice").cast("bigint").alias("fl"),
-        F.ceil("l_extendedprice").cast("bigint").alias("ce"),
+        # try_cast on every double->integral narrowing: a NaN/Infinity
+        # price (sensor-garbage class) must degrade to NULL, not abort
+        # with ANSI CAST_OVERFLOW (specials-corpus net r13); identical to
+        # cast for every finite value
+        F.floor("l_extendedprice").try_cast("bigint").alias("fl"),
+        F.ceil("l_extendedprice").try_cast("bigint").alias("ce"),
         F.round(F.abs(F.col("l_extendedprice") - 30000), 2).alias("ab"),
         F.round(F.pow("l_quantity", F.lit(2)), 2).alias("sq"),
         F.round(F.sqrt("l_extendedprice"), 6).alias("rt"),
         F.round(F.log("l_extendedprice"), 6).alias("lg"),
         F.round(F.log10("l_extendedprice"), 6).alias("l10"),
-        F.signum(F.col("l_extendedprice") - 30000).cast("int").alias("sg"),
-        (F.col("l_quantity").cast("bigint") % 7).alias("md"),
+        F.signum(F.col("l_extendedprice") - 30000).try_cast("int").alias("sg"),
+        (F.col("l_quantity").try_cast("bigint") % 7).alias("md"),
     )
 
 

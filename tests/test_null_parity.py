@@ -46,7 +46,11 @@ import pytest
 
 from etl_bom_radiation_spark.queries import TABLES, load_all
 from tools.check_queries import compare, duck_connection
-from tools.gen_weird_corpus import write_corpus, write_tie_corpus
+from tools.gen_weird_corpus import (
+    write_corpus,
+    write_specials_corpus,
+    write_tie_corpus,
+)
 
 QS = load_all()
 
@@ -146,6 +150,27 @@ def test_oracle_parity_on_adversarial_corpus(spark, parity_dir, duck, name):
     want = duck.execute(q.oracle).df()
     problems = compare(name, got, want)
     assert problems == [], problems
+
+
+def test_engine_never_aborts_on_nan_inf(spark, tmp_path_factory):
+    """Specials axis: NaN/±Infinity in every double column. Exact oracle
+    parity is OUT of contract here (DuckDB itself cannot CAST non-finite
+    doubles to integers, and its STDDEV raises on Infinity) — the
+    engine-side contract is NO ABORT: ANSI CAST_OVERFLOW on
+    double->integral narrowings (q37, n28, the ivf/lsh BIGINT quantizers)
+    and Spark ML's NaN-vector rejection (n03c) were the measured r13
+    hazards, each now degrading (NULL codes / filtered unsearchable
+    vectors) instead of killing the query."""
+    d = write_specials_corpus(str(tmp_path_factory.mktemp("specials")))
+    failures = []
+    for name, q in QS.items():
+        if q.streaming:
+            continue
+        try:
+            q.fn(spark, d).collect()
+        except Exception as ex:  # noqa: BLE001 - report them all
+            failures.append(f"{name}: {type(ex).__name__}")
+    assert failures == [], failures
 
 
 def test_crash_only_entries_tolerate_nulls(spark, weird_dir):

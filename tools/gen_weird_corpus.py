@@ -409,12 +409,121 @@ def write_tie_corpus(out_dir: str) -> str:
     return out_dir
 
 
+def write_specials_corpus(out_dir: str) -> str:
+    """The tie corpus with NaN/±Infinity injected into every double
+    column (prices, measures, embedding components) and no NULLs.
+
+    Contract exercised: the ENGINE must not abort — ANSI CAST_OVERFLOW on
+    double->integral narrowing and Spark ML's "Vector values MUST NOT be
+    NaN or Infinity" are the measured hazards (r13 sweep: q37, n28, n37,
+    n38, n03c, d02). Exact oracle parity is OUT of contract on this
+    corpus: DuckDB itself cannot CAST non-finite doubles to integers and
+    its STDDEV raises "out of range" on Infinity, so several oracles are
+    uncomputable — the CI net asserts Spark-side no-crash only."""
+    os.makedirs(out_dir, exist_ok=True)
+    write_tie_corpus(out_dir)
+    nan, inf = float("nan"), float("inf")
+
+    n_ord = 24
+    ts3 = [_ts(1, 10), _ts(15, 10), _ts(30, 10)]
+    _write(out_dir, "orders", pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+        ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string()),
+    ]), {
+        "o_orderkey": list(range(1, n_ord + 1)),
+        "o_custkey": [(i % 12) + 1 for i in range(n_ord)],
+        "o_orderstatus": [("O", "F")[i % 2] for i in range(n_ord)],
+        "o_totalprice": [(1000.25, nan, inf, -inf, 2000.5, 3000.75)[i % 6]
+                         for i in range(n_ord)],
+        "o_orderdate": [ts3[i % 3] for i in range(n_ord)],
+        "o_orderpriority": [("1-URGENT", "3-MEDIUM", "5-LOW")[i % 3]
+                            for i in range(n_ord)],
+    })
+
+    li_n = 40
+    _write(out_dir, "lineitem", pa.schema([
+        ("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+        ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+        ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+        ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+        ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+        ("l_shipdate", pa.timestamp("us")),
+    ]), {
+        "l_orderkey": [(i % n_ord) + 1 for i in range(li_n)],
+        "l_partkey": [(i % 10) + 1 for i in range(li_n)],
+        "l_suppkey": [(i % 6) + 1 for i in range(li_n)],
+        "l_linenumber": [i // n_ord + 1 for i in range(li_n)],
+        "l_quantity": [(1.0, 2.0, nan, 3.0)[i % 4] for i in range(li_n)],
+        "l_extendedprice": [(100.25, 200.5, inf, 300.75)[i % 4] for i in range(li_n)],
+        "l_discount": [(0.0, 0.0625, nan)[i % 3] for i in range(li_n)],
+        "l_tax": [0.03125] * li_n,
+        "l_returnflag": [("R", "A", "N")[i % 3] for i in range(li_n)],
+        "l_linestatus": [("O", "F")[i % 2] for i in range(li_n)],
+        "l_shipdate": [ts3[i % 3] for i in range(li_n)],
+    })
+
+    ev_n = 30
+    ts4 = [_ts(1, 9, 0), _ts(1, 9, 10), _ts(1, 9, 20), _ts(1, 11, 0)]
+    _write(out_dir, "events", pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ]), {
+        "event_id": list(range(1, ev_n + 1)),
+        "ts": [ts4[i % 4] for i in range(ev_n)],
+        "user_id": [(7, 8, 9)[i % 3] for i in range(ev_n)],
+        "event_type": [("view", "click", "purchase")[i % 3] for i in range(ev_n)],
+        "value": [(1.0, nan, 2.0, inf, -inf)[i % 5] for i in range(ev_n)],
+        "props": ['{"k":%d}' % (i % 2) for i in range(ev_n)],
+    })
+
+    _write(out_dir, "customer", pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+        ("c_mktsegment", pa.string()),
+    ]), {
+        "c_custkey": list(range(1, 13)),
+        "c_name": [f"Customer#{i % 3:03d}" for i in range(1, 13)],
+        "c_nationkey": [(0, 1, 2)[i % 3] for i in range(12)],
+        "c_acctbal": [(10.5, nan, 20.25, inf)[i % 4] for i in range(12)],
+        "c_mktsegment": [("BUILDING", "MACHINERY")[i % 2] for i in range(12)],
+    })
+
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.5, nan, 0.0, 0.0],
+        [0.5, 0.5, 0.0, 0.0],
+        [inf, 0.25, 0.25, 0.25],
+        [0.25, 0.25, 0.25, 0.25],
+        [0.0, 1.0, 0.0, 0.0],
+        [-inf, 1.0, 0.0, 0.0],
+        [1.0, 1.0, 1.0, 1.0],
+    ]
+    _write(out_dir, "embeddings", pa.schema([
+        ("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int32()),
+    ]), {
+        "vec_id": list(range(8)),
+        "embedding": vecs,
+        "label": [(0, 1)[i % 2] for i in range(8)],
+    })
+
+    return out_dir
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--ties"]
-    ties = "--ties" in sys.argv[1:]
-    out = args[0] if args else ("/tmp/tie_corpus" if ties else "/tmp/weird_corpus")
-    (write_tie_corpus if ties else write_corpus)(out)
-    print(f"wrote 10 {'tie' if ties else 'weird'} tables to {out}")
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--ties" in flags:
+        gen, default = write_tie_corpus, "/tmp/tie_corpus"
+    elif "--specials" in flags:
+        gen, default = write_specials_corpus, "/tmp/specials_corpus"
+    else:
+        gen, default = write_corpus, "/tmp/weird_corpus"
+    out = args[0] if args else default
+    gen(out)
+    print(f"wrote 10 tables to {out} ({gen.__name__})")
     return 0
 
 
