@@ -167,7 +167,11 @@ def q03b_partition_prune_own_sink(spark: SparkSession, sf_dir: str) -> DataFrame
             .parquet(out)
         )
         back = (
-            spark.read.parquet(out)
+            # explicit schema: a fully-empty input writes a partitioned
+            # sink with no data files, where schema inference aborts
+            # (empty-corpus net r13); also skips the inference pass on the
+            # healthy path
+            spark.read.schema(li.schema).parquet(out)
             .filter((F.col("year") == 1996) & (F.col("month") <= 3))
             .groupBy("year", "month")
             .agg(

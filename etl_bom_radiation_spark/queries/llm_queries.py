@@ -223,13 +223,16 @@ def n03b_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = e.filter(F.col("embedding").isNotNull()).select(
         "vec_id", array_to_vector("embedding").alias("features")
     )
+    # query row BEFORE fit: an empty corpus (or missing query vector)
+    # degrades to an empty result — LSH fit itself aborts on a dataset
+    # with no rows (empty-corpus net r13)
+    key = feat.filter(F.col("vec_id") == 0).head()
+    if key is None:
+        return feat.select("vec_id", F.lit(0.0).alias("dist")).limit(0)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
     )
     model = lsh.fit(feat)
-    key = feat.filter(F.col("vec_id") == 0).head()
-    if key is None:  # empty corpus — degrade to an empty result, same schema
-        return feat.select("vec_id", F.lit(0.0).alias("dist")).limit(0)
     nn = model.approxNearestNeighbors(feat, key.features, 10, distCol="dist")
     return nn.select("vec_id", F.round("dist", 6).alias("dist"))
 
@@ -259,6 +262,10 @@ def n03c_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = e.filter(F.col("embedding").isNotNull() & finite).select(
         "vec_id", "embedding", array_to_vector("embedding").alias("features")
     )
+    # empty/missing-query guard BEFORE fit: KMeans aborts on a dataset
+    # with no rows (empty-corpus net r13)
+    if feat.filter(F.col("vec_id") == 0).head() is None:
+        return feat.select("vec_id", F.lit(0.0).alias("sim")).limit(0)
     km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cell")
     model = km.fit(feat)
     assigned = model.transform(feat)
@@ -364,6 +371,13 @@ def n04b_similarity_selfjoin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    # empty guard: LSH fit aborts on a rowless dataset (empty-corpus net)
+    if unit.head() is None:
+        return unit.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("vec_id").alias("id_b"),
+            F.lit(0.0).alias("cos_sim"),
+        ).limit(0)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=1.0, numHashTables=6, seed=7
     )

@@ -81,7 +81,11 @@ def d04_lsh_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_tables(spark, sf_dir, "documents")["documents"].select(
             "doc_id", "text"
         )
-        mx = docs.agg(F.max("doc_id")).first()[0]
+        # max() of an empty corpus is NULL: split at 0 so every batch is
+        # empty and the lifecycle degrades to empty verdicts instead of a
+        # driver-side TypeError (empty-corpus net r13; build/probe/fold
+        # each handle zero-row inputs)
+        mx = docs.agg(F.max("doc_id")).first()[0] or 0
         cut1, cut2 = (mx * 8) // 10, (mx * 9) // 10
         initial = docs.filter(F.col("doc_id") <= cut1)
         batch1 = docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2))
@@ -349,7 +353,11 @@ def n50_fold_probe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_tables(spark, sf_dir, "documents")["documents"].select(
             "doc_id", "text"
         )
-        mx = docs.agg(F.max("doc_id")).first()[0]
+        # max() of an empty corpus is NULL: split at 0 so every batch is
+        # empty and the lifecycle degrades to empty verdicts instead of a
+        # driver-side TypeError (empty-corpus net r13; build/probe/fold
+        # each handle zero-row inputs)
+        mx = docs.agg(F.max("doc_id")).first()[0] or 0
         cut1, cut2 = (mx * 8) // 10, (mx * 9) // 10
         build_lsh_index(spark, docs.filter(F.col("doc_id") <= cut1), d)
         b1 = docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2))

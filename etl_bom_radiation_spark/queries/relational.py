@@ -629,6 +629,12 @@ def q18b_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(l_quantity), 2) AS qty
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    -- HAVING pins the engines' empty-input divergence: Spark emits ZERO
+    -- rows for a grouping-sets aggregate over an empty relation while
+    -- DuckDB emits the () grand-total row (SQL-standard). Every grouping
+    -- set row over a NON-empty input has COUNT(*) >= 1, so this is a
+    -- no-op except on empty input (empty-corpus net r13)
+    HAVING COUNT(*) > 0
     """,
 )
 def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,6 +664,7 @@ def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(o_orderpriority, '<all>') AS prio,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0 -- empty-input pin, see q19
     """,
 )
 def q19b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,6 +758,7 @@ def q22_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(l_extendedprice), 2) AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    HAVING COUNT(*) > 0 -- empty-input pin, see q19
     """,
 )
 def q19c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

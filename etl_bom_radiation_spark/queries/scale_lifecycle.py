@@ -99,6 +99,18 @@ def d02_scale_levers_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = os.path.join(base, "ivf_index")
     try:
         pts = _bucketed_points(spark, sf_dir)
+        # precondition, surfaced clearly: provisioning a clustered
+        # workspace over an EMPTY corpus has no meaningful lifecycle (a
+        # partitioned sink with zero data files cannot even be re-read
+        # without a schema) — the operational empty-input paths (ingest
+        # batches, index probes/folds) all degrade instead; this demo's
+        # input being empty is a configuration error (empty-corpus net
+        # r13, scoped there to non-provisioning entries for this reason)
+        if pts.head() is None:
+            raise ValueError(
+                "d02_scale_levers_lifecycle: events corpus is empty — "
+                "nothing to cluster/manifest/probe"
+            )
         # one file per bucket dir: each bucket lives in exactly one task
         # after repartition(bucket), so the layout (and every count below)
         # is a pure function of the data
@@ -241,6 +253,13 @@ def d03_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("user_id") % 4).alias("p"),
             (F.col("event_id") % 8).alias("shard"),
         )
+        # precondition, surfaced clearly (see d02): compacting an empty
+        # sink is a configuration error, not a degradable input
+        if src.head() is None:
+            raise ValueError(
+                "d03_compaction_lifecycle: events corpus is empty — "
+                "nothing to write/compact"
+            )
         # fan-out write: 8 writer shards x 4 hive partitions — every
         # partition dir receives one file per shard task that holds rows
         # for it (the maint_partitioned_write_fanout lever, bench.py).

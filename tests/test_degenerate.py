@@ -237,6 +237,9 @@ def test_everything_tolerates_empty_tables(spark, empty_dir):
             "n03_topk_cosine", "n23_label_centroids", "u02_pandas_udf",
             "u04_grouped_udaf", "n37_ivf_recall", "n38_lsh_recall",
             "n41_matryoshka_recall", "n43_embedding_dedup_clusters",
+            # round-13: ML fit() aborts on a rowless dataset — guarded
+            "n03b_topk_cosine_lsh", "n03c_topk_cosine_ivf",
+            "n04b_similarity_selfjoin_lsh",
         ],
     )
 

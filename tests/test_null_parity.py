@@ -34,6 +34,19 @@ total on BOTH sides picks engine-arbitrary rows. The r13 sweep found
 ZERO tie divergences (the SURVEY §7 M2 "break ties deterministically"
 discipline held); this net keeps future entries honest.
 
+The third axis is EMPTY (``write_empty_corpus``): zero rows, real
+schemas. Measured r13 findings: Spark emits no () grand-total row for a
+grouping-sets aggregate over an empty relation while DuckDB emits one
+(q19/q19b/q19c oracles pin Spark's reading via HAVING COUNT(*) > 0),
+Spark ML fit() aborts on a rowless dataset (n03b/n03c/n04b now guard),
+a partitioned sink written from empty input has no data files so
+schema inference aborts on read-back (q03b reads with an explicit
+schema), and n50/d04's max(doc_id) batch split hit NULL (coalesced to
+0; build/probe/fold all degrade on zero-row inputs). The d02/d03
+provisioning demos instead RAISE a clear precondition error on an
+empty corpus — an empty workspace-provisioning input is a
+configuration error, unlike an empty incremental batch.
+
 Entries with ``streaming=True`` (real side-effecting pipelines) are
 exercised by the manual sweep (``SPARK_GRAFT_CHECK_SF=<dir>
 python tools/check_queries.py``) but skipped here for CI time.
@@ -48,6 +61,7 @@ from etl_bom_radiation_spark.queries import TABLES, load_all
 from tools.check_queries import compare, duck_connection
 from tools.gen_weird_corpus import (
     write_corpus,
+    write_empty_corpus,
     write_specials_corpus,
     write_tie_corpus,
 )
@@ -64,11 +78,12 @@ def weird_dir(tmp_path_factory) -> str:
     return write_corpus(str(tmp_path_factory.mktemp("null_parity")))
 
 
-@pytest.fixture(scope="module", params=["nulls", "ties"])
+@pytest.fixture(scope="module", params=["nulls", "ties", "empty"])
 def parity_dir(request, tmp_path_factory, weird_dir) -> str:
     if request.param == "nulls":
         return weird_dir
-    return write_tie_corpus(str(tmp_path_factory.mktemp("tie_parity")))
+    gen = {"ties": write_tie_corpus, "empty": write_empty_corpus}[request.param]
+    return gen(str(tmp_path_factory.mktemp(f"{request.param}_parity")))
 
 
 @pytest.fixture(scope="module")

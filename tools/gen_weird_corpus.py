@@ -512,6 +512,28 @@ def write_specials_corpus(out_dir: str) -> str:
     return out_dir
 
 
+def write_empty_corpus(out_dir: str) -> str:
+    """All ten tables with their exact physical schemas and ZERO rows.
+
+    Global aggregates still emit a row on empty input (COUNT 0, SUM
+    NULL), grouping-sets engines disagree about the () grand-total row
+    (Spark: none; DuckDB: one — the q19-family oracles pin Spark's
+    reading with HAVING COUNT(*) > 0), and Spark ML fit() aborts on a
+    rowless dataset — all measured r13 on this corpus."""
+    os.makedirs(out_dir, exist_ok=True)
+    write_corpus(out_dir)
+    for name in os.listdir(out_dir):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(out_dir, name)
+        schema = pq.read_schema(path)
+        pq.write_table(
+            pa.table({f.name: pa.array([], type=f.type) for f in schema}, schema=schema),
+            path,
+        )
+    return out_dir
+
+
 def main() -> int:
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -519,6 +541,8 @@ def main() -> int:
         gen, default = write_tie_corpus, "/tmp/tie_corpus"
     elif "--specials" in flags:
         gen, default = write_specials_corpus, "/tmp/specials_corpus"
+    elif "--empty" in flags:
+        gen, default = write_empty_corpus, "/tmp/empty_corpus"
     else:
         gen, default = write_corpus, "/tmp/weird_corpus"
     out = args[0] if args else default
