@@ -452,7 +452,13 @@ def n06_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "n07_nested_enrich",
     oracle="""
     SELECT e.event_id,
-           CAST(json_extract_string(e.props, '$.k') AS INT) AS k,
+           -- TRY_CAST(props AS JSON) + json_type guard: DuckDB raises on
+           -- malformed JSON and rounds '2.9' in VARCHAR->INT casts where
+           -- Spark's from_json "k INT" is NULL for both (see q41)
+           TRY_CAST(CASE WHEN json_type(TRY_CAST(e.props AS JSON), '$.k')
+                              IN ('INTEGER', 'BIGINT', 'UBIGINT')
+                         THEN json_extract_string(TRY_CAST(e.props AS JSON), '$.k')
+                    END AS INT) AS k,
            CAST(len(m.embedding) AS INT) AS dim,
            ROUND(list_sum(CAST(m.embedding AS DOUBLE[])), 4) AS vec_sum
     FROM events e JOIN embeddings m ON e.event_id % 500 = m.vec_id

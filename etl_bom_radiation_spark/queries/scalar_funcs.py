@@ -222,10 +222,24 @@ def q40_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q41_json_funcs",
     oracle="""
+    -- dirty-JSON pins (net r13): DuckDB's json functions RAISE on
+    -- malformed JSON where Spark's return NULL — TRY_CAST(props AS JSON)
+    -- NULLs the bad documents first. The json_type guard mirrors
+    -- from_json's "k INT" strictness (and get_json_object + try_cast):
+    -- only a JSON-integer k (BIGINT/UBIGINT by sign in DuckDB's
+    -- json_type) extracts; "2.9", "\"x\"", objects, booleans
+    -- are NULL on both engines (DuckDB's bare VARCHAR->INT cast would
+    -- happily round '2.9' to 3)
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_struct,
-           CASE WHEN json_extract_string(props, '$.missing') IS NULL
+           TRY_CAST(CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k')
+                              IN ('INTEGER', 'BIGINT', 'UBIGINT')
+                         THEN json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                    END AS INT) AS k_path,
+           TRY_CAST(CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k')
+                              IN ('INTEGER', 'BIGINT', 'UBIGINT')
+                         THEN json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                    END AS INT) AS k_struct,
+           CASE WHEN json_extract_string(TRY_CAST(props AS JSON), '$.missing') IS NULL
                 THEN 'absent' ELSE 'present' END AS missing_key
     FROM events
     """,
@@ -237,7 +251,11 @@ def q41_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = F.from_json("props", "k INT")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        # try_cast: get_json_object returns the raw STRING ('x', '2.9'),
+        # which ANSI cast ABORTS on for non-integer values — try_cast
+        # yields NULL, exactly from_json's strict-int behavior (measured
+        # over 10 dirty variants, net r13)
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_path"),
         parsed.getField("k").alias("k_struct"),
         F.when(F.get_json_object("props", "$.missing").isNull(), "absent")
         .otherwise("present")

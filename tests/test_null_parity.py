@@ -34,6 +34,16 @@ total on BOTH sides picks engine-arbitrary rows. The r13 sweep found
 ZERO tie divergences (the SURVEY §7 M2 "break ties deterministically"
 discipline held); this net keeps future entries honest.
 
+The fourth axis is DIRTY STRINGS (``write_dirty_corpus``): malformed /
+non-object / wrongly-typed JSON in props, regex metacharacters, quotes,
+backslashes and newlines in free text. Measured r13: Spark's
+get_json_object returns NULL on malformed JSON and its raw-string
+extract + ANSI cast aborts on non-integer k, while DuckDB's json
+functions RAISE on malformed input and its VARCHAR->INT cast rounds
+'2.9' — q41/n07 now pin both engines to from_json's strict-int reading
+(TRY_CAST(props AS JSON) + json_type guard; Spark side try_cast). The
+regexp/tokenizer/hash families passed unchanged.
+
 The third axis is EMPTY (``write_empty_corpus``): zero rows, real
 schemas. Measured r13 findings: Spark emits no () grand-total row for a
 grouping-sets aggregate over an empty relation while DuckDB emits one
@@ -61,6 +71,7 @@ from etl_bom_radiation_spark.queries import TABLES, load_all
 from tools.check_queries import compare, duck_connection
 from tools.gen_weird_corpus import (
     write_corpus,
+    write_dirty_corpus,
     write_empty_corpus,
     write_specials_corpus,
     write_tie_corpus,
@@ -78,11 +89,15 @@ def weird_dir(tmp_path_factory) -> str:
     return write_corpus(str(tmp_path_factory.mktemp("null_parity")))
 
 
-@pytest.fixture(scope="module", params=["nulls", "ties", "empty"])
+@pytest.fixture(scope="module", params=["nulls", "ties", "empty", "dirty"])
 def parity_dir(request, tmp_path_factory, weird_dir) -> str:
     if request.param == "nulls":
         return weird_dir
-    gen = {"ties": write_tie_corpus, "empty": write_empty_corpus}[request.param]
+    gen = {
+        "ties": write_tie_corpus,
+        "empty": write_empty_corpus,
+        "dirty": write_dirty_corpus,
+    }[request.param]
     return gen(str(tmp_path_factory.mktemp(f"{request.param}_parity")))
 
 

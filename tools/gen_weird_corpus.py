@@ -512,6 +512,115 @@ def write_specials_corpus(out_dir: str) -> str:
     return out_dir
 
 
+def write_dirty_corpus(out_dir: str) -> str:
+    """The weird-corpus shape with DIRTY STRINGS and no NULLs: malformed
+    / non-object / wrongly-typed JSON in ``events.props``, regex
+    metacharacters, quotes, backslashes, newlines, tabs and leading/
+    trailing whitespace in every free-text column. Exercises the JSON
+    family (Spark's get_json_object/from_json return NULL where DuckDB's
+    json functions RAISE — oracles pin via TRY_CAST(... AS JSON) +
+    json_type guards), the regexp family (metacharacters in the DATA,
+    not the pattern), tokenizers and hash/digest paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    write_tie_corpus(out_dir)
+
+    dirty_names = [
+        'O\'Brien "Quoted" & Co.',
+        "back\\slash\\co",
+        "comma, semicolon; pipe|name",
+        "line\nbreak name",
+        "tab\tseparated name",
+        "  leading and trailing  ",
+        "regex .* meta [chars] (name)? {x}",
+        "$dollar ^caret +plus",
+        "unicode köln variant",
+        "plain name",
+        "<html>&amp;</html>",
+        "percent % underscore _ name",
+    ]
+    _write(out_dir, "customer", pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+        ("c_mktsegment", pa.string()),
+    ]), {
+        "c_custkey": list(range(1, 13)),
+        "c_name": dirty_names,
+        "c_nationkey": [(0, 1, 2)[i % 3] for i in range(12)],
+        "c_acctbal": [10.25 + 1.5 * i for i in range(12)],
+        "c_mktsegment": [("BUILDING", "MACHINERY")[i % 2] for i in range(12)],
+    })
+
+    props = [
+        '{"k": 7, "tag": "t0"}',       # clean
+        "{bad",                         # malformed
+        "",                             # empty string
+        "[1,2]",                        # non-object
+        '{"k": "x"}',                   # string-typed k
+        '{"k": 2.9}',                   # float-typed k
+        '{"k": null}',                  # JSON-null k
+        "123",                          # bare scalar
+        '{"k": {"n": 1}}',              # object-typed k
+        '{"k": true}',                  # boolean k
+        '{"k": 3000000000}',            # int32 overflow
+        '{"tag": "no k here"}',         # missing key
+        '{"k": -5}',                    # negative int
+        "null",                         # JSON null document
+        '  {"k": 9}  ',                 # whitespace-padded
+    ]
+    ev_n = 30
+    ts4 = [_ts(1, 9, 0), _ts(1, 9, 10), _ts(1, 9, 20), _ts(1, 11, 0)]
+    _write(out_dir, "events", pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ]), {
+        "event_id": list(range(1, ev_n + 1)),
+        "ts": [ts4[i % 4] for i in range(ev_n)],
+        "user_id": [(7, 8, 9)[i % 3] for i in range(ev_n)],
+        "event_type": [("view", "click", "purchase")[i % 3] for i in range(ev_n)],
+        "value": [1.25 + 0.5 * i for i in range(ev_n)],
+        "props": [props[i % len(props)] for i in range(ev_n)],
+    })
+
+    texts = [
+        "the quick (brown) fox [jumps] {over} the lazy dog",
+        "regex meta .* .+ a|b c?d e{2,3} \\d \\s \\w in plain text",
+        'quotes "double" and \'single\' and `backtick`',
+        "back\\slash\\\\double and tab\there and\nnewline there",
+        "  leading whitespace and trailing  ",
+        "numbers 123 456 and longwords abcdefghijklmnop qrstuvwxyzabcdef",
+        "dollar $5.99 percent 100% caret ^top$ anchors",
+        "html <b>bold</b> &amp; entities &#x27;",
+        "a+b=c a*b=d a/b=e a-b=f",
+        "windows path C:\\Users\\name and unix /usr/local/bin",
+    ]
+    _write(out_dir, "documents", pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+        ("source", pa.string()), ("n_chars", pa.int64()),
+    ]), {
+        "doc_id": list(range(1, 11)),
+        "text": texts,
+        "lang": ["en"] * 10,
+        "source": [("web", "books")[i % 2] for i in range(10)],
+        "n_chars": [len(t) for t in texts],
+    })
+
+    _write(out_dir, "part", pa.schema([
+        ("p_partkey", pa.int64()), ("p_name", pa.string()),
+        ("p_brand", pa.string()), ("p_type", pa.string()),
+        ("p_size", pa.int32()), ("p_retailprice", pa.float64()),
+    ]), {
+        "p_partkey": list(range(1, 11)),
+        "p_name": dirty_names[:10],
+        "p_brand": [("Brand#11", "Brand#12")[i % 2] for i in range(10)],
+        "p_type": [("SMALL PLATED", "LARGE BRUSHED")[i % 2] for i in range(10)],
+        "p_size": [3 + i for i in range(10)],
+        "p_retailprice": [900.25 + 2.5 * i for i in range(10)],
+    })
+
+    return out_dir
+
+
 def write_empty_corpus(out_dir: str) -> str:
     """All ten tables with their exact physical schemas and ZERO rows.
 
@@ -543,6 +652,8 @@ def main() -> int:
         gen, default = write_specials_corpus, "/tmp/specials_corpus"
     elif "--empty" in flags:
         gen, default = write_empty_corpus, "/tmp/empty_corpus"
+    elif "--dirty" in flags:
+        gen, default = write_dirty_corpus, "/tmp/dirty_corpus"
     else:
         gen, default = write_corpus, "/tmp/weird_corpus"
     out = args[0] if args else default
