@@ -54,7 +54,7 @@ from . import register, register_views
 # variant measured 6.3 s).
 
 _BODY = """
-WITH RECURSIVE yi(y, y1) AS (
+WITH RECURSIVE yi(y, y1){rec_limit} AS (
   SELECT year(min(o_orderdate)), year(max(o_orderdate)) FROM orders
   UNION ALL
   SELECT y + 1, y1 FROM yi WHERE y < y1
@@ -79,6 +79,7 @@ GROUP BY months.ms
 @register(
     "q51_recursive_cte",
     oracle=_BODY.format(
+        rec_limit="",
         month_gen="SELECT UNNEST(range(1, 13)) AS mth",
         month_fmt="STRFTIME(months.ms, '%Y-%m')",
     ),
@@ -93,6 +94,13 @@ def q51_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "orders")
     return spark.sql(
         _BODY.format(
+            # Spark's default recursion ceiling is 100 levels — a
+            # century-spanning orders feed (timestamp-edge net r13:
+            # 1900..2262 = 363 levels) aborts under it. A millennium
+            # bound keeps the driver-coordinated loop finite while
+            # covering any plausible date spine; DuckDB needs (and
+            # parses) no limit clause, so the oracle leaves it empty.
+            rec_limit=" MAX RECURSION LEVEL 1000",
             month_gen="SELECT explode(sequence(1, 12)) AS mth",
             month_fmt="date_format(months.ms, 'yyyy-MM')",
         )

@@ -203,6 +203,45 @@ def test_engine_never_aborts_on_nan_inf(spark, tmp_path_factory):
     assert failures == [], failures
 
 
+def test_q51_spine_survives_century_span(spark, tmp_path):
+    """Timestamp-edge finding (r13): a 1900..2262 orders span is 363
+    recursion levels, over Spark's default 100-level ceiling — q51 now
+    declares MAX RECURSION LEVEL 1000 (Spark side only; DuckDB needs no
+    clause). Beyond the no-abort bar, the dense spine and the oracle
+    must still agree on the wide span."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_custkey": pa.array([1, 1], pa.int64()),
+                "o_orderstatus": pa.array(["O", "F"], pa.string()),
+                "o_totalprice": pa.array([100.25, 200.5], pa.float64()),
+                "o_orderdate": pa.array(
+                    [datetime.datetime(1900, 6, 15), datetime.datetime(2262, 1, 2)],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(["1-URGENT", "5-LOW"], pa.string()),
+            }
+        ),
+        f"{d}/orders.parquet",
+    )
+    q = QS["q51_recursive_cte"]
+    got = q.fn(spark, d).toPandas()
+    assert len(got) == (2262 - 1900 + 1) * 12
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')"
+    )
+    want = con.execute(q.oracle).df()
+    assert compare("q51", got, want) == []
+
+
 def test_crash_only_entries_tolerate_nulls(spark, weird_dir):
     """The oracle-less (rows-only) batch entries must at least run on the
     NULL-riddled corpus — the r13 sweep caught n03b/n03c/n04b aborting on
