@@ -79,13 +79,12 @@ def base_vectors(e: DataFrame) -> DataFrame:
     quantize to BIGINT (the round(x*SCALE) cast would ANSI-abort with
     CAST_OVERFLOW, specials-corpus net r13) and has no meaningful cell
     anyway. No-op on the driver fixtures (all-finite there)."""
-    finite = ~F.exists(
-        "embedding",
-        lambda x: F.isnan(x.cast("double"))
-        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
-    )
+    from .llm_queries import _finite_embedding
+
     return e.filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") > 0) & finite
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+        & _finite_embedding()
     ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),

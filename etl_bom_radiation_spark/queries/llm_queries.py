@@ -84,6 +84,19 @@ def _duck_polyhash(expr: str) -> str:
     )
 
 
+def _finite_embedding(col: str = "embedding") -> Column:
+    """True iff the embedding array has NO NaN/Infinity component — the
+    shared admission predicate for every vector path that quantizes to
+    BIGINT (ANSI CAST_OVERFLOW) or feeds Spark ML (which rejects
+    non-finite vector values). One definition so the exclusions cannot
+    drift apart (code-review r13)."""
+    return ~F.exists(
+        col,
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+
+
 def _cosine(a, b) -> Column:
     """Cosine similarity of two double arrays via zip_with + aggregate —
     pure JVM, codegen'd; no UDF. try_divide: a zero-norm vector yields
@@ -182,6 +195,14 @@ def n02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE embedding IS NOT NULL
       AND list_dot_product(CAST(embedding AS DOUBLE[]),
                            CAST(embedding AS DOUBLE[])) > 0
+      -- the QUERY vector must be searchable too: a NULL or zero-norm
+      -- vec_id-0 makes every Spark sim NULL (filtered to 0 rows), while
+      -- DuckDB would keep rows with NULL / -1.0 sims — these scalar
+      -- guards empty the result identically (code-review r13)
+      AND (SELECT embedding FROM embeddings WHERE vec_id = 0) IS NOT NULL
+      AND (SELECT list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))
+           FROM embeddings WHERE vec_id = 0) > 0
     ORDER BY sim DESC, vec_id ASC
     LIMIT 10
     """,
@@ -254,12 +275,7 @@ def n03c_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector components outright ("Vector values MUST NOT be NaN or
     # Infinity"): skip both — unsearchable either way (no-op on driver
     # data; NULL/specials-corpus nets r13)
-    finite = ~F.exists(
-        "embedding",
-        lambda x: F.isnan(x.cast("double"))
-        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
-    )
-    feat = e.filter(F.col("embedding").isNotNull() & finite).select(
+    feat = e.filter(F.col("embedding").isNotNull() & _finite_embedding()).select(
         "vec_id", "embedding", array_to_vector("embedding").alias("features")
     )
     # empty/missing-query guard BEFORE fit: KMeans aborts on a dataset
@@ -362,8 +378,13 @@ def n04b_similarity_selfjoin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # short-circuited — the x / norm transform evaluated on the very
     # zero-norm rows the guard excludes (measured: ANSI DIVIDE_BY_ZERO
     # from inside a GeneratedClass$SpecificPredicate, NULL-parity net r13)
+    # _finite_embedding too, not just norm > 0: Spark evaluates NaN > 0
+    # as TRUE, so a NaN-component vector passes the norm guard and rides
+    # NaN features into the index — no abort today (LSH.fit skips the
+    # KMeans-style non-finite validation), but wasted hashing and a
+    # contract violation waiting on an upstream change (code-review r13)
     unit = (
-        e.filter(F.col("embedding").isNotNull())
+        e.filter(F.col("embedding").isNotNull() & _finite_embedding())
         .filter(norm > 0)
         .select(
             "vec_id",

@@ -417,7 +417,16 @@ def q12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_type",
-        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        # user_id.isNotNull(): Window.partitionBy treats NULL keys as ONE
+        # real partition, so without the guard a NULL-user click would be
+        # carried to a NULL-user purchase — but join semantics (and the
+        # DuckDB ASOF oracle's equality condition) say an unattributable
+        # click matches NOTHING (code-review r13; no-op on driver data,
+        # user_id is never NULL there)
+        F.when(
+            (F.col("event_type") == "click") & F.col("user_id").isNotNull(),
+            F.col("ts"),
+        ).alias("click_ts"),
     )
     w = (
         Window.partitionBy("user_id")

@@ -224,16 +224,26 @@ def q40_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     -- dirty-JSON pins (net r13): DuckDB's json functions RAISE on
     -- malformed JSON where Spark's return NULL — TRY_CAST(props AS JSON)
-    -- NULLs the bad documents first. The json_type guard mirrors
-    -- from_json's "k INT" strictness (and get_json_object + try_cast):
-    -- only a JSON-integer k (BIGINT/UBIGINT by sign in DuckDB's
-    -- json_type) extracts; "2.9", "\"x\"", objects, booleans
-    -- are NULL on both engines (DuckDB's bare VARCHAR->INT cast would
-    -- happily round '2.9' to 3)
+    -- NULLs the bad documents first. The two columns pin the two Spark
+    -- access paths' DIFFERENT coercion rules (code-review r13):
+    -- * k_path (get_json_object + try_cast): the raw extract parses as a
+    --   strict integer STRING — so a JSON-integer k AND a string k like
+    --   "7" / " +7 " both extract, while '2.9', '"x"', objects and
+    --   booleans are NULL (DuckDB's bare VARCHAR->INT cast would round
+    --   '2.9' to 3, hence the regexp admission);
+    -- * k_struct (from_json "k INT"): JSON-TYPE-strict — integers only
+    --   (BIGINT/UBIGINT by sign in DuckDB's json_type), string "7" is
+    --   NULL.
     SELECT event_id,
            TRY_CAST(CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k')
                               IN ('INTEGER', 'BIGINT', 'UBIGINT')
                          THEN json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                         WHEN json_type(TRY_CAST(props AS JSON), '$.k') = 'VARCHAR'
+                              AND regexp_full_match(
+                                    trim(json_extract_string(
+                                           TRY_CAST(props AS JSON), '$.k')),
+                                    '[+-]?[0-9]+')
+                         THEN trim(json_extract_string(TRY_CAST(props AS JSON), '$.k'))
                     END AS INT) AS k_path,
            TRY_CAST(CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k')
                               IN ('INTEGER', 'BIGINT', 'UBIGINT')

@@ -203,6 +203,42 @@ def test_engine_never_aborts_on_nan_inf(spark, tmp_path_factory):
     assert failures == [], failures
 
 
+def test_n03_degenerate_query_vector_empties_both_engines(spark, tmp_path):
+    """code-review r13: the fixtures' vec_id 0 is always healthy, so the
+    parity net never exercised a NULL or zero-norm QUERY vector — where
+    Spark's sim-NULL filter empties the result but DuckDB (without the
+    oracle's scalar guards) would keep NULL / -1.0 sims."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    q = QS["n03_topk_cosine"]
+    for case, vec0 in (("null", None), ("zero", [0.0, 0.0, 0.0])):
+        d = str(tmp_path / case)
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([0, 1, 2], pa.int64()),
+                    "embedding": pa.array(
+                        [vec0, [1.0, 0.0, 0.0], [0.5, 0.5, 0.0]],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array([0, 1, 0], pa.int32()),
+                }
+            ),
+            f"{d}/embeddings.parquet",
+        )
+        got = q.fn(spark, d).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet')"
+        )
+        want = con.execute(q.oracle).df()
+        assert len(got) == 0 and len(want) == 0, (case, len(got), len(want))
+
+
 def test_q51_spine_survives_century_span(spark, tmp_path):
     """Timestamp-edge finding (r13): a 1900..2262 orders span is 363
     recursion levels, over Spark's default 100-level ceiling — q51 now

@@ -181,7 +181,10 @@ def write_corpus(out_dir: str) -> str:
     })
 
     ev_n = 30
-    users = [7, 7, 8, 9, None, 7, 8, 9, 10, 7, 8, None, 9, 10, 7,
+    # index 7 is a NULL-user CLICK with a real ts and index 20 a
+    # NULL-user PURCHASE after it: the pair exercises q12's rule that an
+    # unattributable (NULL-user) click matches nothing (code-review r13)
+    users = [7, 7, 8, 9, None, 7, 8, None, 10, 7, 8, None, 9, 10, 7,
              8, 9, 10, 7, 8, None, 9, 10, 7, 8, 9, 10, 7, 8, 9]
     etypes = [("view", "click", "purchase", None, "view", "click")[i % 6]
               for i in range(ev_n)]
@@ -191,8 +194,10 @@ def write_corpus(out_dir: str) -> str:
         ("value", pa.float64()), ("props", pa.string()),
     ]), {
         "event_id": list(range(1, ev_n + 1)),
-        # distinct minutes, two NULLs — order keys stay unique
-        "ts": [(_ts(1, 9 + i // 30, (3 * i) % 60) if i not in (11, 26) else None)
+        # distinct (hour, minute) pairs, two NULLs — order keys stay
+        # unique ((3*i) % 60 alone wraps at i=20; the hour step keeps
+        # the promise — code-review r13)
+        "ts": [(_ts(1, 9 + i // 20, (3 * i) % 60) if i not in (11, 26) else None)
                for i in range(ev_n)],
         "user_id": users,
         "event_type": etypes,
@@ -566,6 +571,10 @@ def write_dirty_corpus(out_dir: str) -> str:
         '{"k": -5}',                    # negative int
         "null",                         # JSON null document
         '  {"k": 9}  ',                 # whitespace-padded
+        '{"k": "7"}',                   # STRING-typed integer: k_path=7,
+                                        # k_struct=NULL (the two Spark
+                                        # access paths coerce differently)
+        '{"k": " +12 "}',               # padded signed string integer
     ]
     ev_n = 30
     ts4 = [_ts(1, 9, 0), _ts(1, 9, 10), _ts(1, 9, 20), _ts(1, 11, 0)]
