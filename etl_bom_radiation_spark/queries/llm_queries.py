@@ -239,9 +239,11 @@ def n03b_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    # NULL embeddings are unsearchable and crash VectorUDT fit/transform
-    # (no-op on the driver fixtures — zero NULL vectors there)
-    feat = e.filter(F.col("embedding").isNotNull()).select(
+    # NULL embeddings are unsearchable and crash VectorUDT fit/transform;
+    # non-finite ones pass LSH.fit's (absent) validation and silently enter
+    # the index — same admission predicate as n03c/n04b (ADVICE r13: all ML
+    # vector paths share _finite_embedding). No-op on the driver fixtures.
+    feat = e.filter(F.col("embedding").isNotNull() & _finite_embedding()).select(
         "vec_id", array_to_vector("embedding").alias("features")
     )
     # query row BEFORE fit: an empty corpus (or missing query vector)

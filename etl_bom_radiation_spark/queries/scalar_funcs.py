@@ -230,7 +230,11 @@ def q40_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     --   strict integer STRING — so a JSON-integer k AND a string k like
     --   "7" / " +7 " both extract, while '2.9', '"x"', objects and
     --   booleans are NULL (DuckDB's bare VARCHAR->INT cast would round
-    --   '2.9' to 3, hence the regexp admission);
+    --   '2.9' to 3, hence the regexp admission). Spark's try_cast trims
+    --   EVERY char <= 0x20 (tab, newline, even \\x01 — UTF8String
+    --   trimAll), not just spaces, so the oracle strips that same class
+    --   via regexp before matching/casting (ADVICE r13; measured: Spark
+    --   try_cast('\\x017')=7 while DuckDB TRY_CAST NULLs it);
     -- * k_struct (from_json "k INT"): JSON-TYPE-strict — integers only
     --   (BIGINT/UBIGINT by sign in DuckDB's json_type), string "7" is
     --   NULL.
@@ -240,10 +244,14 @@ def q40_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN json_extract_string(TRY_CAST(props AS JSON), '$.k')
                          WHEN json_type(TRY_CAST(props AS JSON), '$.k') = 'VARCHAR'
                               AND regexp_full_match(
-                                    trim(json_extract_string(
-                                           TRY_CAST(props AS JSON), '$.k')),
+                                    regexp_replace(
+                                      json_extract_string(
+                                        TRY_CAST(props AS JSON), '$.k'),
+                                      '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g'),
                                     '[+-]?[0-9]+')
-                         THEN trim(json_extract_string(TRY_CAST(props AS JSON), '$.k'))
+                         THEN regexp_replace(
+                                json_extract_string(TRY_CAST(props AS JSON), '$.k'),
+                                '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')
                     END AS INT) AS k_path,
            TRY_CAST(CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k')
                               IN ('INTEGER', 'BIGINT', 'UBIGINT')

@@ -141,12 +141,41 @@ def test_bench_diff_targeted_drift_is_flagged():
 
 def test_bench_diff_targeted_improvement_is_not_a_regression():
     """An entry much FASTER than the basket is out-of-band (worth a look)
-    but never a regression — only the slow side can fail the run."""
+    but never a regression — only the slow side can fail the run.
+    VERDICT r13: faster-side-ONLY out-of-band gets its own verdict so a
+    skimmed one-word reading can't mistake improvement spread for drift
+    (the r12->r13 driver pair said "targeted" with regressions=[])."""
     old = {f"q{i}": 1.0 for i in range(10)}
     new = {f"q{i}": 1.0 for i in range(10)}
     new["q3"] = 0.4
     r = bench_diff.classify(old, new)
     assert r["out_of_band"] == ["q3"] and r["regressions"] == []
+    assert r["verdict"] == "uniform+improvements"
+
+
+def test_bench_diff_three_way_verdict_classification():
+    """uniform (no outliers) / uniform+improvements (fast-side only) /
+    targeted (ANY slow-side outlier, even alongside fast ones)."""
+    old = {f"q{i}": 1.0 for i in range(10)}
+    assert bench_diff.classify(old, dict(old))["verdict"] == "uniform"
+
+    fast = dict(old)
+    fast["q2"], fast["q5"] = 0.5, 0.7
+    r = bench_diff.classify(old, fast)
+    assert r["verdict"] == "uniform+improvements"
+    assert r["regressions"] == [] and set(r["out_of_band"]) == {"q2", "q5"}
+
+    mixed = dict(fast)
+    mixed["q8"] = 2.0
+    r = bench_diff.classify(old, mixed)
+    assert r["verdict"] == "targeted" and r["regressions"] == ["q8"]
+
+    # slow-side out-of-band but under --targeted: still "targeted"
+    # (someone should look), just not a failing regression
+    slowish = dict(old)
+    slowish["q4"] = 1.2
+    r = bench_diff.classify(old, slowish, band=0.15, targeted=0.25)
+    assert r["verdict"] == "targeted" and r["regressions"] == []
 
 
 def test_bench_diff_mixed_shift_plus_regression():

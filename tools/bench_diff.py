@@ -149,7 +149,17 @@ def classify(
         # contradict each other (code-review r13)
         if abs(dev) > band or is_regression:
             out.append(e["name"])
-    verdict = "uniform" if not out else "targeted"
+    # three-way verdict (VERDICT r13): faster-side-only out-of-band is
+    # improvement spread, not drift — a skimmed "targeted" must never
+    # read as a regression signal when regressions is empty and every
+    # outlier beat the basket. Fail semantics unchanged (regressions
+    # only ever come from the slow side).
+    if not out:
+        verdict = "uniform"
+    elif all(e["vs_basket"] < 0 for e in entries if e["name"] in out):
+        verdict = "uniform+improvements"
+    else:
+        verdict = "targeted"
     return {
         "entries": entries,
         "median_ratio": round(med, 4),

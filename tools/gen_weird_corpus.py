@@ -575,6 +575,11 @@ def write_dirty_corpus(out_dir: str) -> str:
                                         # k_struct=NULL (the two Spark
                                         # access paths coerce differently)
         '{"k": " +12 "}',               # padded signed string integer
+        '{"k": "\\t7"}',                # tab-padded string integer: Spark
+                                        # try_cast trims ALL chars <= 0x20
+        '{"k": "8\\n"}',                # trailing-newline string integer
+        '{"k": "\\u00019"}',            # \x01-padded: still <= 0x20, so
+                                        # Spark yields 9 (ADVICE r13)
     ]
     ev_n = 30
     ts4 = [_ts(1, 9, 0), _ts(1, 9, 10), _ts(1, 9, 20), _ts(1, 11, 0)]
