@@ -37,29 +37,108 @@ GRID_DIR = os.path.join(_REPO, "fixtures", "grids")
 MULTIRES_DIR = os.path.join(_REPO, "fixtures", "grids_multires")
 
 
+def _sql_norm(e: str) -> str:
+    """SQL: *e* with Spark's trimAll char class (every char <= 0x20) stripped
+    from both ends — the exact whitespace handling of Spark's string casts
+    (UTF8String.trimAll; measured r13/r14: try_cast('\\t7')=7, ('\\x017')=7)."""
+    return (
+        "regexp_replace(" + e + ", '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')"
+    )
+
+
+def _sql_try_int(e: str) -> str:
+    """SQL mirror of Spark ``try_cast(e AS INT)`` for string *e*: trimAll,
+    then admit strict ``[+-]?digits`` ONLY. DuckDB's bare TRY_CAST is laxer
+    ('4.5' -> 5, '1e3' -> 1000 — measured r14), which would silently keep
+    cells/headers Spark drops on a weird-format grid."""
+    n = _sql_norm(e)
+    return (
+        "TRY_CAST(CASE WHEN regexp_full_match(" + n + ", '[+-]?[0-9]+') THEN "
+        + n + " END AS INT)"
+    )
+
+
+def _sql_try_double(e: str) -> str:
+    """SQL mirror of Spark ``try_cast(e AS DOUBLE)``: trimAll, then DuckDB's
+    double parse — the two engines agree on decimals / scientific notation /
+    Infinity / NaN, EXCEPT DuckDB accepts '1_0' (underscore separators)
+    where Spark yields NULL, hence the contains guard (measured r14)."""
+    n = _sql_norm(e)
+    return (
+        "TRY_CAST(CASE WHEN NOT contains(" + n + ", '_') THEN " + n
+        + " END AS DOUBLE)"
+    )
+
+
 def oracle_base(grid_dir: str) -> str:
     """Shared oracle scaffold over *grid_dir*: parse every fixture grid into
-    (file metadata, header scalars, Sydney timestamp) exactly once."""
+    (file metadata, header scalars, Sydney timestamp) exactly once.
+
+    Hardened r14 to mirror the Spark side's ANSI-safe degrade-to-NULL
+    reading on weird-format grids (the grid axis of the adversarial-corpus
+    net), no-op on the golden fixtures:
+
+    * lines split on ``\\r?\\n`` exactly like ``decode.py`` (the old
+      remove-all-CR reading would MERGE lone-CR-separated text the Spark
+      side keeps as one line);
+    * integer header fields through the strict-int mirror (DuckDB's bare
+      CAST rounds '4.5' and parses '1e3'; Spark try_cast yields NULL and
+      the file decodes to zero rows);
+    * double header fields through trimAll + underscore guard;
+    * ``try_strptime`` so a filename-grammar near-miss yields a NULL
+      timestamp instead of raising (Spark: try_to_timestamp -> NULL)."""
+    tok = [
+        f"string_split_regex(trim(lines[{i}]), '\\s+')[2]" for i in range(7)
+    ]
     return f"""
 WITH f AS (
   SELECT regexp_extract(filename, '[^/]+$') AS fname,
-         string_split(regexp_replace(content, chr(13), ''), chr(10)) AS lines
+         string_split_regex(content, '\\r?\\n') AS lines
   FROM read_text('{grid_dir}/*.txt')
 ), hdr AS (
   SELECT fname, lines,
-         CAST(string_split_regex(trim(lines[1]), '\\s+')[2] AS INT) AS ncols,
-         CAST(string_split_regex(trim(lines[2]), '\\s+')[2] AS INT) AS nrows,
-         CAST(string_split_regex(trim(lines[3]), '\\s+')[2] AS DOUBLE) AS xll,
-         CAST(string_split_regex(trim(lines[4]), '\\s+')[2] AS DOUBLE) AS yll,
-         CAST(string_split_regex(trim(lines[5]), '\\s+')[2] AS DOUBLE) AS cs,
-         CAST(string_split_regex(trim(lines[6]), '\\s+')[2] AS INT) AS nodata,
+         {_sql_try_int(tok[1])} AS ncols,
+         {_sql_try_int(tok[2])} AS nrows,
+         {_sql_try_double(tok[3])} AS xll,
+         {_sql_try_double(tok[4])} AS yll,
+         {_sql_try_double(tok[5])} AS cs,
+         {_sql_try_int(tok[6])} AS nodata,
          string_split(regexp_replace(fname, '\\.[^.]*$', ''), '_') AS p
   FROM f
 ), meta AS (
   SELECT *,
-    (strptime(p[3] || ' ' || substring(p[4], 1, 2), '%Y%m%d %H') AT TIME ZONE 'UTC')
+    (try_strptime(p[3] || ' ' || substring(p[4], 1, 2), '%Y%m%d %H')
+       AT TIME ZONE 'UTC')
        AT TIME ZONE 'Australia/Sydney' AS syd
   FROM hdr
+)
+"""
+
+
+def oracle_points(grid_dir: str) -> str:
+    """Scaffold + the shared decoded-point CTE ``pts0`` every decode-based
+    oracle selects from: one row per KEPT cell (strict-int parse succeeded,
+    value != nodata — a NULL nodata header keeps nothing, like Spark's
+    ``radiation != _nodata`` NULL predicate), with raw (unrounded) ``lon``/
+    ``lat``, the per-file ``cs``, filename pieces ``p`` and Sydney ``syd``.
+
+    Cell extraction mirrors decode.py G3/G4 exactly: body line ``6+i``
+    (NULL past a short body -> no row), rtrim then split on SINGLE spaces
+    (empty tokens from runs of spaces parse to NULL but still advance the
+    cell index), truncated to ``ncols`` by the ``j`` range."""
+    return oracle_base(grid_dir) + f"""
+, rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
+, cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
+, cell AS (
+  SELECT *, {_sql_try_int("string_split(rtrim(lines[6+i]), ' ')[j]")} AS rad
+  FROM cls
+)
+, pts0 AS (
+  SELECT fname, p, syd, cs, nodata, i, j, rad,
+         xll + (j-1)*cs AS lon,
+         yll + nrows*cs - i*cs AS lat
+  FROM cell
+  WHERE rad IS NOT NULL AND rad != nodata
 )
 """
 
@@ -67,24 +146,22 @@ WITH f AS (
 #: scaffold over the golden (uniform 0.5-cellsize) fixture dir — the base
 #: for every G-query oracle in this module
 _ORACLE_BASE = oracle_base(GRID_DIR)
+#: scaffold + shared kept-points CTE for the decode-based oracles
+_ORACLE_PTS = oracle_points(GRID_DIR)
 
 
 @register(
     "g_flagship_decode",
-    oracle=_ORACLE_BASE
+    oracle=_ORACLE_PTS
     + """
-    , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
-    , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
     SELECT strftime(syd, '%Y-%m-%d %H:%M') AS date_str,
            p[2] AS RadiationType,
-           ROUND(xll + (j-1)*cs, 6) AS Longitude,
-           ROUND(yll + nrows*cs - i*cs, 6) AS Latitude,
-           CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS Radiation,
+           ROUND(lon, 6) AS Longitude,
+           ROUND(lat, 6) AS Latitude,
+           rad AS Radiation,
            CAST(year(syd) AS INT) AS year, CAST(month(syd) AS INT) AS month,
            CAST(day(syd) AS INT) AS day, CAST(hour(syd) AS INT) AS hour
-    FROM cls
-    WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
-      AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
+    FROM pts0
     """,
 )
 def g_flagship_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,24 +210,15 @@ def g_header_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g_hourly_rollup",
-    oracle=_ORACLE_BASE
+    oracle=_ORACLE_PTS
     + """
-    , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
-    , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
-    , pts AS (
-        SELECT p[2] AS RadiationType,
-               CAST(year(syd) AS INT) AS year, CAST(month(syd) AS INT) AS month,
-               CAST(day(syd) AS INT) AS day, CAST(hour(syd) AS INT) AS hour,
-               CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS Radiation
-        FROM cls
-        WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
-          AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
-    )
-    SELECT RadiationType, year, month, day, hour,
+    SELECT p[2] AS RadiationType,
+           CAST(year(syd) AS INT) AS year, CAST(month(syd) AS INT) AS month,
+           CAST(day(syd) AS INT) AS day, CAST(hour(syd) AS INT) AS hour,
            CAST(COUNT(*) AS BIGINT) AS points,
-           ROUND(AVG(Radiation), 4) AS avg_radiation,
-           CAST(MAX(Radiation) AS INT) AS max_radiation
-    FROM pts GROUP BY ALL
+           ROUND(AVG(rad), 4) AS avg_radiation,
+           CAST(MAX(rad) AS INT) AS max_radiation
+    FROM pts0 GROUP BY ALL
     """,
 )
 def g_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,24 +235,15 @@ def g_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g_bbox_filter",
-    oracle=_ORACLE_BASE
+    oracle=_ORACLE_PTS
     + """
-    , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
-    , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
-    , pts AS (
-        SELECT ROUND(xll + (j-1)*cs, 6) AS Longitude,
-               ROUND(yll + nrows*cs - i*cs, 6) AS Latitude,
-               CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS Radiation
-        FROM cls
-        WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
-          AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
-    )
-    SELECT Longitude, Latitude,
-           CAST(SUM(Radiation) AS BIGINT) AS total_radiation,
+    SELECT ROUND(lon, 6) AS Longitude, ROUND(lat, 6) AS Latitude,
+           CAST(SUM(rad) AS BIGINT) AS total_radiation,
            CAST(COUNT(*) AS BIGINT) AS obs
-    FROM pts
-    WHERE Longitude BETWEEN 112.25 AND 113.25 AND Latitude BETWEEN -43.75 AND -43.25
-    GROUP BY Longitude, Latitude
+    FROM pts0
+    WHERE ROUND(lon, 6) BETWEEN 112.25 AND 113.25
+      AND ROUND(lat, 6) BETWEEN -43.75 AND -43.25
+    GROUP BY 1, 2
     """,
 )
 def g_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,8 +282,11 @@ def g_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              string_split(regexp_replace(fname, '\\.[^.]*$', ''), '_') AS p
       FROM f
     )
+    -- try_strptime: a grammar near-miss filename yields NULL metadata
+    -- (Spark: try_to_timestamp), never a raise (weird-grid net r14)
     SELECT fname, stem, p[2] AS RadiationType,
-           strftime(strptime(p[3] || ' ' || substring(p[4], 1, 2), '%Y%m%d %H'),
+           strftime(try_strptime(p[3] || ' ' || substring(p[4], 1, 2),
+                                 '%Y%m%d %H'),
                     '%Y-%m-%d %H:%M') AS utc_str
     FROM parts
     """,
@@ -244,25 +306,17 @@ def g_filename_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g_coarsen",
-    oracle=_ORACLE_BASE
+    oracle=_ORACLE_PTS
     + """
-    , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
-    , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
-    , pts AS (
-        SELECT p[2] AS RadiationType,
-               xll + (j-1)*cs AS lon, yll + nrows*cs - i*cs AS lat,
-               CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS rad
-        FROM cls
-        WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
-          AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
-    )
-    SELECT RadiationType,
+    SELECT p[2] AS RadiationType,
            CAST(FLOOR(lon) AS BIGINT) AS lon_cell,
            CAST(FLOOR(lat) AS BIGINT) AS lat_cell,
            CAST(COUNT(*) AS BIGINT) AS points,
            CAST(SUM(rad) AS BIGINT) AS total_radiation,
            ROUND(CAST(SUM(rad) AS DOUBLE) / COUNT(*), 6) AS avg_radiation
-    FROM pts GROUP BY 1, 2, 3
+    FROM pts0
+    WHERE isfinite(lon) AND isfinite(lat)
+    GROUP BY 1, 2, 3
     """,
 )
 def g_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,10 +325,21 @@ def g_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell). The raster analog of the hourly rollup: partial+final aggregation
     over the narrow decode, one shuffle on (type, cell). The mean is
     computed as SUM/COUNT (integer sum is exact) so the oracle hash is
-    float-tie-free."""
+    float-tie-free.
+
+    Non-finite coordinates (a grid whose header declares cellsize NaN/
+    Infinity — weird-grid net r14) cannot be binned: FLOOR(NaN) feeds a
+    long cast that aborts under ANSI (the q37/n28 class), so both sides
+    filter them before flooring. No-op on the fixtures."""
     pts = decode_grid_directory(spark, GRID_DIR)
+    finite = ~(
+        F.isnan("Longitude") | F.isnan("Latitude")
+        | F.col("Longitude").isin(float("inf"), float("-inf"))
+        | F.col("Latitude").isin(float("inf"), float("-inf"))
+    )
     return (
-        pts.groupBy(
+        pts.filter(finite)
+        .groupBy(
             "RadiationType",
             F.floor("Longitude").cast("long").alias("lon_cell"),
             F.floor("Latitude").cast("long").alias("lat_cell"),
@@ -291,20 +356,16 @@ def g_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g_datasource_decode",
-    oracle=_ORACLE_BASE
+    oracle=_ORACLE_PTS
     + """
-    , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
-    , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
     SELECT strftime(syd, '%Y-%m-%d %H:%M') AS date_str,
            p[2] AS RadiationType,
-           ROUND(xll + (j-1)*cs, 6) AS Longitude,
-           ROUND(yll + nrows*cs - i*cs, 6) AS Latitude,
-           CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS Radiation,
+           ROUND(lon, 6) AS Longitude,
+           ROUND(lat, 6) AS Latitude,
+           rad AS Radiation,
            CAST(year(syd) AS INT) AS year, CAST(month(syd) AS INT) AS month,
            CAST(day(syd) AS INT) AS day, CAST(hour(syd) AS INT) AS hour
-    FROM cls
-    WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
-      AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
+    FROM pts0
     """,
 )
 def g_datasource_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,19 +396,15 @@ def g_datasource_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g_cell_anomaly",
-    oracle=_ORACLE_BASE
+    oracle=_ORACLE_PTS
     + """
-    , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
-    , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
     , pts AS (
         SELECT strftime(syd, '%Y-%m-%d %H:%M') AS date_str,
                p[2] AS RadiationType,
-               ROUND(xll + (j-1)*cs, 6) AS Longitude,
-               ROUND(yll + nrows*cs - i*cs, 6) AS Latitude,
-               CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS Radiation
-        FROM cls
-        WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
-          AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
+               ROUND(lon, 6) AS Longitude,
+               ROUND(lat, 6) AS Latitude,
+               rad AS Radiation
+        FROM pts0
     )
     SELECT date_str, RadiationType, Longitude, Latitude, Radiation,
            ROUND(Radiation - AVG(Radiation) OVER (

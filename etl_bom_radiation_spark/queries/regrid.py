@@ -49,28 +49,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import register
-from .grid_queries import MULTIRES_DIR, oracle_base
+from .grid_queries import MULTIRES_DIR, oracle_points
 from ..grid.decode import decode_grid_directory
 
-_MULTIRES_BASE = oracle_base(MULTIRES_DIR)
+_MULTIRES_PTS = oracle_points(MULTIRES_DIR)
 
 
 @register(
     "g_regrid_bilinear",
-    oracle=_MULTIRES_BASE
+    oracle=_MULTIRES_PTS
     + """
-    , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
-    , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
     , pts AS (
         SELECT p[2] AS RadiationType,
                CAST(year(syd) AS INT) AS year, CAST(month(syd) AS INT) AS month,
                CAST(day(syd) AS INT) AS day, CAST(hour(syd) AS INT) AS hour,
-               cs,
-               xll + (j-1)*cs AS lon, yll + nrows*cs - i*cs AS lat,
-               CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS rad
-        FROM cls
-        WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
-          AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
+               cs, lon, lat, rad
+        FROM pts0
     ), contrib AS (
         SELECT RadiationType, year, month, day, hour, cs, rad,
                lon + cs/2 - dx*cs AS tlon,
@@ -142,20 +136,14 @@ def g_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g_gradient",
-    oracle=_MULTIRES_BASE
+    oracle=_MULTIRES_PTS
     + """
-    , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
-    , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
     , pts AS (
         SELECT p[2] AS RadiationType,
                CAST(year(syd) AS INT) AS year, CAST(month(syd) AS INT) AS month,
                CAST(day(syd) AS INT) AS day, CAST(hour(syd) AS INT) AS hour,
-               cs,
-               xll + (j-1)*cs AS lon, yll + nrows*cs - i*cs AS lat,
-               CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS rad
-        FROM cls
-        WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
-          AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
+               cs, lon, lat, rad
+        FROM pts0
     ), contrib AS (
         SELECT RadiationType, year, month, day, hour, cs,
                lon + cs AS tlon, lat AS tlat, -rad AS dxc, CAST(NULL AS INT) AS dyc
@@ -271,17 +259,11 @@ ZONES = [
 
 @register(
     "g_zonal_stats",
-    oracle=_MULTIRES_BASE
+    oracle=_MULTIRES_PTS
     + f"""
-    , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
-    , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
     , pts AS (
-        SELECT p[2] AS RadiationType,
-               xll + (j-1)*cs AS lon, yll + nrows*cs - i*cs AS lat,
-               CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS rad
-        FROM cls
-        WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
-          AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
+        SELECT p[2] AS RadiationType, lon, lat, rad
+        FROM pts0
     ), zones(zone, lon_min, lon_max, lat_min, lat_max) AS (
         VALUES {", ".join(f"('{z}', {a}, {b}, {c}, {d})" for z, a, b, c, d in ZONES)}
     )

@@ -39,9 +39,9 @@ from pyspark.sql import functions as F
 from . import register
 from ..grid.decode import decode_grid_directory
 from ..scale import zorder_key, zorder_key_sql
-from .grid_queries import MULTIRES_DIR, oracle_base
+from .grid_queries import MULTIRES_DIR, oracle_points
 
-_MULTIRES_BASE = oracle_base(MULTIRES_DIR)
+_MULTIRES_PTS = oracle_points(MULTIRES_DIR)
 
 #: quantization origin / step: binary-exact, covers the fixture bbox and
 #: both fixture cellsizes (0.5, 0.25 are multiples of 0.125)
@@ -50,17 +50,11 @@ X0, Y0, QUANTUM = 110.0, -47.0, 0.125
 
 @register(
     "g_zorder_cluster",
-    oracle=_MULTIRES_BASE
+    oracle=_MULTIRES_PTS
     + f"""
-    , rws AS (SELECT *, unnest(range(1, nrows+1)) AS i FROM meta)
-    , cls AS (SELECT *, unnest(range(1, ncols+1)) AS j FROM rws)
     , pts AS (
-        SELECT p[2] AS RadiationType,
-               xll + (j-1)*cs AS lon, yll + nrows*cs - i*cs AS lat,
-               CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) AS rad
-        FROM cls
-        WHERE TRY_CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) IS NOT NULL
-          AND CAST(string_split(rtrim(lines[6+i]), ' ')[j] AS INT) != nodata
+        SELECT p[2] AS RadiationType, lon, lat, rad
+        FROM pts0
     )
     SELECT RadiationType,
            ROUND(lon, 6) AS lon, ROUND(lat, 6) AS lat,
