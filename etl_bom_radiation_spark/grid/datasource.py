@@ -17,12 +17,45 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 from datetime import datetime, timezone
 from zoneinfo import ZoneInfo
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 SYDNEY = ZoneInfo("Australia/Sydney")
+
+#: Spark's UTF8String.trimAll class: every char <= 0x20 — what try_cast
+#: strips from string ends before parsing (weird-grid net r14)
+_TRIMALL = "".join(chr(c) for c in range(0x21))
+_INT_RE = re.compile(r"[+-]?[0-9]+\Z")
+# mirror of Spark try_cast(string AS DOUBLE): ASCII decimal/scientific
+# forms plus the Infinity/NaN spellings Spark accepts (case-insensitive);
+# Python's float() alone is laxer (underscores, unicode digits)
+_DOUBLE_RE = re.compile(
+    r"(?:[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?"
+    r"|[+-]?(?:inf|infinity|nan))\Z",
+    re.IGNORECASE,
+)
+
+
+def _try_int(s: str):
+    """Python mirror of Spark ``try_cast(s AS INT)`` — the Catalyst decode
+    path is the semantic source of truth, and bare ``int()`` is laxer
+    (accepts '1_0' underscores and non-ASCII unicode digits)."""
+    s = s.strip(_TRIMALL)
+    if not _INT_RE.match(s):
+        return None
+    v = int(s)
+    return v if -2147483648 <= v <= 2147483647 else None
+
+
+def _try_double(s: str):
+    """Python mirror of Spark ``try_cast(s AS DOUBLE)``."""
+    s = s.strip(_TRIMALL)
+    if not _DOUBLE_RE.match(s):
+        return None
+    return float(s)
 
 SCHEMA = (
     "Date timestamp, RadiationType string, Longitude double, Latitude double, "
@@ -32,50 +65,83 @@ SCHEMA = (
 
 def _parse_filename(path: str):
     """Grammar 1 (bom.py:94-107): <base>_<TYPE>_<YYYYMMDD>_<HHMM...>.<ext> —
-    returns (radiation_type, sydney_wall_clock) or (None, None)."""
+    returns (radiation_type, sydney_wall_clock), each independently None.
+
+    Field independence mirrors the Catalyst path (weird-grid net r14): a
+    parseable type piece with a malformed date piece keeps the type and
+    NULLs only the timestamp — with_filename_metadata extracts each field
+    with its own try_element_at/try_to_timestamp."""
     stem = os.path.splitext(os.path.basename(path))[0]
     pieces = stem.split("_")
+    rad_type = pieces[1] if len(pieces) > 1 else None
     if len(pieces) < 4:
-        return None, None
+        return rad_type, None
     try:
         utc = datetime.strptime(f"{pieces[2]} {pieces[3][:2]}", "%Y%m%d %H").replace(
             tzinfo=timezone.utc
         )
     except ValueError:
-        return None, None
+        return rad_type, None
     syd = utc.astimezone(SYDNEY).replace(tzinfo=None)  # wall clock, naive
-    return pieces[1], syd
+    return rad_type, syd
 
 
 def _decode_file(path: str):
     """Grid text -> point tuples; malformed input degrades to zero rows
-    (the quarantine contract, bom.py:82-84 upgraded)."""
+    (the quarantine contract, bom.py:82-84 upgraded).
+
+    Every parse step mirrors the Catalyst path (decode.py) exactly — the
+    weird-grid parity net (r14) pins row-identical output on ragged /
+    malformed / mixed-separator corpora:
+
+    * ``errors='replace'`` (U+FFFD like Spark's text reader), not the
+      reference's ``errors='ignore'`` (bom.py:57-59) whose byte-dropping
+      could SPLICE digits across a corrupt gap into a plausible value;
+    * lines split on ``\\r?\\n`` only (``str.splitlines`` also splits on
+      \\x0b/\\x0c/\\x85/U+2028 and lone \\r, which Catalyst keeps in-line);
+    * header ints/doubles and body cells through the try_cast mirrors
+      (strict per-field — the old ``int(float(...))`` read 'ncols 4.5'
+      as 4 where the Catalyst path yields NULL and decodes zero rows);
+    * negative declared nrows/ncols clamp to zero rows/cells."""
     rad_type, syd = _parse_filename(path)
-    try:
-        with open(path, encoding="utf-8", errors="ignore") as fh:
-            lines = fh.read().splitlines()
-        header = {}
-        for idx, name in enumerate(
-            ("ncols", "nrows", "xllcorner", "yllcorner", "cellsize", "nodata")
-        ):
-            header[name] = float(lines[idx].split()[1])
-        ncols, nrows = int(header["ncols"]), int(header["nrows"])
-        xll, yll, cs = header["xllcorner"], header["yllcorner"], header["cellsize"]
-        nodata = int(header["nodata"])
-    except (IndexError, ValueError):
+    # newline='': Python's universal-newline mode would silently translate
+    # a LONE \r into \n, splitting lines the Catalyst \r?\n split keeps
+    with open(path, encoding="utf-8", errors="replace", newline="") as fh:
+        lines = re.split(r"\r?\n", fh.read())
+
+    def header_field(line_no: int):
+        """decode.py _header_field: token 2 of the whitespace-split line.
+        strip(' ') not strip(): Spark's F.trim removes SPACES only, so a
+        tab-led header line keeps its empty first token on both paths."""
+        if line_no >= len(lines):
+            return None
+        toks = re.split(r"\s+", lines[line_no].strip(" "))
+        return toks[1] if len(toks) > 1 else None
+
+    hdr = [header_field(i) for i in range(6)]
+    ncols = _try_int(hdr[0]) if hdr[0] is not None else None
+    nrows = _try_int(hdr[1]) if hdr[1] is not None else None
+    xll = _try_double(hdr[2]) if hdr[2] is not None else None
+    yll = _try_double(hdr[3]) if hdr[3] is not None else None
+    cs = _try_double(hdr[4]) if hdr[4] is not None else None
+    nodata = _try_int(hdr[5]) if hdr[5] is not None else None
+    # Catalyst parity: NULL ncols/nrows -> zero cells/rows, NULL nodata ->
+    # the `radiation != nodata` predicate drops everything; but NULL
+    # xll/yll/cs still EMITS points, with NULL coordinates
+    if ncols is None or nrows is None or nodata is None:
         return
-    y0 = yll + nrows * cs
+    coords_ok = None not in (xll, yll, cs)
+    y0 = yll + nrows * cs if coords_ok else None
     for r in range(min(nrows, max(len(lines) - 6, 0))):
-        cells = lines[6 + r].rstrip().split(" ")
-        lat = y0 - (r + 1) * cs
-        for c, cell in enumerate(cells[:ncols]):
-            try:
-                v = int(cell)
-            except ValueError:
+        cells = lines[6 + r].rstrip(" ").split(" ")
+        lat = y0 - (r + 1) * cs if coords_ok else None
+        for c, cell in enumerate(cells[: max(ncols, 0)]):
+            v = _try_int(cell)
+            if v is None:
                 continue  # malformed cell: skipped, but position consumed
             if v == nodata:
                 continue  # nodata advances longitude (bom.py:146-149)
-            lon = xll + c * cs
+            lon = xll + c * cs if coords_ok else None
             if syd is None:
                 yield (None, rad_type, lon, lat, v, None, None, None, None)
             else:

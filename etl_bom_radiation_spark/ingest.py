@@ -29,6 +29,7 @@ Scale design:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,8 +45,9 @@ PARTITION_COLS = ["year", "month", "day", "hour"]
 class IngestResult:
     files_ok: list[str] = field(default_factory=list)
     files_quarantined: list[str] = field(default_factory=list)
-    #: path -> reason code ('bad_header' | 'bad_filename' | 'oversized') —
-    #: the observability the reference's swallow-and-log lacked (bom.py:82-84)
+    #: path -> reason code ('bad_header' | 'bad_filename' | 'oversized' |
+    #: 'empty') — the observability the reference's swallow-and-log lacked
+    #: (bom.py:82-84)
     quarantine_reasons: dict[str, str] = field(default_factory=dict)
     #: path -> error for files whose archival/quarantine rename failed.
     #: Their data IS committed (the write precedes the moves); they stay in
@@ -275,13 +277,27 @@ def ingest_batch(
         flags = _classify_files(meta).collect()  # one row per FILE (small)
     else:
         meta, flags = None, []
+    # the wholetext reader emits NO row for a zero-length file, so an
+    # empty file would never be classified — and would sit in in/ forever,
+    # re-listed by every batch (weird-grid net r14). Any listed readable
+    # file that produced no row is malformed by absence. Reconciliation is
+    # by basename: the listing says 'file:/...' while input_file_name()
+    # says URL-encoded 'file:///...', and the in/ listing is flat so
+    # basenames are unique within a batch.
+    from urllib.parse import unquote
+
+    seen = {os.path.basename(unquote(r["_path"])) for r in flags}
+    empty_files = [p for p in readable if os.path.basename(p) not in seen]
     ok_files = {r["_path"] for r in flags if r["_ok"]}
-    bad_files = {r["_path"] for r in flags if not r["_ok"]} | oversized
+    bad_files = (
+        {r["_path"] for r in flags if not r["_ok"]} | oversized | set(empty_files)
+    )
     res.files_ok = sorted(ok_files)
     res.files_quarantined = sorted(bad_files)
     res.quarantine_reasons = {
         **{r["_path"]: r["_reason"] for r in flags if not r["_ok"]},
         **{p: "oversized" for p in oversized},
+        **{p: "empty" for p in empty_files},
     }
 
     if ok_files:

@@ -55,6 +55,10 @@ X0, Y0, QUANTUM = 110.0, -47.0, 0.125
     , pts AS (
         SELECT p[2] AS RadiationType, lon, lat, rad
         FROM pts0
+        -- finite coords only: a NaN/Infinity lattice (weird-grid net r14)
+        -- has no meaningful curve position, and Spark's quantizing
+        -- round().cast(long) aborts under ANSI; NULL coords drop too
+        WHERE isfinite(lon) AND isfinite(lat)
     )
     SELECT RadiationType,
            ROUND(lon, 6) AS lon, ROUND(lat, 6) AS lat,
@@ -68,8 +72,21 @@ def g_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed-resolution decoded corpus — the sort key a clustered writer uses
     so 2-D box predicates prune row groups on both coordinates' min/max
     stats. Bit-interleave of the 0.125-deg-quantized (lon, lat); narrow
-    (zero added Exchanges), codegen-only, engine-exact."""
+    (zero added Exchanges), codegen-only, engine-exact.
+
+    Finite coordinates only (weird-grid net r14): a NaN/Infinity lattice
+    has no curve position and the quantizer's round().cast(long) aborts
+    under ANSI; NULL coords drop through the same predicate. No-op on the
+    fixtures."""
     pts = decode_grid_directory(spark, MULTIRES_DIR)
+    inf = float("inf")
+    pts = pts.filter(
+        ~(
+            F.isnan("Longitude") | F.isnan("Latitude")
+            | F.col("Longitude").isin(inf, -inf)
+            | F.col("Latitude").isin(inf, -inf)
+        )
+    )
     return pts.select(
         "RadiationType",
         F.round("Longitude", 6).alias("lon"),

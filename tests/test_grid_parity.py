@@ -1,0 +1,187 @@
+"""Weird-grid parity net: the grid/ingest axis of the adversarial-corpus
+method (VERDICT r13 #2).
+
+The golden grid fixtures are well-formed, so before r14 the decode's
+malformed-input coverage was three hand-picked unit cases. This net
+mirrors the relational corpora's discipline for the FILE FORMAT axis:
+``tools/gen_weird_grids.py`` writes grids that are ragged / truncated /
+mis-declared / separator-chaotic / header-garbled / filename-near-miss,
+and every grid-family oracle entry is swept Spark-vs-DuckDB over it with
+its fixture dir substituted.
+
+Divergences found and fixed by the r14 sweep (each a silent wrong-answer
+class on the Python DataSource mount, invisible on the golden fixtures):
+
+* ``_parse_filename`` returned (None, None) when only the DATE piece was
+  malformed — Catalyst keeps the type and NULLs just the timestamp;
+* text-mode ``open()`` universal newlines translated a LONE ``\\r`` into
+  ``\\n``, splitting body lines the Catalyst ``\\r?\\n`` split keeps
+  (shifting every subsequent row's latitude);
+* bare ``int()``/``int(float())`` header and cell parses accepted '4.5',
+  '1e1', '1_0' and unicode digits that Spark's try_cast rejects — now
+  routed through the ``_try_int``/``_try_double`` mirrors;
+* DuckDB-side: bare CAST rounded '4.5' and raised on strptime
+  near-misses (oracle scaffold hardened, see grid_queries.oracle_base).
+
+The binary corpus (invalid UTF-8, empty files, BOM, truncated-mid-cell)
+is swept ENGINE-ONLY — DuckDB's read_text raises on invalid UTF-8 — for
+the no-abort + quarantine contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from etl_bom_radiation_spark.queries import load_all
+from tools.check_queries import compare
+from tools.gen_weird_grids import write_binary_grids, write_weird_grids
+
+QS = load_all()
+G_PARITY = sorted(
+    n for n, q in QS.items() if n.startswith("g_") and q.oracle is not None
+)
+
+
+@pytest.fixture(scope="module")
+def weird_dir(tmp_path_factory) -> str:
+    return write_weird_grids(str(tmp_path_factory.mktemp("weird_grids")))
+
+
+@pytest.fixture(scope="module")
+def binary_dir(tmp_path_factory) -> str:
+    return write_binary_grids(str(tmp_path_factory.mktemp("binary_grids")))
+
+
+@pytest.fixture()
+def grid_dirs_patched(monkeypatch, weird_dir):
+    """Point every grid-query module's fixture dir at the weird corpus.
+    regrid/zorder bind MULTIRES_DIR into their own namespaces, so each
+    module attribute is patched individually."""
+    import etl_bom_radiation_spark.queries.grid_queries as GQ
+    import etl_bom_radiation_spark.queries.regrid as RG
+    import etl_bom_radiation_spark.queries.zorder as ZO
+
+    orig_g, orig_m = GQ.GRID_DIR, GQ.MULTIRES_DIR
+    for mod, attr in ((GQ, "GRID_DIR"), (GQ, "MULTIRES_DIR"),
+                      (RG, "MULTIRES_DIR"), (ZO, "MULTIRES_DIR")):
+        monkeypatch.setattr(mod, attr, weird_dir)
+    return orig_g, orig_m
+
+
+def _sub_dirs(oracle: str, orig_g: str, orig_m: str, weird: str) -> str:
+    # substitute the LONGER path first: orig_g is a string prefix of orig_m
+    return oracle.replace(orig_m, weird).replace(orig_g, weird)
+
+
+@pytest.mark.parity
+@pytest.mark.parametrize("name", G_PARITY)
+def test_grid_oracle_parity_on_weird_corpus(
+    spark, weird_dir, grid_dirs_patched, name
+):
+    orig_g, orig_m = grid_dirs_patched
+    q = QS[name]
+    got = q.fn(spark, weird_dir).toPandas()
+    want = duckdb.connect().execute(
+        _sub_dirs(q.oracle, orig_g, orig_m, weird_dir)
+    ).df()
+    problems = compare(name, got, want)
+    assert problems == [], problems
+    # liveness: the weird corpus must still decode SOMETHING through the
+    # full-decode entries, or the net degrades to comparing empty frames
+    if name in ("g_flagship_decode", "g_datasource_decode", "g_cell_anomaly"):
+        assert len(got) > 200
+
+
+def test_decode_never_aborts_on_binary_corpus(spark, weird_dir, binary_dir):
+    """No-abort contract over byte-level pathologies: invalid UTF-8 cells
+    degrade to dropped cells (U+FFFD fails the strict-int parse), corrupt
+    headers degrade to zero rows — never an executor exception."""
+    from etl_bom_radiation_spark.grid.decode import decode_grid_directory
+
+    pts = decode_grid_directory(spark, binary_dir).collect()
+    # WB01: the corrupt byte kills exactly ONE cell of 12 (and never
+    # splices '1<ff>2' into 12 — the reference's errors='ignore' would)
+    wb01 = [r for r in pts if r.Date is not None and r.hour == 11]
+    assert len(wb01) == 11
+    assert {r.Radiation for r in wb01} == {10, 11, 12, 13, 20, 22, 23, 30, 31, 32, 33}
+    # extension-less + BOM + truncated files all decode to >= 0 rows
+    combined = decode_grid_directory(spark, weird_dir).count()
+    assert combined > 200
+
+
+@pytest.mark.parity
+def test_datasource_row_identical_on_binary_corpus(spark, binary_dir):
+    """The Python DataSource mount must match the Catalyst path row-for-row
+    on the byte-pathology corpus too (the weird-text corpus is covered by
+    g_datasource_decode's sweep entry above). Sort-insensitive multiset
+    equality over every output column."""
+    from etl_bom_radiation_spark.grid.datasource import EsriGridDataSource
+    from etl_bom_radiation_spark.grid.decode import decode_grid_directory
+
+    spark.dataSource.register(EsriGridDataSource)
+    cat = decode_grid_directory(spark, binary_dir)
+    ds = spark.read.format("esri_grid").load(binary_dir)
+    cols = cat.columns
+    assert sorted(map(tuple, cat.select(*cols).collect())) == sorted(
+        map(tuple, ds.select(*cols).collect())
+    )
+
+
+def test_ingest_quarantine_routes_weird_corpus(spark, tmp_path, weird_dir, binary_dir):
+    """ingest_batch over the full weird+binary corpus: never aborts, files
+    with unparseable headers or filename-grammar near-misses land in
+    quarantine/ with the right reason code, everything else ingests."""
+    import shutil
+
+    import etl_bom_radiation_spark.workspace as W
+    from etl_bom_radiation_spark.ingest import ingest_batch
+
+    ws = W.init_workspace(spark, str(tmp_path / "wsweird"))
+    indir = ws.prefix("in")
+    for d in (weird_dir, binary_dir):
+        for f in os.listdir(d):
+            shutil.copy(os.path.join(d, f), os.path.join(indir, f))
+
+    res = ingest_batch(spark, ws)
+    reasons = {os.path.basename(p): r for p, r in res.quarantine_reasons.items()}
+
+    # header casualties: truncated / garbage / float-typed int headers /
+    # empty and NUL-only files / corrupt header byte
+    for f in ("WG12_GLOBAL_20180401_1200.txt", "WG15_GLOBAL_20180401_1500.txt",
+              "WG19_GLOBAL_20180401_1900.txt", "WG11_GLOBAL_20180401_1100.txt",
+              "WB02_GLOBAL_20180401_0200.txt", "WB04_GLOBAL_20180401_0400.txt"):
+        assert reasons.get(f) == "bad_header", (f, reasons.get(f))
+    # a ZERO-length file produces no row from the wholetext reader at all;
+    # before r14 it was never classified and sat in in/ forever, re-listed
+    # by every batch — now malformed-by-absence with its own reason code
+    assert reasons.get("WB03_GLOBAL_20180401_0300.txt") == "empty"
+    # filename-grammar near-misses with parseable headers
+    for f in ("WG23GLOBALnounder.txt", "WG24_GLOBAL_2018AB01_0100.txt",
+              "WG26_GLOBAL_20180401_9900.txt", "WG27_GLOBAL_20180401.txt"):
+        assert reasons.get(f) == "bad_filename", (f, reasons.get(f))
+    # clean control and the ragged/separator files ingest fine
+    ok = {os.path.basename(p) for p in res.files_ok}
+    for f in ("WG01_GLOBAL_20180401_0100.txt", "WG02_GLOBAL_20180401_0200.txt",
+              "WG06_GLOBAL_20180401_0600.txt", "WG07_GLOBAL_20180401_0700.txt"):
+        assert f in ok, f
+    assert res.rows_written > 100
+    # every staged file left in/: moved to done/ or quarantine/
+    assert os.listdir(indir) == []
+
+
+def test_weird_corpus_liveness(weird_dir):
+    """The net is only as good as its fixture: the corpus must actually
+    carry each adversarial class (prefix conventions pin them)."""
+    names = os.listdir(weird_dir)
+    assert len(names) >= 30
+    raw = {n: open(os.path.join(weird_dir, n), encoding="utf-8", newline="").read()
+           for n in names}
+    assert any("\r\n" in c for c in raw.values())          # CRLF axis
+    assert any("\r" in c and "\r\n" not in c.replace("\r\n", "") and
+               "\r" in c.replace("\r\n", "") for c in raw.values())  # stray CR
+    assert any("e-1" in c or "e2" in c or "e1" in c.lower() for c in raw.values())
+    assert any(n.count("_") < 3 for n in names)            # grammar near-miss
+    assert any("  " in c for c in raw.values())            # multi-space runs

@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""Generate an adversarial ESRI-ASCII grid corpus (the grid axis of the
+adversarial-corpus net, VERDICT r13 #2).
+
+The golden fixtures (`fixtures/grids`, `fixtures/grids_multires`) are
+well-formed: every header parses, every body row has exactly ``ncols``
+cells, separators are single spaces, filenames match the grammar. The
+flagship decode's malformed-input coverage was therefore hand-picked unit
+cases — the same fixture-blindness the r13 relational corpora closed for
+§2.E/§2.H. This tool writes grid files that are weird along every axis of
+the FILE FORMAT itself:
+
+* ragged body rows (shorter AND longer than the declared ``ncols``);
+* body shorter/longer than the declared ``nrows``;
+* nodata-everywhere; nodata sentinel colliding with real values;
+* separator chaos: runs of spaces, leading/trailing spaces, tabs, CRLF
+  and mixed line endings, stray mid-line CR;
+* scientific-notation / negative / non-integer / garbage header values;
+* 1x1 grids; truncated headers; declared-vs-actual dimension mismatches;
+* non-integer cells (floats, overflow, '+'/leading-zero forms);
+* filename-grammar near-misses (missing pieces, bad dates, hour 99);
+* (engine-only set) non-UTF-8 bytes, empty files, extension-less names.
+
+Two corpora because DuckDB's ``read_text`` RAISES on invalid UTF-8
+(measured r14) while Spark's text reader substitutes U+FFFD:
+
+* :func:`write_weird_grids` — valid-UTF-8 ``*.txt`` files, safe for the
+  exact Spark-vs-DuckDB oracle sweep (``tests/test_grid_parity.py``);
+* :func:`write_binary_grids` — byte-level pathologies, swept engine-side
+  only for the no-abort / quarantine contract.
+
+Values are small integers and headers binary fractions (multiples of
+1/64), so coordinate arithmetic is exact in IEEE double on both engines
+and the driver-style bitwise float compare stays meaningful (same
+discipline as tools/gen_weird_corpus.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _w(out_dir: str, name: str, text: str, newline: str = "\n") -> None:
+    data = text.replace("\n", newline) if newline != "\n" else text
+    with open(os.path.join(out_dir, name), "w", encoding="utf-8", newline="") as f:
+        f.write(data)
+
+
+_HDR = """ncols {ncols}
+nrows {nrows}
+xllcorner {xll}
+yllcorner {yll}
+cellsize {cs}
+NODATA_value {nodata}
+"""
+
+
+def _grid(ncols="4", nrows="3", xll="112.0", yll="-44.0", cs="0.5",
+          nodata="-999", body="") -> str:
+    return _HDR.format(ncols=ncols, nrows=nrows, xll=xll, yll=yll,
+                       cs=cs, nodata=nodata) + body
+
+
+def write_weird_grids(out_dir: str) -> str:
+    """The oracle-safe weird corpus: every file is valid UTF-8 ``*.txt``."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    # clean control — the sweep must keep decoding SOMETHING
+    _w(out_dir, "WG01_GLOBAL_20180401_0100.txt", _grid(
+        body="10 -999 12 13\n20 21 -999 23\n30 31 32 -999\n"))
+
+    # ragged body rows: 2-cell line (east cells missing -> fewer points),
+    # 6-cell line (extras truncated at ncols)
+    _w(out_dir, "WG02_GLOBAL_20180401_0200.txt", _grid(
+        body="10 11\n20 21 22 23 24 25\n30 31 32 33\n"))
+
+    # body shorter than declared nrows (2 lines vs 4)
+    _w(out_dir, "WG03_GLOBAL_20180401_0300.txt", _grid(
+        nrows="4", body="10 11 12 13\n20 21 22 23\n"))
+
+    # body longer than declared nrows (extra lines ignored)
+    _w(out_dir, "WG04_GLOBAL_20180401_0400.txt", _grid(
+        nrows="2", body="10 11 12 13\n20 21 22 23\n77 77 77 77\n88 88\n99\n"))
+
+    # nodata everywhere -> zero points
+    _w(out_dir, "WG05_GLOBAL_20180401_0500.txt", _grid(
+        body="-999 -999 -999 -999\n-999 -999 -999 -999\n-999 -999 -999 -999\n"))
+
+    # separator chaos: runs of spaces (empty tokens advance the cell
+    # index), leading space (shifts the whole row east), trailing spaces
+    _w(out_dir, "WG06_GLOBAL_20180401_0600.txt", _grid(
+        body="10  12 13\n 21 22 23\n30 31 32 33   \n"))
+
+    # CRLF line endings throughout
+    _w(out_dir, "WG07_GLOBAL_20180401_0700.txt", _grid(
+        body="10 11 12 13\n20 21 22 23\n30 31 32 33\n"), newline="\r\n")
+
+    # scientific-notation and negative header doubles
+    _w(out_dir, "WG08_GLOBAL_20180401_0800.txt", _grid(
+        xll="1.12e2", yll="-4.4e1", cs="5e-1",
+        body="10 11 12 13\n20 21 22 23\n30 31 32 33\n"))
+
+    # 1x1 grid
+    _w(out_dir, "WG09_GLOBAL_20180401_0900.txt", _grid(
+        ncols="1", nrows="1", body="42\n"))
+
+    # nodata sentinel colliding with real data (7 is both)
+    _w(out_dir, "WG10_GLOBAL_20180401_1000.txt", _grid(
+        nodata="7", body="7 8 9 7\n7 7 7 7\n1 2 3 7\n"))
+
+    # non-integer nodata header: Spark try_cast -> NULL -> the
+    # `radiation != nodata` predicate drops every cell
+    _w(out_dir, "WG11_GLOBAL_20180401_1100.txt", _grid(
+        nodata="-999.5", body="10 11 12 13\n20 21 22 23\n30 31 32 33\n"))
+
+    # garbage ncols -> zero cells
+    _w(out_dir, "WG12_GLOBAL_20180401_1200.txt", _grid(
+        ncols="four", body="10 11 12 13\n"))
+
+    # negative declared nrows / ncols -> clamp to zero, never abort
+    _w(out_dir, "WG13_GLOBAL_20180401_1300.txt", _grid(
+        nrows="-2", body="10 11 12 13\n"))
+    _w(out_dir, "WG14_GLOBAL_20180401_1400.txt", _grid(
+        ncols="-1", body="10 11 12 13\n"))
+
+    # truncated: three header lines, no body
+    _w(out_dir, "WG15_GLOBAL_20180401_1500.txt", "ncols 4\nnrows 3\nxllcorner 112.0\n")
+
+    # non-integer / exotic cells: floats and 1e2 drop (strict int),
+    # +8 and 007 parse, 3000000000 overflows int32 -> drops
+    _w(out_dir, "WG16_GLOBAL_20180401_1600.txt", _grid(
+        body="7.5 +8 007 1e2\n3000000000 -0 0 x\nNaN inf 1_0 9\n"))
+
+    # blank middle body line (row advances latitude, emits nothing)
+    _w(out_dir, "WG17_GLOBAL_20180401_1700.txt", _grid(
+        body="10 11 12 13\n\n30 31 32 33\n"))
+
+    # mixed \n and \r\n endings plus a stray mid-line CR
+    _w(out_dir, "WG18_GLOBAL_20180401_1800.txt", _grid(
+        body="10 11 12 13\r\n20 2\r1 22 23\n30 31 32 33\n"))
+
+    # integer header fields written as floats -> strict-int NULL -> 0 rows
+    _w(out_dir, "WG19_GLOBAL_20180401_1900.txt", _grid(
+        ncols="4.0", nrows="3.0",
+        body="10 11 12 13\n20 21 22 23\n30 31 32 33\n"))
+
+    # declared ncols smaller than actual line width (truncate east edge)
+    _w(out_dir, "WG20_GLOBAL_20180401_2000.txt", _grid(
+        ncols="2", body="10 11 12 13\n20 21 22 23\n30 31 32 33\n"))
+
+    # declared ncols larger than actual line width (missing cells drop)
+    _w(out_dir, "WG21_GLOBAL_20180401_2100.txt", _grid(
+        ncols="6", body="10 11 12\n20 21 22\n30 31 32\n"))
+
+    # tabs: not separators (split is single-space) — '2\t3' fails the
+    # strict int, '5\t' casts (trimAll) — and a tab-padded header value
+    _w(out_dir, "WG22_GLOBAL_20180401_2200.txt", _grid(
+        nodata="\t-999", body="1 2\t3 4\n5\t 6 7 8\n9 10 11 12\n"))
+
+    # filename-grammar near-misses over clean bodies
+    near = _grid(body="10 11 12 13\n20 21 22 23\n30 31 32 33\n")
+    _w(out_dir, "WG23GLOBALnounder.txt", near)            # no underscores
+    _w(out_dir, "WG24_GLOBAL_2018AB01_0100.txt", near)    # bad date chars
+    _w(out_dir, "WG25_GLOBAL_20181332_0100.txt", near)    # day 32
+    _w(out_dir, "WG26_GLOBAL_20180401_9900.txt", near)    # hour 99
+    _w(out_dir, "WG27_GLOBAL_20180401.txt", near)         # missing time piece
+    _w(out_dir, "WG28_GLOBAL_20180401_0100_EXTRA_BITS.txt", near)  # extras ok
+    _w(out_dir, "WG29__20180401_0100.txt", near)          # empty type piece
+
+    # minutes beyond hour precision are dropped (time_str[:2], bom.py:102)
+    _w(out_dir, "WG31_GLOBAL_20180401_2347.txt", near)
+
+    # garbage xll/yll: points still decode, with NULL coordinates
+    _w(out_dir, "WG33_GLOBAL_20180401_0101.txt", _grid(
+        xll="abc", yll="oops", body="10 11 12 13\n20 21 22 23\n30 31 32 33\n"))
+
+    # cellsize 0: degenerate lattice, every point at (xll, yll-ish)
+    _w(out_dir, "WG34_GLOBAL_20180401_0102.txt", _grid(
+        cs="0.0", body="10 11 12 13\n20 21 22 23\n30 31 32 33\n"))
+
+    # negative cells are legal data
+    _w(out_dir, "WG36_GLOBAL_20180401_0104.txt", _grid(
+        body="-10 -11 -12 -13\n-20 21 22 23\n30 31 32 -33\n"))
+
+    # non-finite cellsize: NaN coordinates (the coarsen/zorder guard axis)
+    _w(out_dir, "WG37_GLOBAL_20180401_0105.txt", _grid(
+        cs="NaN", body="10 11 12 13\n"))
+    _w(out_dir, "WG38_GLOBAL_20180401_0106.txt", _grid(
+        xll="Infinity", body="10 11 12 13\n"))
+
+    return out_dir
+
+
+def write_binary_grids(out_dir: str) -> str:
+    """Byte-level pathologies DuckDB ``read_text`` cannot read (invalid
+    UTF-8 raises — measured r14): swept ENGINE-SIDE ONLY for the no-abort
+    contract. Includes the reference's `errors='ignore'` exposure
+    (bom.py:57-59): our reading substitutes U+FFFD (so a corrupt byte can
+    only DROP a cell, never splice two digit runs into a plausible value —
+    documented divergence, quarantine posture)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def wb(name: str, data: bytes) -> None:
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(data)
+
+    clean = _grid(body="10 11 12 13\n20 21 22 23\n30 31 32 33\n").encode()
+
+    # invalid UTF-8 inside a body cell: '1<ff>2' must drop that cell only
+    wb("WB01_GLOBAL_20180401_0100.txt", _grid(
+        body="10 11 12 13\n20 XX 22 23\n30 31 32 33\n").encode().replace(
+        b"XX", b"1\xff2"))
+    # invalid UTF-8 inside a header value: that field NULLs -> zero rows
+    wb("WB02_GLOBAL_20180401_0200.txt", _grid(
+        ncols="4\xc3").encode("latin-1", errors="ignore") + b"10 11 12 13\n")
+    # empty file
+    wb("WB03_GLOBAL_20180401_0300.txt", b"")
+    # a single NUL byte
+    wb("WB04_GLOBAL_20180401_0400.txt", b"\x00")
+    # extension-less file (Spark's directory listing reads it; the oracle
+    # glob would not — engine-only by construction)
+    wb("WB05_GLOBAL_20180401_0500", clean)
+    # UTF-8 BOM prefix: first header line becomes '<BOM>ncols 4'
+    wb("WB06_GLOBAL_20180401_0600.txt", b"\xef\xbb\xbf" + clean)
+    # truncated mid-cell (no trailing newline, last cell half-written)
+    wb("WB07_GLOBAL_20180401_0700.txt", clean[:-8])
+
+    return out_dir
+
+
+if __name__ == "__main__":
+    import sys
+
+    base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/weird_grids"
+    print(write_weird_grids(os.path.join(base, "text")))
+    print(write_binary_grids(os.path.join(base, "binary")))
