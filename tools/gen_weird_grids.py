@@ -188,6 +188,14 @@ def write_weird_grids(out_dir: str) -> str:
     _w(out_dir, "WG38_GLOBAL_20180401_0106.txt", _grid(
         xll="Infinity", body="10 11 12 13\n"))
 
+    # timestamp edges through the Sydney conversion (probed r14: Spark
+    # java.time and DuckDB ICU agree on all four — pinned here):
+    # pre-1900 UTC crossing the year boundary, the parquet timestamp
+    # far edge (2262), the 32-bit epoch rollover (2038)
+    _w(out_dir, "WG40_GLOBAL_18991231_2300.txt", near)
+    _w(out_dir, "WG41_GLOBAL_22620401_0100.txt", near)
+    _w(out_dir, "WG42_GLOBAL_20380119_0400.txt", near)
+
     return out_dir
 
 
