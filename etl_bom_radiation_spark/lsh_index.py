@@ -365,11 +365,22 @@ class _IndexView:
     (~30 sequential jobs per probe/fold cycle: stats .first()s, eager
     localCheckpoints, the shard_verdicts chain), which no read cache can
     remove — the cycles are sequential BY DESIGN (the append-only fold
-    order is the admission contract).  The view's real payoff is
-    structural and scales with the index, not the batch: k-1 full
-    listings + scans of a 100 TB table pair eliminated per oversized
-    arrival, at the price of one persist whose spill is local-disk
-    (MEMORY_AND_DISK default) and released at call end."""
+    order is the admission contract).
+
+    Re-priced at INDEX scale r14 (``scaling_probe.py --split``: view vs
+    a no-cache pre-r13 emulation, 1x vs 10x synthetic index): at the 10x
+    cell all three captures agree the view costs 4-10% (the persist
+    overhead without enough re-read volume to amortize), and admit time
+    is FLAT from 1x to 10x index (driver fixed cost swamps the scan
+    term: the ``--probe`` curve puts a full 10x-index scan at only
+    +9-11% over 1x here).  So at ANY sandbox-reachable scale the view
+    is cost-neutral-to-slightly-negative and NOT CI-fenceable.  The
+    payoff remains structural and arrives where the probe curve turns
+    linear in index bytes: k-1 full listings + scans of a 100 TB table
+    pair eliminated per oversized arrival — a derivation ((k-1) x the
+    probe's index-scan term), not a sandbox-measurable ratio — at the
+    price of one persist whose spill is local-disk (MEMORY_AND_DISK
+    default) and released at call end."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         hw = _read_meta(spark, index_dir)["max_doc_id"]
