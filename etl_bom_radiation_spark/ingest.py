@@ -819,8 +819,19 @@ def ingest_stream(
         parts = sorted(
             {tuple(seg.split("=")[1] for seg in rel.split("/")[:-1]) for rel in rels}
         )
+        # a file whose NAME fails the grammar decodes with NULL Date ->
+        # NULL partition values -> __HIVE_DEFAULT_PARTITION__ dirs. The
+        # stream cannot quarantine (the source tracks its inputs), so the
+        # rows publish there — quarantine-in-place, visible to direct
+        # parquet reads — but they CANNOT be catalog-registered in an
+        # int-typed partition scheme. Before r14 the int() parse below
+        # aborted the sink on them; foreachBatch then replayed the same
+        # batch forever: one bad filename poison-pilled the whole stream
+        # (weird-grid net).
         part_dicts = [
-            dict(zip(PARTITION_COLS, (int(v) for v in p))) for p in parts
+            dict(zip(PARTITION_COLS, (int(v) for v in p)))
+            for p in parts
+            if "__HIVE_DEFAULT_PARTITION__" not in p
         ]
         if rollup_dir is not None:
             from .streaming.rollup import append_hourly_partials

@@ -172,6 +172,48 @@ def test_ingest_quarantine_routes_weird_corpus(spark, tmp_path, weird_dir, binar
     assert os.listdir(indir) == []
 
 
+@pytest.mark.parity
+def test_ingest_stream_drains_weird_corpus(spark, tmp_path, weird_dir, binary_dir):
+    """T1 over the weird+binary corpus: the streaming drain must not abort
+    on any pathology (the source cannot quarantine mid-stream — malformed
+    files just decode to zero/NULL rows), must write exactly the rows the
+    batch decode produces, and a checkpointed re-run must not duplicate."""
+    import shutil
+
+    import etl_bom_radiation_spark.workspace as W
+    from etl_bom_radiation_spark.grid.decode import decode_grid_directory
+    from etl_bom_radiation_spark.ingest import ingest_stream
+
+    ws = W.init_workspace(spark, str(tmp_path / "wsstream"))
+    indir = ws.prefix("in")
+    for d in (weird_dir, binary_dir):
+        for f in os.listdir(d):
+            shutil.copy(os.path.join(d, f), os.path.join(indir, f))
+    expected = decode_grid_directory(spark, indir).count()
+
+    # rollup + catalog registration on: both sink branches sat downstream
+    # of the pre-r14 poison-pill int() parse
+    db = W.create_database(spark, "weird-stream-stack")
+    table = W.register_table(spark, db, "weird_stream_pts", ws)
+    ckpt = str(tmp_path / "ckpt")
+    rdir = str(tmp_path / "rollup")
+    q = ingest_stream(spark, ws, checkpoint=ckpt, fq_table=table, rollup_dir=rdir)
+    q.awaitTermination(180)
+    got = spark.read.parquet(ws.data_dir)
+    assert got.count() == expected > 200
+    # near-miss filenames decode with NULL Date -> NULL partition values;
+    # they must land in the default-partition dirs, not vanish or abort
+    assert got.filter("year IS NULL").count() > 0
+    # the typed partitions register; the default partition is data-only
+    registered = spark.sql(f"SHOW PARTITIONS {table}").count()
+    assert registered > 0
+
+    q = ingest_stream(spark, ws, checkpoint=ckpt, fq_table=table, rollup_dir=rdir)
+    q.awaitTermination(180)  # replay: no duplicates
+    assert spark.read.parquet(ws.data_dir).count() == expected
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_weird_corpus_liveness(weird_dir):
     """The net is only as good as its fixture: the corpus must actually
     carry each adversarial class (prefix conventions pin them)."""
