@@ -29,14 +29,22 @@ SYDNEY = ZoneInfo("Australia/Sydney")
 #: strips from string ends before parsing (weird-grid net r14)
 _TRIMALL = "".join(chr(c) for c in range(0x21))
 _INT_RE = re.compile(r"[+-]?[0-9]+\Z")
-# mirror of Spark try_cast(string AS DOUBLE): ASCII decimal/scientific
-# forms plus the Infinity/NaN spellings Spark accepts (case-insensitive);
-# Python's float() alone is laxer (underscores, unicode digits)
+# the PINNED header-double grammar (decode.DOUBLE_TOKEN_RE): anchored on
+# the RAW token, no trimAll — Spark's bare try_cast would additionally
+# accept Java literal forms ('0.5d', '0x1p3'), which the engine defines
+# as malformed; Python's float() alone is laxer still (underscores,
+# unicode digits)
 _DOUBLE_RE = re.compile(
     r"(?:[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?"
     r"|[+-]?(?:inf|infinity|nan))\Z",
     re.IGNORECASE,
 )
+# the PINNED filename-date grammar (decode.with_filename_metadata): 8
+# ASCII digits, year 0000 excluded; 2-digit hour. Python's strptime is
+# width-LAX ('2018041' parses as 2018-04-01) where Spark's
+# try_to_timestamp is strict — the guard keeps the mirrors identical.
+_DATE_RE = re.compile(r"(?!0000)[0-9]{8}\Z")
+_HOUR_RE = re.compile(r"[0-9]{2}\Z")
 
 
 def _try_int(s: str):
@@ -51,8 +59,7 @@ def _try_int(s: str):
 
 
 def _try_double(s: str):
-    """Python mirror of Spark ``try_cast(s AS DOUBLE)``."""
-    s = s.strip(_TRIMALL)
+    """The pinned header-double grammar over the raw token."""
     if not _DOUBLE_RE.match(s):
         return None
     return float(s)
@@ -75,6 +82,8 @@ def _parse_filename(path: str):
     pieces = stem.split("_")
     rad_type = pieces[1] if len(pieces) > 1 else None
     if len(pieces) < 4:
+        return rad_type, None
+    if not _DATE_RE.match(pieces[2]) or not _HOUR_RE.match(pieces[3][:2]):
         return rad_type, None
     try:
         utc = datetime.strptime(f"{pieces[2]} {pieces[3][:2]}", "%Y%m%d %H").replace(
@@ -112,10 +121,13 @@ def _decode_file(path: str):
     def header_field(line_no: int):
         """decode.py _header_field: token 2 of the whitespace-split line.
         strip(' ') not strip(): Spark's F.trim removes SPACES only, so a
-        tab-led header line keeps its empty first token on both paths."""
+        tab-led header line keeps its empty first token on both paths.
+        ASCII whitespace class, not Python's Unicode-aware \\s: Java's \\s
+        (and RE2's) match ASCII only, so an ideographic-space-separated
+        header must stay ONE token (-> NULL field) on every path."""
         if line_no >= len(lines):
             return None
-        toks = re.split(r"\s+", lines[line_no].strip(" "))
+        toks = re.split(r"[ \t\n\x0b\f\r]+", lines[line_no].strip(" "))
         return toks[1] if len(toks) > 1 else None
 
     hdr = [header_field(i) for i in range(6)]
@@ -127,21 +139,24 @@ def _decode_file(path: str):
     nodata = _try_int(hdr[5]) if hdr[5] is not None else None
     # Catalyst parity: NULL ncols/nrows -> zero cells/rows, NULL nodata ->
     # the `radiation != nodata` predicate drops everything; but NULL
-    # xll/yll/cs still EMITS points, with NULL coordinates
+    # xll/yll/cs still EMITS points, with the coordinates NULLed PER AXIS
+    # (Longitude needs xll+cs, Latitude needs yll+cs — a garbled xll
+    # alone keeps real latitudes, code-review r14)
     if ncols is None or nrows is None or nodata is None:
         return
-    coords_ok = None not in (xll, yll, cs)
-    y0 = yll + nrows * cs if coords_ok else None
+    lat_ok = yll is not None and cs is not None
+    lon_ok = xll is not None and cs is not None
+    y0 = yll + nrows * cs if lat_ok else None
     for r in range(min(nrows, max(len(lines) - 6, 0))):
         cells = lines[6 + r].rstrip(" ").split(" ")
-        lat = y0 - (r + 1) * cs if coords_ok else None
+        lat = y0 - (r + 1) * cs if lat_ok else None
         for c, cell in enumerate(cells[: max(ncols, 0)]):
             v = _try_int(cell)
             if v is None:
                 continue  # malformed cell: skipped, but position consumed
             if v == nodata:
                 continue  # nodata advances longitude (bom.py:146-149)
-            lon = xll + c * cs if coords_ok else None
+            lon = xll + c * cs if lon_ok else None
             if syd is None:
                 yield (None, rad_type, lon, lat, v, None, None, None, None)
             else:

@@ -80,13 +80,24 @@ def with_filename_metadata(df: DataFrame, path_col: str = "_path") -> DataFrame:
     filename = F.element_at(F.split(F.col(path_col), "/"), -1)
     stem = F.regexp_replace(filename, r"\.[^.]*$", "")  # os.path.splitext, bom.py:95
     pieces = F.split(stem, "_")  # bom.py:96
-    utc_ts = F.try_to_timestamp(
-        F.concat_ws(
-            " ",
-            F.try_element_at(pieces, F.lit(3)),
-            F.substring(F.try_element_at(pieces, F.lit(4)), 1, 2),  # time_str[:2], bom.py:102
+    date_piece = F.try_element_at(pieces, F.lit(3))
+    hour_piece = F.substring(F.try_element_at(pieces, F.lit(4)), 1, 2)  # [:2], bom.py:102
+    # PINNED date grammar (weird-grid net r14): exactly 8 ASCII digits +
+    # 2-digit hour, year 0000 excluded. try_to_timestamp is already
+    # width-strict, but a '00000101' filename parses to a year-0
+    # timestamp that CRASHES PySpark's driver-side conversion (measured:
+    # datetime.fromtimestamp -> 'year 0 is out of range'), and the
+    # DataSource/oracle mirrors (Python strptime, DuckDB try_strptime)
+    # are width-LAX ('2018041 01' parses on both) — one explicit guard,
+    # enforced identically in all three implementations.
+    date_ok = date_piece.rlike(r"^(?!0000)[0-9]{8}$") & hour_piece.rlike(
+        r"^[0-9]{2}$"
+    )
+    utc_ts = F.when(
+        date_ok,
+        F.try_to_timestamp(
+            F.concat_ws(" ", date_piece, hour_piece), F.lit("yyyyMMdd HH")
         ),
-        F.lit("yyyyMMdd HH"),
     )
     return (
         df.withColumn("_filename", filename)
@@ -108,6 +119,28 @@ def _header_field(lines: Column, line_no: int) -> Column:
     return F.try_element_at(
         F.split(F.trim(F.try_element_at(lines, F.lit(line_no))), r"\s+"), F.lit(2)
     )
+
+
+#: the PINNED header-double grammar (weird-grid net r14): anchored ASCII
+#: decimal / scientific / signed Infinity-or-NaN spellings, nothing else.
+#: Spark's bare try_cast(string AS DOUBLE) additionally accepts Java
+#: literal forms — 'd'/'f' suffixes, hex floats like '0x1p3' (measured) —
+#: that neither DuckDB nor a strict reading of the ESRI ASCII format
+#: admits, so the engine DEFINES the grammar explicitly and every
+#: implementation (this Catalyst path, the Python DataSource's
+#: _try_double, the DuckDB oracle's _sql_try_double) enforces the same
+#: anchored regex. Tokens come from a \s+ split so they can't contain
+#: ASCII whitespace; other control chars fail the anchor on all three.
+DOUBLE_TOKEN_RE = (
+    r"^(?i)([+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?"
+    r"|[+-]?(inf|infinity|nan))$"
+)
+
+
+def _header_double(lines: Column, line_no: int) -> Column:
+    """Header double under the pinned grammar above."""
+    tok = _header_field(lines, line_no)
+    return F.when(tok.rlike(DOUBLE_TOKEN_RE), tok).try_cast("double")
 
 
 def decode_grids(
@@ -145,9 +178,9 @@ def decode_grids(
         "*",
         _header_field(lines, 1).try_cast("int").alias("_ncols"),
         nrows_col.alias("_nrows"),
-        _header_field(lines, 3).try_cast("double").alias("_xll"),
-        _header_field(lines, 4).try_cast("double").alias("_yll"),
-        _header_field(lines, 5).try_cast("double").alias("_cellsize"),
+        _header_double(lines, 3).alias("_xll"),
+        _header_double(lines, 4).alias("_yll"),
+        _header_double(lines, 5).alias("_cellsize"),
         _header_field(lines, 6).try_cast("int").alias("_nodata"),
         # greatest(…, 0): F.slice THROWS on a negative length, so a header
         # declaring "nrows -2" must clamp to zero rows for that file, not

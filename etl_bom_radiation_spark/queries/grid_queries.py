@@ -59,14 +59,16 @@ def _sql_try_int(e: str) -> str:
 
 
 def _sql_try_double(e: str) -> str:
-    """SQL mirror of Spark ``try_cast(e AS DOUBLE)``: trimAll, then DuckDB's
-    double parse — the two engines agree on decimals / scientific notation /
-    Infinity / NaN, EXCEPT DuckDB accepts '1_0' (underscore separators)
-    where Spark yields NULL, hence the contains guard (measured r14)."""
-    n = _sql_norm(e)
+    """SQL rendering of the PINNED header-double grammar
+    (decode.DOUBLE_TOKEN_RE): anchored ASCII decimal/scientific/inf/nan
+    over the RAW token. Not a bare-TRY_CAST mirror of either engine —
+    Spark's cast also takes Java literal forms ('0.5d', '0x1p3') and
+    DuckDB's takes '1_0' underscores (both measured r14); the engine
+    defines the grammar once and all three implementations enforce it."""
     return (
-        "TRY_CAST(CASE WHEN NOT contains(" + n + ", '_') THEN " + n
-        + " END AS DOUBLE)"
+        "TRY_CAST(CASE WHEN regexp_full_match(" + e
+        + ", '(?i)([+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?"
+        + "|[+-]?(inf|infinity|nan))') THEN " + e + " END AS DOUBLE)"
     )
 
 
@@ -106,10 +108,17 @@ WITH f AS (
          string_split(regexp_replace(fname, '\\.[^.]*$', ''), '_') AS p
   FROM f
 ), meta AS (
+  -- pinned filename-date grammar (decode.with_filename_metadata): 8
+  -- ASCII digits (year 0000 excluded) + 2-digit hour. DuckDB's
+  -- try_strptime is width-LAX ('2018041 01' parses — measured r14)
+  -- where Spark's try_to_timestamp is strict; NOT LIKE instead of a
+  -- lookahead because RE2 has none.
   SELECT *,
-    (try_strptime(p[3] || ' ' || substring(p[4], 1, 2), '%Y%m%d %H')
-       AT TIME ZONE 'UTC')
-       AT TIME ZONE 'Australia/Sydney' AS syd
+    (CASE WHEN regexp_full_match(p[3], '[0-9]{{8}}') AND p[3] NOT LIKE '0000%'
+               AND regexp_full_match(substring(p[4], 1, 2), '[0-9]{{2}}')
+          THEN (try_strptime(p[3] || ' ' || substring(p[4], 1, 2),
+                             '%Y%m%d %H') AT TIME ZONE 'UTC')
+               AT TIME ZONE 'Australia/Sydney' END) AS syd
   FROM hdr
 )
 """
@@ -148,6 +157,22 @@ def oracle_points(grid_dir: str) -> str:
 _ORACLE_BASE = oracle_base(GRID_DIR)
 #: scaffold + shared kept-points CTE for the decode-based oracles
 _ORACLE_PTS = oracle_points(GRID_DIR)
+
+
+def finite_coords() -> "F.Column":
+    """Shared finite-coordinate admission for consumers whose arithmetic
+    aborts or degenerates on a NaN/Infinity lattice (g_coarsen's
+    FLOOR->long, g_zorder_cluster's quantizer round->long — the ANSI
+    abort class; weird-grid net r14). NULL coords drop through the same
+    predicate (~NULL is NULL -> filtered), matching the oracles'
+    ``isfinite(lon) AND isfinite(lat)``. One definition so the copies
+    can't drift (the _finite_embedding precedent)."""
+    inf = float("inf")
+    return ~(
+        F.isnan("Longitude") | F.isnan("Latitude")
+        | F.col("Longitude").isin(inf, -inf)
+        | F.col("Latitude").isin(inf, -inf)
+    )
 
 
 @register(
@@ -192,8 +217,10 @@ def g_flagship_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g_header_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G1 isolated: the six header scalars per grid file (bom.py:125-139)."""
-    from ..grid.decode import _header_field
+    """G1 isolated: the six header scalars per grid file (bom.py:125-139).
+    Doubles through the pinned header-double grammar (_header_double),
+    same as the decode path."""
+    from ..grid.decode import _header_double, _header_field
 
     files = read_grid_files(spark, GRID_DIR)
     lines = F.split(F.col("_content"), r"\r?\n")
@@ -201,9 +228,9 @@ def g_header_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("_path", "/"), -1).alias("fname"),
         _header_field(lines, 1).try_cast("int").alias("ncols"),
         _header_field(lines, 2).try_cast("int").alias("nrows"),
-        F.round(_header_field(lines, 3).try_cast("double"), 6).alias("xll"),
-        F.round(_header_field(lines, 4).try_cast("double"), 6).alias("yll"),
-        F.round(_header_field(lines, 5).try_cast("double"), 6).alias("cs"),
+        F.round(_header_double(lines, 3), 6).alias("xll"),
+        F.round(_header_double(lines, 4), 6).alias("yll"),
+        F.round(_header_double(lines, 5), 6).alias("cs"),
         _header_field(lines, 6).try_cast("int").alias("nodata"),
     )
 
@@ -282,12 +309,16 @@ def g_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              string_split(regexp_replace(fname, '\\.[^.]*$', ''), '_') AS p
       FROM f
     )
-    -- try_strptime: a grammar near-miss filename yields NULL metadata
-    -- (Spark: try_to_timestamp), never a raise (weird-grid net r14)
+    -- try_strptime + the pinned 8-digit/2-digit/no-year-0000 grammar: a
+    -- near-miss filename yields NULL metadata (Spark: the guarded
+    -- try_to_timestamp), never a raise or a lax parse (weird-grid net r14)
     SELECT fname, stem, p[2] AS RadiationType,
-           strftime(try_strptime(p[3] || ' ' || substring(p[4], 1, 2),
-                                 '%Y%m%d %H'),
-                    '%Y-%m-%d %H:%M') AS utc_str
+           CASE WHEN regexp_full_match(p[3], '[0-9]{{8}}')
+                     AND p[3] NOT LIKE '0000%'
+                     AND regexp_full_match(substring(p[4], 1, 2), '[0-9]{{2}}')
+                THEN strftime(try_strptime(p[3] || ' ' || substring(p[4], 1, 2),
+                                           '%Y%m%d %H'),
+                              '%Y-%m-%d %H:%M') END AS utc_str
     FROM parts
     """,
 )
@@ -330,15 +361,11 @@ def g_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Non-finite coordinates (a grid whose header declares cellsize NaN/
     Infinity — weird-grid net r14) cannot be binned: FLOOR(NaN) feeds a
     long cast that aborts under ANSI (the q37/n28 class), so both sides
-    filter them before flooring. No-op on the fixtures."""
+    filter them before flooring (shared :func:`finite_coords`). No-op on
+    the fixtures."""
     pts = decode_grid_directory(spark, GRID_DIR)
-    finite = ~(
-        F.isnan("Longitude") | F.isnan("Latitude")
-        | F.col("Longitude").isin(float("inf"), float("-inf"))
-        | F.col("Latitude").isin(float("inf"), float("-inf"))
-    )
     return (
-        pts.filter(finite)
+        pts.filter(finite_coords())
         .groupBy(
             "RadiationType",
             F.floor("Longitude").cast("long").alias("lon_cell"),

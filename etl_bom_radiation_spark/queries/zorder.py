@@ -76,17 +76,11 @@ def g_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Finite coordinates only (weird-grid net r14): a NaN/Infinity lattice
     has no curve position and the quantizer's round().cast(long) aborts
-    under ANSI; NULL coords drop through the same predicate. No-op on the
-    fixtures."""
-    pts = decode_grid_directory(spark, MULTIRES_DIR)
-    inf = float("inf")
-    pts = pts.filter(
-        ~(
-            F.isnan("Longitude") | F.isnan("Latitude")
-            | F.col("Longitude").isin(inf, -inf)
-            | F.col("Latitude").isin(inf, -inf)
-        )
-    )
+    under ANSI; NULL coords drop through the same predicate (shared
+    ``grid_queries.finite_coords``). No-op on the fixtures."""
+    from .grid_queries import finite_coords
+
+    pts = decode_grid_directory(spark, MULTIRES_DIR).filter(finite_coords())
     return pts.select(
         "RadiationType",
         F.round("Longitude", 6).alias("lon"),

@@ -222,8 +222,7 @@ def test_weird_corpus_liveness(weird_dir):
     raw = {n: open(os.path.join(weird_dir, n), encoding="utf-8", newline="").read()
            for n in names}
     assert any("\r\n" in c for c in raw.values())          # CRLF axis
-    assert any("\r" in c and "\r\n" not in c.replace("\r\n", "") and
-               "\r" in c.replace("\r\n", "") for c in raw.values())  # stray CR
+    assert any("\r" in c.replace("\r\n", "") for c in raw.values())  # stray CR
     assert any("e-1" in c or "e2" in c or "e1" in c.lower() for c in raw.values())
     assert any(n.count("_") < 3 for n in names)            # grammar near-miss
     assert any("  " in c for c in raw.values())            # multi-space runs

@@ -196,6 +196,28 @@ def write_weird_grids(out_dir: str) -> str:
     _w(out_dir, "WG41_GLOBAL_22620401_0100.txt", near)
     _w(out_dir, "WG42_GLOBAL_20380119_0400.txt", near)
 
+    # code-review r14 pins — each caught a live mirror divergence:
+    # ONLY xll garbled: per-axis coordinate NULLing (real latitudes,
+    # NULL longitudes — not both NULL)
+    _w(out_dir, "WG43_GLOBAL_20180401_0107.txt", _grid(
+        xll="abc", body="10 11 12 13\n20 21 22 23\n30 31 32 33\n"))
+    # 7-digit date piece: Python strptime and DuckDB try_strptime both
+    # parse '2018041' width-lax; the pinned grammar NULLs it everywhere
+    _w(out_dir, "WG44_GLOBAL_2018041_0100.txt", near)
+    # 1-digit hour piece: same width-lax class
+    _w(out_dir, "WG45_GLOBAL_20180401_1.txt", near)
+    # year 0000: parses in raw Spark to a year-0 timestamp that CRASHES
+    # PySpark's driver-side datetime conversion — the pinned grammar
+    # excludes it
+    _w(out_dir, "WG46_GLOBAL_00000101_0000.txt", near)
+    # Java double-literal suffix / hex-float headers: raw Spark try_cast
+    # accepts '0.5d' and '0x1p3'; the pinned header-double grammar NULLs
+    # both (NULL cs -> points with NULL coords)
+    _w(out_dir, "WG47_GLOBAL_20180401_0108.txt", _grid(
+        cs="0.5d", body="10 11 12 13\n"))
+    _w(out_dir, "WG48_GLOBAL_20180401_0109.txt", _grid(
+        xll="0x1p3", body="10 11 12 13\n"))
+
     return out_dir
 
 
