@@ -23,22 +23,21 @@ from zoneinfo import ZoneInfo
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+from .decode import DOUBLE_GRAMMAR
+
 SYDNEY = ZoneInfo("Australia/Sydney")
 
 #: Spark's UTF8String.trimAll class: every char <= 0x20 — what try_cast
 #: strips from string ends before parsing (weird-grid net r14)
 _TRIMALL = "".join(chr(c) for c in range(0x21))
 _INT_RE = re.compile(r"[+-]?[0-9]+\Z")
-# the PINNED header-double grammar (decode.DOUBLE_TOKEN_RE): anchored on
-# the RAW token, no trimAll — Spark's bare try_cast would additionally
-# accept Java literal forms ('0.5d', '0x1p3'), which the engine defines
-# as malformed; Python's float() alone is laxer still (underscores,
-# unicode digits)
-_DOUBLE_RE = re.compile(
-    r"(?:[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?"
-    r"|[+-]?(?:inf|infinity|nan))\Z",
-    re.IGNORECASE,
-)
+# the PINNED header-double grammar: anchored on the RAW token, no
+# trimAll — Spark's bare try_cast would additionally accept Java literal
+# forms ('0.5d', '0x1p3'), which the engine defines as malformed;
+# Python's float() alone is laxer still (underscores, unicode digits).
+# The core alternation is SHARED with decode.DOUBLE_TOKEN_RE and the
+# oracle's _sql_try_double, so the three mirrors cannot drift.
+_DOUBLE_RE = re.compile(f"(?:{DOUBLE_GRAMMAR})\\Z", re.IGNORECASE)
 # the PINNED filename-date grammar (decode.with_filename_metadata): 8
 # ASCII digits, year 0000 excluded; 2-digit hour. Python's strptime is
 # width-LAX ('2018041' parses as 2018-04-01) where Spark's

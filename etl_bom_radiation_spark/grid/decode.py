@@ -131,10 +131,14 @@ def _header_field(lines: Column, line_no: int) -> Column:
 #: _try_double, the DuckDB oracle's _sql_try_double) enforces the same
 #: anchored regex. Tokens come from a \s+ split so they can't contain
 #: ASCII whitespace; other control chars fail the anchor on all three.
-DOUBLE_TOKEN_RE = (
-    r"^(?i)([+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?"
-    r"|[+-]?(inf|infinity|nan))$"
+#: the grammar CORE, shared verbatim by all three implementations (each
+#: adds only its dialect's anchors/flags) so the mirrors cannot drift:
+#: this module's rlike, the DataSource's compiled re, the oracle's RE2.
+DOUBLE_GRAMMAR = (
+    r"[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?"
+    r"|[+-]?(inf|infinity|nan)"
 )
+DOUBLE_TOKEN_RE = f"^(?i)({DOUBLE_GRAMMAR})$"
 
 
 def _header_double(lines: Column, line_no: int) -> Column:

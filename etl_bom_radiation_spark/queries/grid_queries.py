@@ -64,11 +64,13 @@ def _sql_try_double(e: str) -> str:
     over the RAW token. Not a bare-TRY_CAST mirror of either engine —
     Spark's cast also takes Java literal forms ('0.5d', '0x1p3') and
     DuckDB's takes '1_0' underscores (both measured r14); the engine
-    defines the grammar once and all three implementations enforce it."""
+    defines the grammar once (decode.DOUBLE_GRAMMAR — the shared core
+    alternation) and all three implementations enforce it."""
+    from ..grid.decode import DOUBLE_GRAMMAR
+
     return (
         "TRY_CAST(CASE WHEN regexp_full_match(" + e
-        + ", '(?i)([+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?"
-        + "|[+-]?(inf|infinity|nan))') THEN " + e + " END AS DOUBLE)"
+        + ", '(?i)(" + DOUBLE_GRAMMAR + ")') THEN " + e + " END AS DOUBLE)"
     )
 
 
