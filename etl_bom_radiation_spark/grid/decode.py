@@ -64,6 +64,21 @@ def read_grid_files(
     )
 
 
+def decoded_filename(path_col: str = "_path") -> Column:
+    """The REAL filename from an ``input_file_name()`` path.
+
+    input_file_name() returns the URI-ENCODED path (weird-grid net r14: a
+    double-quote in a filename arrives as %22 and silently corrupts the
+    extracted type/base vs the raw-name readers — the Python DataSource
+    and the DuckDB oracle). Percent-decode after shielding literal '+'
+    (a URI-path-legal char input_file_name does NOT encode, but
+    form-decoding url_decode would turn into a space); input_file_name's
+    own output is always valid percent encoding (a literal '%' arrives
+    as %25), so the decode cannot throw on paths from read_grid_files."""
+    raw_name = F.element_at(F.split(F.col(path_col), "/"), -1)
+    return F.url_decode(F.regexp_replace(raw_name, r"\+", "%2B"))
+
+
 def with_filename_metadata(df: DataFrame, path_col: str = "_path") -> DataFrame:
     """S2 + F1/F6/F7: extract (base, radiation_type, utc_ts, sydney_ts) from
     the object key, grammar 1: ``<base>_<TYPE>_<YYYYMMDD>_<HHMM...>.<ext>``
@@ -77,7 +92,7 @@ def with_filename_metadata(df: DataFrame, path_col: str = "_path") -> DataFrame:
     batch (the reference's per-file try/except, bom.py:82-84; malformed rows
     are routed to quarantine by the ingest layer, not crashed on).
     """
-    filename = F.element_at(F.split(F.col(path_col), "/"), -1)
+    filename = decoded_filename(path_col)
     stem = F.regexp_replace(filename, r"\.[^.]*$", "")  # os.path.splitext, bom.py:95
     pieces = F.split(stem, "_")  # bom.py:96
     date_piece = F.try_element_at(pieces, F.lit(3))

@@ -277,25 +277,39 @@ def ingest_batch(
         flags = _classify_files(meta).collect()  # one row per FILE (small)
     else:
         meta, flags = None, []
-    # the wholetext reader emits NO row for a zero-length file, so an
-    # empty file would never be classified — and would sit in in/ forever,
-    # re-listed by every batch (weird-grid net r14). Any listed readable
-    # file that produced no row is malformed by absence. Reconciliation is
-    # by basename: the listing says 'file:/...' while input_file_name()
-    # says URL-encoded 'file:///...', and the in/ listing is flat so
-    # basenames are unique within a batch.
+    # Path reconciliation (weird-grid net r14), by basename — the in/
+    # listing is flat so basenames are unique within a batch:
+    # * the wholetext reader emits NO row for a zero-length file, so an
+    #   empty file would never be classified — and would sit in in/
+    #   forever, re-listed by every batch: any listed readable file that
+    #   produced no row is malformed by absence;
+    # * input_file_name() returns URL-ENCODED URIs ('"' -> %22) that
+    #   Hadoop Path does NOT decode (measured: rename of the %22 form
+    #   raises FileNotFoundException), so a URI-special char in a
+    #   filename left the file in in/ to re-ingest — DUPLICATE rows —
+    #   every later batch. All FS operations and reported paths use the
+    #   listing's REAL paths; only the decode-side isin filter keeps the
+    #   reader's encoded spelling.
     from urllib.parse import unquote
+
+    by_name = {os.path.basename(p): p for p in readable}
+
+    def _canon(uri: str) -> str:
+        return by_name.get(os.path.basename(unquote(uri)), uri)
 
     seen = {os.path.basename(unquote(r["_path"])) for r in flags}
     empty_files = [p for p in readable if os.path.basename(p) not in seen]
-    ok_files = {r["_path"] for r in flags if r["_ok"]}
+    ok_raw = {r["_path"] for r in flags if r["_ok"]}  # reader spelling
+    ok_files = {_canon(p) for p in ok_raw}
     bad_files = (
-        {r["_path"] for r in flags if not r["_ok"]} | oversized | set(empty_files)
+        {_canon(r["_path"]) for r in flags if not r["_ok"]}
+        | oversized
+        | set(empty_files)
     )
     res.files_ok = sorted(ok_files)
     res.files_quarantined = sorted(bad_files)
     res.quarantine_reasons = {
-        **{r["_path"]: r["_reason"] for r in flags if not r["_ok"]},
+        **{_canon(r["_path"]): r["_reason"] for r in flags if not r["_ok"]},
         **{p: "oversized" for p in oversized},
         **{p: "empty" for p in empty_files},
     }
@@ -303,7 +317,9 @@ def ingest_batch(
     if ok_files:
         from pyspark.sql import Observation
 
-        good = meta.filter(F.col("_path").isin(*ok_files))
+        # the reader's own (encoded) spelling, NOT the canonical paths —
+        # _path inside the frame is input_file_name()'s form
+        good = meta.filter(F.col("_path").isin(*ok_raw))
         points = decode_grids(good)
         # Observation: row count + distinct partition tuples (bounded by
         # |files| — one hour partition per file) collected DURING the write

@@ -220,14 +220,15 @@ def g_flagship_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g_header_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 isolated: the six header scalars per grid file (bom.py:125-139).
-    Doubles through the pinned header-double grammar (_header_double),
-    same as the decode path."""
-    from ..grid.decode import _header_double, _header_field
+    Doubles through the pinned header-double grammar (_header_double);
+    fname through decoded_filename (input_file_name URI-encodes), same
+    as the decode path."""
+    from ..grid.decode import _header_double, _header_field, decoded_filename
 
     files = read_grid_files(spark, GRID_DIR)
     lines = F.split(F.col("_content"), r"\r?\n")
     return files.select(
-        F.element_at(F.split("_path", "/"), -1).alias("fname"),
+        decoded_filename().alias("fname"),
         _header_field(lines, 1).try_cast("int").alias("ncols"),
         _header_field(lines, 2).try_cast("int").alias("nrows"),
         F.round(_header_double(lines, 3), 6).alias("xll"),

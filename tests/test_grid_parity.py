@@ -214,6 +214,51 @@ def test_ingest_stream_drains_weird_corpus(spark, tmp_path, weird_dir, binary_di
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_csv_sink_round_trips_weird_corpus(spark, tmp_path, weird_dir):
+    """S3 over the weird corpus: the headed-CSV sink must quote
+    comma/double-quote radiation types byte-exactly, land NULL-date rows
+    in the default partition, and round-trip every numeric value. One
+    documented CSV asymmetry: an EMPTY-STRING type (WG29's '__' filename)
+    writes as an unquoted empty field and reads back NULL — pinned here,
+    not hidden by the comparison."""
+    from pyspark.sql import functions as F
+
+    from etl_bom_radiation_spark.grid.decode import decode_grid_directory
+    from etl_bom_radiation_spark.ingest import write_points_csv
+
+    pts = decode_grid_directory(spark, weird_dir)
+    out = str(tmp_path / "csvout")
+    write_points_csv(pts, out)
+    back = spark.read.option("header", True).schema(
+        "Date string, RadiationType string, Longitude double, "
+        "Latitude double, Radiation int"
+    ).csv(out)
+
+    src = pts.select(
+        F.date_format("Date", "yyyy-MM-dd HH:mm").alias("Date"),
+        # the pinned asymmetry: '' -> NULL through the CSV layer
+        F.when(F.col("RadiationType") == "", None)
+        .otherwise(F.col("RadiationType"))
+        .alias("RadiationType"),
+        "Longitude", "Latitude", "Radiation",
+    ).collect()
+    got = back.select("Date", "RadiationType", "Longitude", "Latitude",
+                      "Radiation").collect()
+
+    def key(rows):
+        return sorted(map(repr, map(tuple, rows)))
+
+    assert key(got) == key(src)
+    # the comma+quote type survived the CSV layer byte-exact
+    assert back.filter(F.col("RadiationType") == 'GLO,B"AL').count() == 4
+    # NULL-date rows exist and landed in the default partition dirs
+    assert back.filter("Date IS NULL").count() > 0
+    default_dirs = [
+        p for p in os.listdir(out) if p == "year=__HIVE_DEFAULT_PARTITION__"
+    ]
+    assert default_dirs, sorted(os.listdir(out))[:5]
+
+
 def test_weird_corpus_liveness(weird_dir):
     """The net is only as good as its fixture: the corpus must actually
     carry each adversarial class (prefix conventions pin them)."""

@@ -218,6 +218,11 @@ def write_weird_grids(out_dir: str) -> str:
     _w(out_dir, "WG48_GLOBAL_20180401_0109.txt", _grid(
         xll="0x1p3", body="10 11 12 13\n"))
 
+    # CSV-hostile radiation type: comma AND double-quote in the filename
+    # piece (legal on any POSIX FS) — exercises the S3 sink's quoting
+    _w(out_dir, 'WG49_GLO,B"AL_20180401_0110.txt', _grid(
+        body="10 11 12 13\n"))
+
     return out_dir
 
 
