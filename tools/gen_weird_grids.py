@@ -223,6 +223,12 @@ def write_weird_grids(out_dir: str) -> str:
     _w(out_dir, 'WG49_GLO,B"AL_20180401_0110.txt', _grid(
         body="10 11 12 13\n"))
 
+    # literal '%' and space in the filename: input_file_name() encodes
+    # them (%25, %20) and the decoded_filename round-trip must restore
+    # them EXACTLY — '%x' must never be re-interpreted as an escape
+    _w(out_dir, "WG50 %x_GLOBAL_20180401_0111.txt", _grid(
+        body="10 11 12 13\n"))
+
     return out_dir
 
 
