@@ -72,11 +72,14 @@ def decoded_filename(path_col: str = "_path") -> Column:
     extracted type/base vs the raw-name readers — the Python DataSource
     and the DuckDB oracle). Percent-decode after shielding literal '+'
     (a URI-path-legal char input_file_name does NOT encode, but
-    form-decoding url_decode would turn into a space); input_file_name's
+    form-decoding url_decode would turn into a space). input_file_name's
     own output is always valid percent encoding (a literal '%' arrives
-    as %25), so the decode cannot throw on paths from read_grid_files."""
+    as %25) — but the no-abort contract must not REST on that: a caller
+    feeding raw FS-listing paths (bare '%x') gets NULL metadata routed
+    to bad_filename quarantine via try_url_decode, never an abort
+    (code-review r14)."""
     raw_name = F.element_at(F.split(F.col(path_col), "/"), -1)
-    return F.url_decode(F.regexp_replace(raw_name, r"\+", "%2B"))
+    return F.try_url_decode(F.regexp_replace(raw_name, r"\+", "%2B"))
 
 
 def with_filename_metadata(df: DataFrame, path_col: str = "_path") -> DataFrame:

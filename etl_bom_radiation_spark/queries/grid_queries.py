@@ -26,7 +26,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..grid.decode import decode_grid_directory, read_grid_files, with_filename_metadata
+from ..grid.decode import (
+    DOUBLE_GRAMMAR,
+    _header_double,
+    _header_field,
+    decode_grid_directory,
+    decoded_filename,
+    read_grid_files,
+    with_filename_metadata,
+)
 from . import register
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -66,8 +74,6 @@ def _sql_try_double(e: str) -> str:
     DuckDB's takes '1_0' underscores (both measured r14); the engine
     defines the grammar once (decode.DOUBLE_GRAMMAR — the shared core
     alternation) and all three implementations enforce it."""
-    from ..grid.decode import DOUBLE_GRAMMAR
-
     return (
         "TRY_CAST(CASE WHEN regexp_full_match(" + e
         + ", '(?i)(" + DOUBLE_GRAMMAR + ")') THEN " + e + " END AS DOUBLE)"
@@ -223,8 +229,6 @@ def g_header_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Doubles through the pinned header-double grammar (_header_double);
     fname through decoded_filename (input_file_name URI-encodes), same
     as the decode path."""
-    from ..grid.decode import _header_double, _header_field, decoded_filename
-
     files = read_grid_files(spark, GRID_DIR)
     lines = F.split(F.col("_content"), r"\r?\n")
     return files.select(

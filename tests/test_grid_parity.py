@@ -271,3 +271,7 @@ def test_weird_corpus_liveness(weird_dir):
     assert any("e-1" in c or "e2" in c or "e1" in c.lower() for c in raw.values())
     assert any(n.count("_") < 3 for n in names)            # grammar near-miss
     assert any("  " in c for c in raw.values())            # multi-space runs
+    # URI-special and percent/space filename classes (the decoded_filename
+    # round-trip + CSV-quoting coverage rides on these existing)
+    assert any('"' in n or "," in n for n in names)
+    assert any("%" in n or " " in n for n in names)
