@@ -259,6 +259,38 @@ def test_csv_sink_round_trips_weird_corpus(spark, tmp_path, weird_dir):
     assert default_dirs, sorted(os.listdir(out))[:5]
 
 
+def test_maintenance_survives_default_partitions(spark, tmp_path):
+    """The quarantine-in-place rows live under __HIVE_DEFAULT_PARTITION__
+    dirs; every maintenance surface must walk them without the sink's
+    old int()-poison class: MSCK registers the default partition
+    natively, compaction's leaves() recurses through harmlessly, and
+    direct reads serve all rows (probed r14, pinned here)."""
+    import etl_bom_radiation_spark.workspace as W
+    from etl_bom_radiation_spark.ingest import compact_partitions
+
+    ws = W.init_workspace(spark, str(tmp_path / "wsdefault"))
+    df = spark.createDataFrame(
+        [(None, "GLOBAL", 1.0, 2.0, 5, None, None, None, None),
+         (None, "GLOBAL", 1.0, 2.0, 6, 2018, 4, 1, 11)],
+        "Date timestamp, RadiationType string, Longitude double, "
+        "Latitude double, Radiation int, year int, month int, day int, "
+        "hour int",
+    )
+    df.write.mode("append").partitionBy("year", "month", "day", "hour").parquet(
+        ws.data_dir
+    )
+    assert "year=__HIVE_DEFAULT_PARTITION__" in set(os.listdir(ws.data_dir))
+
+    db = W.create_database(spark, "default-part-stack")
+    t = W.register_table(spark, db, "pts", ws)
+    W.repair_table(spark, t, ws)
+    assert spark.sql(f"SHOW PARTITIONS {t}").count() == 2
+    assert spark.table(t).count() == 2
+    compact_partitions(spark, ws.data_dir)  # must not raise
+    assert spark.read.parquet(ws.data_dir).count() == 2
+    spark.sql(f"DROP TABLE {t}")
+
+
 def test_weird_corpus_liveness(weird_dir):
     """The net is only as good as its fixture: the corpus must actually
     carry each adversarial class (prefix conventions pin them)."""
