@@ -229,6 +229,19 @@ def write_weird_grids(out_dir: str) -> str:
     _w(out_dir, "WG50 %x_GLOBAL_20180401_0111.txt", _grid(
         body="10 11 12 13\n"))
 
+    # mixed resolution WITH weirdness: a 0.25-cellsize grid with ragged
+    # rows, so the per-file-lattice consumers (regrid/gradient/zonal)
+    # see a second resolution inside the adversarial sweep too
+    _w(out_dir, "WG51_GLOBAL_20180402_0100.txt", _grid(
+        cs="0.25", body="1 2 3\n4 5 6 7 8\n9 10 11 12\n"))
+
+    # the Sydney DST FOLD (2018-04-01 03:00 AEDT -> 02:00 AEST): two
+    # DISTINCT UTC instants whose wall clocks coincide at 02:00 — both
+    # engines agree (probed r14), and the pair lands in ONE hour
+    # partition, which is the reference's wall-clock convention
+    _w(out_dir, "WG52_GLOBAL_20180331_1500.txt", near)
+    _w(out_dir, "WG53_GLOBAL_20180331_1600.txt", near)
+
     return out_dir
 
 
