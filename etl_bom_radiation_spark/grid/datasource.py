@@ -39,10 +39,12 @@ _INT_RE = re.compile(r"[+-]?[0-9]+\Z")
 # oracle's _sql_try_double, so the three mirrors cannot drift.
 _DOUBLE_RE = re.compile(f"(?:{DOUBLE_GRAMMAR})\\Z", re.IGNORECASE)
 # the PINNED filename-date grammar (decode.with_filename_metadata): 8
-# ASCII digits, year 0000 excluded; 2-digit hour. Python's strptime is
-# width-LAX ('2018041' parses as 2018-04-01) where Spark's
+# ASCII digits, years 0000 and 9999 excluded; 2-digit hour. Python's
+# strptime is width-LAX ('2018041' parses as 2018-04-01) where Spark's
 # try_to_timestamp is strict — the guard keeps the mirrors identical.
-_DATE_RE = re.compile(r"(?!0000)[0-9]{8}\Z")
+# 9999 exclusion (ADVICE r14): '99991231_2300' is grammar-valid but the
+# +11h Sydney conversion overflows datetime.max (year 10000).
+_DATE_RE = re.compile(r"(?!0000|9999)[0-9]{8}\Z")
 _HOUR_RE = re.compile(r"[0-9]{2}\Z")
 
 
@@ -88,9 +90,13 @@ def _parse_filename(path: str):
         utc = datetime.strptime(f"{pieces[2]} {pieces[3][:2]}", "%Y%m%d %H").replace(
             tzinfo=timezone.utc
         )
-    except ValueError:
+        # astimezone INSIDE the try (ADVICE r14): the pinned grammar now
+        # excludes year 9999, but a read task must never abort on a
+        # timezone-conversion overflow — belt (grammar) and braces
+        # (OverflowError -> NULL timestamp, the quarantine contract).
+        syd = utc.astimezone(SYDNEY).replace(tzinfo=None)  # wall clock, naive
+    except (ValueError, OverflowError):
         return rad_type, None
-    syd = utc.astimezone(SYDNEY).replace(tzinfo=None)  # wall clock, naive
     return rad_type, syd
 
 
@@ -122,8 +128,12 @@ def _decode_file(path: str):
         strip(' ') not strip(): Spark's F.trim removes SPACES only, so a
         tab-led header line keeps its empty first token on both paths.
         ASCII whitespace class, not Python's Unicode-aware \\s: Java's \\s
-        (and RE2's) match ASCII only, so an ideographic-space-separated
-        header must stay ONE token (-> NULL field) on every path."""
+        matches exactly [ \\t\\n\\x0b\\f\\r], so an ideographic-space-
+        separated header must stay ONE token (-> NULL field) on every
+        path. NOTE RE2's \\s is [\\t\\n\\f\\r ] — it EXCLUDES \\x0b — so
+        the DuckDB oracle spells this class out too (ADVICE r14; a
+        '\\x0b'-separated header would otherwise parse on both engine
+        paths but NULL in the oracle)."""
         if line_no >= len(lines):
             return None
         toks = re.split(r"[ \t\n\x0b\f\r]+", lines[line_no].strip(" "))

@@ -100,17 +100,21 @@ def with_filename_metadata(df: DataFrame, path_col: str = "_path") -> DataFrame:
     pieces = F.split(stem, "_")  # bom.py:96
     date_piece = F.try_element_at(pieces, F.lit(3))
     hour_piece = F.substring(F.try_element_at(pieces, F.lit(4)), 1, 2)  # [:2], bom.py:102
-    # PINNED date grammar (weird-grid net r14): exactly 8 ASCII digits +
-    # 2-digit hour, year 0000 excluded. try_to_timestamp is already
-    # width-strict, but a '00000101' filename parses to a year-0
-    # timestamp that CRASHES PySpark's driver-side conversion (measured:
-    # datetime.fromtimestamp -> 'year 0 is out of range'), and the
-    # DataSource/oracle mirrors (Python strptime, DuckDB try_strptime)
-    # are width-LAX ('2018041 01' parses on both) — one explicit guard,
-    # enforced identically in all three implementations.
+    # PINNED date grammar (weird-grid net r14, top-end r15): exactly 8
+    # ASCII digits + 2-digit hour, years 0000 AND 9999 excluded.
+    # try_to_timestamp is already width-strict, but a '00000101' filename
+    # parses to a year-0 timestamp that CRASHES PySpark's driver-side
+    # conversion (measured: datetime.fromtimestamp -> 'year 0 is out of
+    # range'), and '99991231_23xx' is the symmetric top-end crash: the
+    # +11h Sydney conversion rolls it to year 10000, past both Python's
+    # datetime.max (DataSource astimezone -> OverflowError) and pandas'
+    # conversion on collect (ADVICE r14). The DataSource/oracle mirrors
+    # (Python strptime, DuckDB try_strptime) are also width-LAX
+    # ('2018041 01' parses on both) — one explicit guard, enforced
+    # identically in all three implementations.
     stamp = F.concat_ws(" ", date_piece, hour_piece)
     utc_ts = F.when(
-        stamp.rlike(r"^(?!0000)[0-9]{8} [0-9]{2}$"),  # one fused regex
+        stamp.rlike(r"^(?!0000|9999)[0-9]{8} [0-9]{2}$"),  # one fused regex
         F.try_to_timestamp(stamp, F.lit("yyyyMMdd HH")),
     )
     return (
@@ -148,6 +152,13 @@ def _header_field(lines: Column, line_no: int) -> Column:
 #: the grammar CORE, shared verbatim by all three implementations (each
 #: adds only its dialect's anchors/flags) so the mirrors cannot drift:
 #: this module's rlike, the DataSource's compiled re, the oracle's RE2.
+#: Out-of-range magnitudes are grammar-VALID and pinned to IEEE strtod
+#: semantics on all three engines (measured r15, corpus WG56-WG58):
+#: overflow ('1e999', 330-digit mantissas) -> ±Infinity, underflow
+#: ('1e-400') -> 0.0 — Spark try_cast, Python float() and this
+#: container's DuckDB TRY_CAST all agree (ADVICE r14 reported DuckDB
+#: NULL-on-overflow; not reproduced here, pinned by the corpus so any
+#: future DuckDB change surfaces as a parity failure, not silently).
 DOUBLE_GRAMMAR = (
     r"[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?"
     r"|[+-]?(inf|infinity|nan)"

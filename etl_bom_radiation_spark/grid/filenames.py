@@ -41,11 +41,21 @@ def sydney_partition_for_filename(filename: str) -> tuple[int, int, int, int] | 
     pieces = stem.split("_")
     if len(pieces) < 4:
         return None
+    # the PINNED date grammar (decode.with_filename_metadata): 8 ASCII
+    # digits, years 0000/9999 excluded, 2-digit hour — strptime alone is
+    # width-lax ('2018041' parses) and 9999 overflows datetime.max in the
+    # Sydney conversion (ADVICE r14). Pruning must agree with the
+    # Catalyst parse exactly, or a listing-level prune would route a file
+    # the decode NULL-dates into a real hour partition.
+    if not re.match(r"(?!0000|9999)[0-9]{8}\Z", pieces[2]) or not re.match(
+        r"[0-9]{2}\Z", pieces[3][:2]
+    ):
+        return None
     try:
         utc = datetime.strptime(f"{pieces[2]} {pieces[3][:2]}", "%Y%m%d %H")
-    except ValueError:
+        local = utc.replace(tzinfo=timezone.utc).astimezone(_SYDNEY)
+    except (ValueError, OverflowError):
         return None
-    local = utc.replace(tzinfo=timezone.utc).astimezone(_SYDNEY)
     return (local.year, local.month, local.day, local.hour)
 
 

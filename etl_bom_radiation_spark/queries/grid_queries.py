@@ -97,8 +97,13 @@ def oracle_base(grid_dir: str) -> str:
     * double header fields through trimAll + underscore guard;
     * ``try_strptime`` so a filename-grammar near-miss yields a NULL
       timestamp instead of raising (Spark: try_to_timestamp -> NULL)."""
+    # explicit ASCII-whitespace class, NOT '\\s+': RE2's \\s is
+    # [\\t\\n\\f\\r ] and EXCLUDES \\x0b where Java's \\s (the Spark
+    # split) and the DataSource's class include it (ADVICE r14) — a
+    # vertical-tab-separated header must tokenize identically everywhere
     tok = [
-        f"string_split_regex(trim(lines[{i}]), '\\s+')[2]" for i in range(7)
+        f"string_split_regex(trim(lines[{i}]), '[ \\t\\n\\x0b\\f\\r]+')[2]"
+        for i in range(7)
     ]
     return f"""
 WITH f AS (
@@ -117,12 +122,14 @@ WITH f AS (
   FROM f
 ), meta AS (
   -- pinned filename-date grammar (decode.with_filename_metadata): 8
-  -- ASCII digits (year 0000 excluded) + 2-digit hour. DuckDB's
-  -- try_strptime is width-LAX ('2018041 01' parses — measured r14)
-  -- where Spark's try_to_timestamp is strict; NOT LIKE instead of a
-  -- lookahead because RE2 has none.
+  -- ASCII digits (years 0000 AND 9999 excluded — 9999 rolls to year
+  -- 10000 in Sydney, ADVICE r14) + 2-digit hour. DuckDB's try_strptime
+  -- is width-LAX ('2018041 01' parses — measured r14) where Spark's
+  -- try_to_timestamp is strict; NOT LIKE instead of a lookahead because
+  -- RE2 has none.
   SELECT *,
     (CASE WHEN regexp_full_match(p[3], '[0-9]{{8}}') AND p[3] NOT LIKE '0000%'
+               AND p[3] NOT LIKE '9999%'
                AND regexp_full_match(substring(p[4], 1, 2), '[0-9]{{2}}')
           THEN (try_strptime(p[3] || ' ' || substring(p[4], 1, 2),
                              '%Y%m%d %H') AT TIME ZONE 'UTC')
@@ -167,19 +174,35 @@ _ORACLE_BASE = oracle_base(GRID_DIR)
 _ORACLE_PTS = oracle_points(GRID_DIR)
 
 
+#: long-quantizer-safe coordinate magnitude bound (ADVICE r14): a
+#: huge-but-FINITE lattice (header xll=1e300) floors to a value DuckDB's
+#: CAST(... AS BIGINT) raises on while Spark's floor(double)->long
+#: silently saturates to Long.MAX_VALUE — so the shared admission
+#: predicate bounds magnitude too, identically on both sides. 1e15 is
+#: binary-exact, far above any physical coordinate, and far below 2^63.
+COORD_BOUND = 1e15
+#: the oracle rendering of :func:`finite_coords` — one string so the
+#: g_coarsen / g_zorder_cluster oracles cannot drift from each other
+SQL_FINITE_COORDS = (
+    "isfinite(lon) AND isfinite(lat) "
+    "AND abs(lon) < 1e15 AND abs(lat) < 1e15"
+)
+
+
 def finite_coords() -> "F.Column":
-    """Shared finite-coordinate admission for consumers whose arithmetic
-    aborts or degenerates on a NaN/Infinity lattice (g_coarsen's
-    FLOOR->long, g_zorder_cluster's quantizer round->long — the ANSI
-    abort class; weird-grid net r14). NULL coords drop through the same
-    predicate (~NULL is NULL -> filtered), matching the oracles'
-    ``isfinite(lon) AND isfinite(lat)``. One definition so the copies
-    can't drift (the _finite_embedding precedent)."""
-    inf = float("inf")
-    return ~(
-        F.isnan("Longitude") | F.isnan("Latitude")
-        | F.col("Longitude").isin(inf, -inf)
-        | F.col("Latitude").isin(inf, -inf)
+    """Shared coordinate admission for consumers whose arithmetic aborts
+    or degenerates on a NaN/Infinity lattice (g_coarsen's FLOOR->long,
+    g_zorder_cluster's quantizer round->long — the ANSI abort class;
+    weird-grid net r14), now also bounded to quantizer-safe magnitude
+    (< ``COORD_BOUND``; ADVICE r14 — huge-but-finite coords overflow the
+    oracle's BIGINT cast where Spark's floor saturates). NULL coords drop
+    through the same predicate (NULL comparisons are NULL -> filtered),
+    matching the oracles' ``SQL_FINITE_COORDS``. One definition so the
+    copies can't drift (the _finite_embedding precedent)."""
+    return (
+        ~(F.isnan("Longitude") | F.isnan("Latitude"))
+        & (F.abs("Longitude") < COORD_BOUND)
+        & (F.abs("Latitude") < COORD_BOUND)
     )
 
 
@@ -316,12 +339,14 @@ def g_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              string_split(regexp_replace(fname, '\\.[^.]*$', ''), '_') AS p
       FROM f
     )
-    -- try_strptime + the pinned 8-digit/2-digit/no-year-0000 grammar: a
-    -- near-miss filename yields NULL metadata (Spark: the guarded
-    -- try_to_timestamp), never a raise or a lax parse (weird-grid net r14)
+    -- try_strptime + the pinned 8-digit/2-digit/no-year-0000/9999
+    -- grammar: a near-miss filename yields NULL metadata (Spark: the
+    -- guarded try_to_timestamp), never a raise or a lax parse
+    -- (weird-grid net r14; 9999 top-end ADVICE r14)
     SELECT fname, stem, p[2] AS RadiationType,
            CASE WHEN regexp_full_match(p[3], '[0-9]{{8}}')
                      AND p[3] NOT LIKE '0000%'
+                     AND p[3] NOT LIKE '9999%'
                      AND regexp_full_match(substring(p[4], 1, 2), '[0-9]{{2}}')
                 THEN strftime(try_strptime(p[3] || ' ' || substring(p[4], 1, 2),
                                            '%Y%m%d %H'),
@@ -345,7 +370,7 @@ def g_filename_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "g_coarsen",
     oracle=_ORACLE_PTS
-    + """
+    + f"""
     SELECT p[2] AS RadiationType,
            CAST(FLOOR(lon) AS BIGINT) AS lon_cell,
            CAST(FLOOR(lat) AS BIGINT) AS lat_cell,
@@ -353,7 +378,7 @@ def g_filename_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(rad) AS BIGINT) AS total_radiation,
            ROUND(CAST(SUM(rad) AS DOUBLE) / COUNT(*), 6) AS avg_radiation
     FROM pts0
-    WHERE isfinite(lon) AND isfinite(lat)
+    WHERE {SQL_FINITE_COORDS}
     GROUP BY 1, 2, 3
     """,
 )
@@ -365,11 +390,13 @@ def g_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed as SUM/COUNT (integer sum is exact) so the oracle hash is
     float-tie-free.
 
-    Non-finite coordinates (a grid whose header declares cellsize NaN/
-    Infinity — weird-grid net r14) cannot be binned: FLOOR(NaN) feeds a
-    long cast that aborts under ANSI (the q37/n28 class), so both sides
-    filter them before flooring (shared :func:`finite_coords`). No-op on
-    the fixtures."""
+    Non-finite or quantizer-unsafe coordinates (a grid whose header
+    declares cellsize NaN/Infinity — weird-grid net r14 — or a
+    huge-but-finite corner like xll=1e300, ADVICE r14) cannot be binned:
+    FLOOR(NaN) feeds a long cast that aborts under ANSI (the q37/n28
+    class) and FLOOR(1e300) overflows the oracle's BIGINT, so both sides
+    filter them before flooring (shared :func:`finite_coords` /
+    ``SQL_FINITE_COORDS``). No-op on the fixtures."""
     pts = decode_grid_directory(spark, GRID_DIR)
     return (
         pts.filter(finite_coords())

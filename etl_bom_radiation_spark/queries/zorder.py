@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from . import register
 from ..grid.decode import decode_grid_directory
 from ..scale import zorder_key, zorder_key_sql
-from .grid_queries import MULTIRES_DIR, oracle_points
+from .grid_queries import MULTIRES_DIR, SQL_FINITE_COORDS, oracle_points
 
 _MULTIRES_PTS = oracle_points(MULTIRES_DIR)
 
@@ -55,10 +55,13 @@ X0, Y0, QUANTUM = 110.0, -47.0, 0.125
     , pts AS (
         SELECT p[2] AS RadiationType, lon, lat, rad
         FROM pts0
-        -- finite coords only: a NaN/Infinity lattice (weird-grid net r14)
-        -- has no meaningful curve position, and Spark's quantizing
-        -- round().cast(long) aborts under ANSI; NULL coords drop too
-        WHERE isfinite(lon) AND isfinite(lat)
+        -- finite, quantizer-safe coords only: a NaN/Infinity lattice
+        -- (weird-grid net r14) has no meaningful curve position, Spark's
+        -- quantizing round().cast(long) aborts under ANSI, and a
+        -- huge-but-finite corner (xll=1e300, ADVICE r14) overflows the
+        -- BIGINT cast below; NULL coords drop too (grid_queries
+        -- SQL_FINITE_COORDS — the finite_coords mirror)
+        WHERE {SQL_FINITE_COORDS}
     )
     SELECT RadiationType,
            ROUND(lon, 6) AS lon, ROUND(lat, 6) AS lat,

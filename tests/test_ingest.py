@@ -257,6 +257,37 @@ def test_sydney_partition_for_filename_mirrors_spark_parse():
     assert sydney_partition_for_filename("notagridfile.txt") is None
     assert sydney_partition_for_filename("IDCJ0000_GLOBAL_2018AB01_0100.txt") is None
     assert sydney_partition_for_filename("a_b.txt") is None
+    # pinned-grammar edges (ADVICE r14 / weird-grid net): width-lax
+    # strptime forms and the two excluded years must miss here exactly
+    # like the Catalyst rlike NULLs them
+    assert sydney_partition_for_filename("IDCJ0000_GLOBAL_2018041_0100.txt") is None
+    assert sydney_partition_for_filename("IDCJ0000_GLOBAL_00000101_0000.txt") is None
+    # year 9999: grammar-valid to strptime, but +11h Sydney overflows
+    # datetime.max — excluded by the pinned grammar (no OverflowError)
+    assert sydney_partition_for_filename("IDCJ0000_GLOBAL_99991231_2300.txt") is None
+
+
+def test_datasource_parse_filename_year_9999_returns_null_timestamp():
+    """ADVICE r14 (medium): a year-9999 filename must degrade to a NULL
+    timestamp on the DataSource path — never an OverflowError aborting the
+    read task (the no-abort/quarantine contract). The type piece survives
+    (field independence)."""
+    from etl_bom_radiation_spark.grid.datasource import _parse_filename
+
+    assert _parse_filename("/x/IDCJ0000_GLOBAL_99991231_2300.txt") == ("GLOBAL", None)
+    # belt-and-braces: even with the grammar guard bypassed, the
+    # conversion path catches OverflowError (astimezone inside the try)
+    import etl_bom_radiation_spark.grid.datasource as DS
+
+    orig = DS._DATE_RE
+    try:
+        DS._DATE_RE = __import__("re").compile(r"[0-9]{8}\Z")
+        assert _parse_filename("/x/IDCJ0000_GLOBAL_99991231_2300.txt") == (
+            "GLOBAL",
+            None,
+        )
+    finally:
+        DS._DATE_RE = orig
 
 
 def test_csv_sink_parity(spark, ws, tmp_path):

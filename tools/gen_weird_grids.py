@@ -242,6 +242,43 @@ def write_weird_grids(out_dir: str) -> str:
     _w(out_dir, "WG52_GLOBAL_20180331_1500.txt", near)
     _w(out_dir, "WG53_GLOBAL_20180331_1600.txt", near)
 
+    # year 9999 (ADVICE r14): grammar-valid date whose +11h Sydney
+    # conversion rolls to year 10000 — past Python's datetime.max
+    # (DataSource OverflowError) and pandas' collect conversion. The
+    # pinned grammar excludes it in all mirrors -> NULL timestamp.
+    _w(out_dir, "WG54_GLOBAL_99991231_2300.txt", near)
+
+    # \x0b (vertical tab) as header separator (ADVICE r14): Java's \s
+    # includes it, RE2's \s does NOT — the oracle must spell the class
+    # out. In a body cell it's not a separator (single-space split) and
+    # '1\x0b2' fails the strict int on every path.
+    _w(out_dir, "WG55_GLOBAL_20180401_0112.txt",
+       "ncols\x0b4\nnrows\x0b3\nxllcorner 112.0\nyllcorner -44.0\n"
+       "cellsize 0.5\nNODATA_value -999\n"
+       "10 1\x0b1 12 13\n20 21 22 23\n30 31 32 33\n")
+
+    # overflow-exponent header (ADVICE r14): '1e999' is grammar-valid;
+    # IEEE strtod overflow -> Infinity on Spark try_cast, Python float()
+    # AND this container's DuckDB TRY_CAST (measured r15 — the advisory's
+    # NULL-on-overflow did not reproduce). Pinned here so a DuckDB change
+    # would surface as a parity failure.
+    _w(out_dir, "WG56_GLOBAL_20180401_0113.txt", _grid(
+        cs="1e999", body="10 11 12 13\n"))
+    # overflow via a 330-digit mantissa (no exponent)
+    _w(out_dir, "WG57_GLOBAL_20180401_0114.txt", _grid(
+        xll="9" * 330, body="10 11 12 13\n"))
+    # underflow exponent: '1e-400' -> 0.0 on all three engines
+    _w(out_dir, "WG58_GLOBAL_20180401_0115.txt", _grid(
+        cs="1e-400", body="10 11 12 13\n"))
+
+    # huge-but-FINITE corner (ADVICE r14): xll=1e300 decodes fine
+    # (lon = 1e300 exactly — the +0.5 lattice step is absorbed), but
+    # FLOOR(lon) overflows BIGINT in DuckDB where Spark's floor->long
+    # saturates — the quantizer consumers (g_coarsen, g_zorder_cluster)
+    # filter it through the shared long-safe bound instead.
+    _w(out_dir, "WG59_GLOBAL_20180401_0116.txt", _grid(
+        xll="1e300", body="10 11 12 13\n"))
+
     return out_dir
 
 
