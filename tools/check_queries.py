@@ -9,6 +9,16 @@ Usage:
     python tools/check_queries.py              # all queries
     python tools/check_queries.py q05 n03      # substring-filtered subset
     SPARK_GRAFT_CHECK_SF=/root/testdata/sf0.001 python tools/check_queries.py
+    python tools/check_queries.py --json out.json   # machine-readable artifact
+
+``--json`` writes a driver-CORRECTNESS-shaped artifact (one object per
+query: rows_match / schema_match / hash_match / spark_rows / oracle_rows /
+err, plus a ``_meta`` header with the sf dir and totals) so the round-end
+sf0.1 full-registry gate is a committed, re-readable artifact rather than
+session-log prose (VERDICT r14 #3) — the ritual is::
+
+    SPARK_GRAFT_CHECK_SF=/root/testdata/sf0.1 \\
+        python tools/check_queries.py --json CORRECTNESS_SF01_r{N}.json
 """
 
 from __future__ import annotations
@@ -89,7 +99,13 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    filters = sys.argv[1:]
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    filters = args
     import __spark_entry__ as entrymod
     from etl_bom_radiation_spark.session import get_spark
 
@@ -102,26 +118,40 @@ def main() -> int:
     con = duck_connection()
 
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        results[name] = rec
         try:
             got = qs[name](spark, SF_DIR).toPandas()
+            rec["spark_rows"] = len(got)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
+            rec["err"] = f"spark: {type(e).__name__}"
             n_fail += 1
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"ROWS  {name}: rows={len(got)} (no oracle) [{time.time()-t0:.1f}s]")
+            rec["err"] = "no_oracle"
             n_rows_only += 1
             continue
         try:
             want = con.execute(sql).df()
+            rec["oracle_rows"] = len(want)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
+            rec["err"] = f"duckdb: {type(e).__name__}"
             n_fail += 1
             continue
         problems = compare(name, got, want)
+        rec["schema_match"] = not any(p.startswith("columns differ") for p in problems)
+        rec["rows_match"] = len(got) == len(want)
+        rec["hash_match"] = problems == []
         if problems:
             n_fail += 1
             print(f"FAIL  {name}: [{time.time()-t0:.1f}s]")
@@ -132,6 +162,22 @@ def main() -> int:
             print(f"PASS  {name}: rows={len(got)} [{time.time()-t0:.1f}s]")
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if json_out:
+        import json
+
+        payload = {
+            "_meta": {
+                "sf_dir": SF_DIR,
+                "queries": len(names),
+                "pass": n_pass,
+                "fail": n_fail,
+                "rows_only": n_rows_only,
+            }
+        }
+        payload.update(results)
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
