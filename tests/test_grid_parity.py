@@ -307,3 +307,88 @@ def test_weird_corpus_liveness(weird_dir):
     # round-trip + CSV-quoting coverage rides on these existing)
     assert any('"' in n or "," in n for n in names)
     assert any("%" in n or " " in n for n in names)
+
+
+# ----------------------------------------------------------- seeded fuzzer
+#: the committed r15 fuzz seed (VERDICT r14 #4). Deterministic: the sweep
+#: below is exactly reproducible from this constant; a new round bumps the
+#: seed (recording it in DRIFT) so each round explores new random shapes
+#: while past seeds' classes stay covered by the hand corpus pins they
+#: produced.
+FUZZ_SEED = 1515
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory) -> str:
+    from tools.gen_weird_grids import write_fuzz_grids
+
+    return write_fuzz_grids(
+        str(tmp_path_factory.mktemp("fuzz_grids")), seed=FUZZ_SEED
+    )
+
+
+@pytest.fixture(scope="module")
+def fuzz_binary_dir(tmp_path_factory) -> str:
+    from tools.gen_weird_grids import write_fuzz_binary
+
+    return write_fuzz_binary(
+        str(tmp_path_factory.mktemp("fuzz_binary")), seed=FUZZ_SEED
+    )
+
+
+@pytest.fixture()
+def grid_dirs_fuzz_patched(monkeypatch, fuzz_dir):
+    import etl_bom_radiation_spark.queries.grid_queries as GQ
+    import etl_bom_radiation_spark.queries.regrid as RG
+    import etl_bom_radiation_spark.queries.zorder as ZO
+
+    orig_g, orig_m = GQ.GRID_DIR, GQ.MULTIRES_DIR
+    for mod, attr in ((GQ, "GRID_DIR"), (GQ, "MULTIRES_DIR"),
+                      (RG, "MULTIRES_DIR"), (ZO, "MULTIRES_DIR")):
+        monkeypatch.setattr(mod, attr, fuzz_dir)
+    return orig_g, orig_m
+
+
+@pytest.mark.parity
+@pytest.mark.parametrize("name", G_PARITY)
+def test_grid_oracle_parity_on_fuzz_corpus(
+    spark, fuzz_dir, grid_dirs_fuzz_patched, name
+):
+    """The randomized sweep: every grid-family oracle, Spark vs DuckDB,
+    over seeded-random grids nobody hand-designed (VERDICT r14 #4)."""
+    orig_g, orig_m = grid_dirs_fuzz_patched
+    q = QS[name]
+    got = q.fn(spark, fuzz_dir).toPandas()
+    want = duckdb.connect().execute(
+        _sub_dirs(q.oracle, orig_g, orig_m, fuzz_dir)
+    ).df()
+    problems = compare(name, got, want)
+    assert problems == [], problems
+    # liveness: the fuzz corpus must keep decoding real points through the
+    # full-decode entries or the sweep degrades to comparing empty frames
+    if name in ("g_flagship_decode", "g_datasource_decode"):
+        assert len(got) > 50
+
+
+def test_decode_never_aborts_on_fuzz_binary(spark, fuzz_binary_dir):
+    """No-abort contract over seeded random byte corruption: every fuzzed
+    file decodes to >= 0 rows, never an executor exception."""
+    from etl_bom_radiation_spark.grid.decode import decode_grid_directory
+
+    assert decode_grid_directory(spark, fuzz_binary_dir).count() >= 0
+
+
+@pytest.mark.parity
+def test_datasource_row_identical_on_fuzz_binary(spark, fuzz_binary_dir):
+    """Catalyst vs Python-DataSource row identity on the byte-fuzz corpus
+    (same multiset discipline as the hand binary corpus)."""
+    from etl_bom_radiation_spark.grid.datasource import EsriGridDataSource
+    from etl_bom_radiation_spark.grid.decode import decode_grid_directory
+
+    spark.dataSource.register(EsriGridDataSource)
+    cat = decode_grid_directory(spark, fuzz_binary_dir)
+    ds = spark.read.format("esri_grid").load(fuzz_binary_dir)
+    cols = cat.columns
+    assert sorted(map(repr, map(tuple, cat.select(*cols).collect()))) == sorted(
+        map(repr, map(tuple, ds.select(*cols).collect()))
+    )

@@ -319,9 +319,175 @@ def write_binary_grids(out_dir: str) -> str:
     return out_dir
 
 
+# --------------------------------------------------------------------------
+# seeded randomized fuzzer (VERDICT r14 #4)
+#
+# The hand-designed corpora above are bounded by what a builder thinks to
+# write down (the r14 URI-encoding bug was found only because one hand-added
+# case happened to trip it). The fuzzer composes the same adversarial ATOMS
+# randomly — headers, bodies, separators, line endings, filename pieces —
+# under a committed seed, so each round sweeps grid shapes nobody designed.
+# Deterministic by construction: a passing seed is pinned and stays green.
+#
+# Atom pools follow the corpus disciplines:
+#   * valid header doubles are binary fractions (exact IEEE on both
+#     engines — the bitwise float compare stays meaningful);
+#   * cell values are small ints (exact BIGINT sums);
+#   * filenames avoid glob metacharacters (the oracle's read_text glob
+#     must list exactly the files Spark's directory listing sees) and
+#     always end .txt for the same reason.
+
+#: header-double atoms: exact binary fractions + every grammar edge the
+#: hand corpus pins (NULL-ing garbage, inf/nan spellings, Java literal
+#: forms, overflow/underflow exponents, huge-but-finite corners)
+_DOUBLE_ATOMS = [
+    "112.0", "-44.0", "0.5", "0.25", "0.125", "1.5", "-0.5", "113.75",
+    "5e-1", "1.12e2", "-4.4e1", "0", "-0", ".5", "5.", "+0.5",
+    "NaN", "nan", "inf", "Infinity", "-Infinity", "+inf",
+    "1e999", "-1e999", "1e-400", "1e300", "-1e300", "9" * 330,
+    "0.5d", "0x1p3", "1_0", "four", "", "4.5.6", "--1", "1e", "e5",
+    "\t0.5", "0.5 ", " ",
+]
+#: header-int atoms (ncols/nrows/nodata)
+_INT_ATOMS = [
+    "4", "3", "2", "1", "0", "-1", "-2", "6", "8", "-999", "7",
+    "+5", "007", "4.0", "4.5", "1e2", "3000000000", "-3000000000",
+    "1_0", "four", "", "NaN", " 4", "4 ", "\t4",
+]
+#: body-cell atoms: mostly clean small ints, some droppers
+_CELL_ATOMS = [
+    "10", "11", "12", "13", "20", "21", "-999", "0", "-5", "7", "40",
+    "+8", "007", "-0", "7.5", "1e2", "3000000000", "x", "NaN", "1_0", "",
+]
+#: filename date/hour piece atoms: valid dates (incl. DST fold/skip days
+#: and far edges) + every near-miss class the hand corpus pins
+_DATE_ATOMS = [
+    "20180401", "20180330", "20180331", "20181007", "18991231",
+    "22620401", "20380119", "20180229", "20181332", "2018AB01",
+    "2018041", "201804011", "00000101", "99991231", "", "April01",
+]
+_HOUR_ATOMS = ["0100", "2300", "1500", "1600", "0000", "9900", "1",
+               "23", "005", "ab00", "", "2347"]
+_TYPE_ATOMS = ["GLOBAL", "UV", "DIRECT", "", "GLO-BAL", "G L", "a,b",
+               "TYPE.X", "ÜV"]
+#: header/body separator runs (header split is ASCII-whitespace class;
+#: body split is SINGLE space — tabs/\x0b inside a body cell are data)
+_HDR_SEPS = [" ", "  ", "\t", " \t ", "\x0b", "   "]
+_EOLS = ["\n", "\r\n"]
+
+
+def write_fuzz_grids(out_dir: str, seed: int, n: int = 60) -> str:
+    """Write *n* seeded-random oracle-safe grids (valid UTF-8, ``.txt``).
+
+    Every structural axis is drawn independently: header separator runs,
+    per-file line endings, header-value atoms, declared-vs-actual
+    dimension mismatches, ragged rows, blank lines, trailing garbage,
+    filename grammar pieces. Swept Spark-vs-DuckDB through every
+    grid-family oracle (tests/test_grid_parity.py) exactly like the
+    hand corpus — same dirs-substituted harness."""
+    import random
+
+    rng = random.Random(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    for k in range(n):
+        eol = rng.choice(_EOLS)
+        hsep = rng.choice(_HDR_SEPS)
+        # 70% structurally-plausible headers so the sweep keeps decoding
+        # real points; 30% full chaos
+        chaotic = rng.random() < 0.3
+        ncols = rng.choice(_INT_ATOMS) if chaotic else str(rng.randint(1, 6))
+        nrows = rng.choice(_INT_ATOMS) if chaotic else str(rng.randint(1, 5))
+        xll = rng.choice(_DOUBLE_ATOMS)
+        yll = rng.choice(_DOUBLE_ATOMS)
+        cs = rng.choice(_DOUBLE_ATOMS)
+        nodata = rng.choice(_INT_ATOMS) if chaotic else "-999"
+        hdr_names = ["ncols", "nrows", "xllcorner", "yllcorner",
+                     "cellsize", "NODATA_value"]
+        vals = [ncols, nrows, xll, yll, cs, nodata]
+        lines = []
+        for hn, hv in zip(hdr_names, vals):
+            # occasional leading space / missing value token
+            lead = " " if rng.random() < 0.1 else ""
+            if rng.random() < 0.05:
+                lines.append(f"{lead}{hn}")
+            else:
+                lines.append(f"{lead}{hn}{hsep}{hv}")
+        # body: actual row/col counts near (but not always equal to) the
+        # declared ones; occasional blank or garbage lines
+        try:
+            want_rows = max(0, min(8, int(nrows)))
+        except ValueError:
+            want_rows = 3
+        actual_rows = max(0, want_rows + rng.choice([-1, 0, 0, 0, 1, 2]))
+        for _ in range(actual_rows):
+            if rng.random() < 0.08:
+                lines.append("")
+                continue
+            try:
+                want_cols = max(0, min(8, int(ncols)))
+            except ValueError:
+                want_cols = 4
+            w = max(1, want_cols + rng.choice([-2, -1, 0, 0, 0, 1, 3]))
+            cells = [rng.choice(_CELL_ATOMS) if rng.random() < 0.25
+                     else str(rng.randint(-20, 40)) for _ in range(w)]
+            pad = "  " if rng.random() < 0.1 else " "
+            trail = " " if rng.random() < 0.15 else ""
+            lines.append(pad.join(cells) + trail)
+        if rng.random() < 0.1:
+            lines.append("trailing garbage beyond declared nrows")
+        text = eol.join(lines) + (eol if rng.random() < 0.8 else "")
+        # stray lone CR inside one line (the universal-newline trap)
+        if rng.random() < 0.1 and len(text) > 20:
+            pos = rng.randint(10, len(text) - 5)
+            text = text[:pos] + "\r" + text[pos:]
+        # filename: FZ<k>_<type>_<date>_<hour>.txt, sometimes missing
+        # pieces — distinct by the FZ<k> prefix, glob-safe by the pools
+        pieces = [f"FZ{seed}x{k:03d}"]
+        if rng.random() < 0.9:
+            pieces.append(rng.choice(_TYPE_ATOMS))
+        if rng.random() < 0.9:
+            pieces.append(rng.choice(_DATE_ATOMS))
+        if rng.random() < 0.85:
+            pieces.append(rng.choice(_HOUR_ATOMS))
+        _w(out_dir, "_".join(pieces) + ".txt", text, newline="\n")
+    return out_dir
+
+
+def write_fuzz_binary(out_dir: str, seed: int, n: int = 25) -> str:
+    """Seeded byte-level fuzz (engine-only — DuckDB read_text raises on
+    invalid UTF-8): random byte flips / truncations / injections over a
+    clean grid, swept for the no-abort contract and Catalyst-vs-DataSource
+    row identity."""
+    import random
+
+    rng = random.Random(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    clean = _grid(body="10 11 12 13\n20 21 22 23\n30 31 32 33\n").encode()
+    for k in range(n):
+        data = bytearray(clean)
+        for _ in range(rng.randint(1, 6)):
+            op = rng.choice(["flip", "insert", "delete", "truncate"])
+            if not data:
+                break
+            pos = rng.randrange(len(data))
+            if op == "flip":
+                data[pos] = rng.randrange(256)
+            elif op == "insert":
+                data[pos:pos] = bytes([rng.randrange(256)])
+            elif op == "delete":
+                del data[pos]
+            else:
+                data = data[:pos]
+        with open(os.path.join(out_dir, f"FB{seed}x{k:03d}_GLOBAL_20180401_{k:02d}00.txt"), "wb") as f:
+            f.write(bytes(data))
+    return out_dir
+
+
 if __name__ == "__main__":
     import sys
 
     base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/weird_grids"
     print(write_weird_grids(os.path.join(base, "text")))
     print(write_binary_grids(os.path.join(base, "binary")))
+    print(write_fuzz_grids(os.path.join(base, "fuzz"), seed=1504))
+    print(write_fuzz_binary(os.path.join(base, "fuzz_binary"), seed=1504))
