@@ -27,9 +27,14 @@ from .decode import DOUBLE_GRAMMAR
 
 SYDNEY = ZoneInfo("Australia/Sydney")
 
-#: Spark's UTF8String.trimAll class: every char <= 0x20 — what try_cast
-#: strips from string ends before parsing (weird-grid net r14)
-_TRIMALL = "".join(chr(c) for c in range(0x21))
+#: Spark's UTF8String.trimAll class: every char <= 0x20 PLUS \x7f (DEL)
+#: — what try_cast(.. AS INT) strips from string ends before parsing.
+#: The \x7f member was found by the r15 seeded byte-fuzzer (seed 41):
+#: Spark parses '\x7f3' as 3 where a bare <=0x20 mirror NULLs it. Probed
+#: exhaustively over 0x00-0xFF + Unicode spaces: nothing else strips.
+#: (try_cast AS DOUBLE does NOT strip \x7f — irrelevant here because the
+#: pinned DOUBLE_GRAMMAR anchors reject control chars on every path.)
+_TRIMALL = "".join(chr(c) for c in range(0x21)) + "\x7f"
 _INT_RE = re.compile(r"[+-]?[0-9]+\Z")
 # the PINNED header-double grammar: anchored on the RAW token, no
 # trimAll — Spark's bare try_cast would additionally accept Java literal

@@ -46,11 +46,14 @@ MULTIRES_DIR = os.path.join(_REPO, "fixtures", "grids_multires")
 
 
 def _sql_norm(e: str) -> str:
-    """SQL: *e* with Spark's trimAll char class (every char <= 0x20) stripped
-    from both ends — the exact whitespace handling of Spark's string casts
-    (UTF8String.trimAll; measured r13/r14: try_cast('\\t7')=7, ('\\x017')=7)."""
+    """SQL: *e* with Spark's trimAll char class (every char <= 0x20 PLUS
+    \\x7f/DEL) stripped from both ends — the exact whitespace handling of
+    Spark's int cast (UTF8String.trimAll; measured r13/r14:
+    try_cast('\\t7')=7, ('\\x017')=7; r15 byte-fuzzer seed 41:
+    try_cast('\\x7f3' AS INT)=3, ends-only, nothing else in 0x00-0xFF or
+    the Unicode space set strips)."""
     return (
-        "regexp_replace(" + e + ", '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')"
+        "regexp_replace(" + e + ", '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g')"
     )
 
 

@@ -271,6 +271,15 @@ def write_weird_grids(out_dir: str) -> str:
     _w(out_dir, "WG58_GLOBAL_20180401_0115.txt", _grid(
         cs="1e-400", body="10 11 12 13\n"))
 
+    # \x7f (DEL) — found by the r15 byte-fuzzer (seed 41): Spark's INT
+    # cast trims \x7f from token ENDS (UTF8String.trimAll) where the
+    # naive <=0x20 mirrors NULL the cell — '\x7f3' and '22\x7f' parse,
+    # '1\x7f2' (mid-token) drops, and the \x7f-padded nodata header
+    # parses. Valid UTF-8, so the exact oracle sweep covers it.
+    _w(out_dir, "WG60_GLOBAL_20180401_0117.txt", _grid(
+        nodata="\x7f-999\x7f",
+        body="10 \x7f3 22\x7f 13\n1\x7f2 21 22 23\n30 31 32 33\n"))
+
     # huge-but-FINITE corner (ADVICE r14): xll=1e300 decodes fine
     # (lon = 1e300 exactly — the +0.5 lattice step is absorbed), but
     # FLOOR(lon) overflows BIGINT in DuckDB where Spark's floor->long
