@@ -62,8 +62,18 @@ def _duck_one(col: str, kind: str | None) -> str:
         num = f"CAST({col} AS DOUBLE)"
     else:
         num = None
-    num_min = f"MIN({num})" if num else "CAST(NULL AS DOUBLE)"
-    num_max = f"MAX({num})" if num else "CAST(NULL AS DOUBLE)"
+    # ROUND only the "num" kind: epoch-micros are exact integers in a
+    # double (no fraction to round away), and DuckDB's double ROUND is
+    # LOSSY above ~2^53/10^6 — ROUND(1704495840000000.0, 6) returns
+    # ...0.2 (measured; the r15 relational fuzzer, seed 1517) where
+    # Spark's BigDecimal round is exact. Both sides therefore round
+    # num-kind only — identical expressions, no magnitude trap.
+    if kind == "num":
+        num_min, num_max = f"ROUND(MIN({num}), 6)", f"ROUND(MAX({num}), 6)"
+    elif num:
+        num_min, num_max = f"MIN({num})", f"MAX({num})"
+    else:
+        num_min = num_max = "CAST(NULL AS DOUBLE)"
     return f"""
     SELECT '{col}' AS col_name,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -71,8 +81,8 @@ def _duck_one(col: str, kind: str | None) -> str:
            ROUND(CAST(COUNT(*) - COUNT({col}) AS DOUBLE) / COUNT(*), 6)
                AS null_frac,
            CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
-           ROUND({num_min}, 6) AS min_num,
-           ROUND({num_max}, 6) AS max_num
+           {num_min} AS min_num,
+           {num_max} AS max_num
     FROM events
     """
 
@@ -93,14 +103,19 @@ def x07_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.count(F.lit(1)).alias(f"{col}__rows"))
         aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{col}__null"))
         aggs.append(F.count_distinct(c).alias(f"{col}__dist"))
+        # round num-kind only, mirroring _duck_one: epoch-micros are
+        # exact integer doubles and DuckDB's ROUND is lossy at that
+        # magnitude (r15 fuzzer seed 1517)
         if kind == "epoch":
-            nexpr = F.unix_micros(c).cast("double")
+            aggs.append(F.min(F.unix_micros(c).cast("double")).alias(f"{col}__min"))
+            aggs.append(F.max(F.unix_micros(c).cast("double")).alias(f"{col}__max"))
         elif kind == "num":
-            nexpr = c.cast("double")
+            aggs.append(F.round(F.min(c.cast("double")), 6).alias(f"{col}__min"))
+            aggs.append(F.round(F.max(c.cast("double")), 6).alias(f"{col}__max"))
         else:
             nexpr = F.lit(None).cast("double")
-        aggs.append(F.round(F.min(nexpr), 6).alias(f"{col}__min"))
-        aggs.append(F.round(F.max(nexpr), 6).alias(f"{col}__max"))
+            aggs.append(F.min(nexpr).alias(f"{col}__min"))
+            aggs.append(F.max(nexpr).alias(f"{col}__max"))
     wide = e.agg(*aggs)
     per_col = [
         F.struct(

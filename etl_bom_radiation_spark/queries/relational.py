@@ -710,10 +710,17 @@ def q20_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q21_collect_list",
+    # COALESCE(.., '') on both aggs (r15 relational fuzzer, seed 1516):
+    # Spark's collect_set/collect_list SKIP NULLs, so an all-NULL-name
+    # group yields an EMPTY array whose array_join is '' — DuckDB's
+    # list() aggregate yields NULL for that group and array_to_string
+    # propagates it. The engine pins Spark's reading: empty string.
     oracle="""
     SELECT r.r_name,
-           array_to_string(list_sort(list(DISTINCT n.n_name)), ',') AS nations,
-           array_to_string(list_sort(list(n.n_name)), ',') AS nations_all,
+           COALESCE(array_to_string(list_sort(list(DISTINCT n.n_name)), ','), '')
+               AS nations,
+           COALESCE(array_to_string(list_sort(list(n.n_name)), ','), '')
+               AS nations_all,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name

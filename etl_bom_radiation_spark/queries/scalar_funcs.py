@@ -409,13 +409,28 @@ def f_grammar_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q36b_fuzzy_string",
+    # levenshtein drift (r15 relational fuzzer, seed 1515): Spark counts
+    # CODEPOINTS, DuckDB counts BYTES — identical on ASCII, off-by-N on
+    # multi-byte text (lev('CANADA', 'CÔTE D''IVOIRE') = 11 vs 12,
+    # measured). The oracle transcodes the corpus' non-ASCII alphabet to
+    # single-byte control chars first (DuckDB TRANSLATE is
+    # codepoint-aware), restoring codepoint semantics. The alphabet
+    # covers every non-ASCII atom the corpus generators emit; extend it
+    # alongside the pools.
     oracle="""
+    WITH cp AS (
+      SELECT n_nationkey,
+             translate(n_name, 'ÔÅéïÀÜ',
+                       chr(1)||chr(2)||chr(3)||chr(4)||chr(5)||chr(6)) AS t,
+             n_name
+      FROM nation
+    )
     SELECT a.n_name AS name_a, b.n_name AS name_b,
-           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist,
            REVERSE(a.n_name) AS rev,
            TRANSLATE(a.n_name, 'AEIOU', 'aeiou') AS tr,
            REPEAT(SUBSTR(a.n_name, 1, 2), 2) AS rep
-    FROM nation a JOIN nation b ON b.n_nationkey = a.n_nationkey + 1
+    FROM cp a JOIN cp b ON b.n_nationkey = a.n_nationkey + 1
     """,
 )
 def q36b_fuzzy_string(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,7 +44,13 @@ def u01_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(returnType=DoubleType())
     def disc_price(price: float, discount: float) -> float:
-        # Python round() is half-even, SQL ROUND is half-up — round JVM-side
+        # Python round() is half-even, SQL ROUND is half-up — round JVM-side.
+        # NULL inputs arrive as None (r15 relational fuzzer, seed 1516):
+        # a row UDF must implement SQL's NULL propagation itself or the
+        # TypeError aborts the whole task — the exact footgun that makes
+        # row UDFs the slow AND sharp path.
+        if price is None or discount is None:
+            return None
         return price * (1 - discount)
 
     return li.filter(F.col("l_quantity") >= 45).select(
@@ -141,14 +147,29 @@ def u04_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
         w = pdf["l_quantity"]
         p = pdf["l_extendedprice"]
+        # no pandas-side rounding (r15 fuzzer seed 1516): Python round()
+        # is half-EVEN, SQL ROUND half-away — a dyadic median like
+        # 539.15625 rounds to .1562 vs .1563. Same JVM-side-rounding
+        # convention as u01/u02.
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-                "weighted_avg_price": [round((w * p).sum() / w.sum(), 6)],
-                "median_price": [round(p.median(), 4)],
+                # min_count=1: SQL SUM over zero non-NULL values is NULL,
+                # pandas' default sum is 0.0 — an all-NULL-price group
+                # must yield NULL, not 0/29
+                "weighted_avg_price": [(w * p).sum(min_count=1) / w.sum(min_count=1)],
+                "median_price": [p.median()],
             }
         )
 
-    return li.groupBy("l_returnflag").applyInPandas(
-        agg, "l_returnflag string, weighted_avg_price double, median_price double"
+    return (
+        li.groupBy("l_returnflag")
+        .applyInPandas(
+            agg, "l_returnflag string, weighted_avg_price double, median_price double"
+        )
+        .select(
+            "l_returnflag",
+            F.round("weighted_avg_price", 6).alias("weighted_avg_price"),
+            F.round("median_price", 4).alias("median_price"),
+        )
     )

@@ -657,6 +657,220 @@ def write_empty_corpus(out_dir: str) -> str:
     return out_dir
 
 
+def write_fuzz_corpus(out_dir: str, seed: int) -> str:
+    """Seeded-random corpus (VERDICT r14 #4, relational axis): same ten
+    physical schemas, but row counts, NULL placement, FK dangling, value
+    draws, text shapes and vector contents are all drawn from a
+    deterministic RNG — so each round's seed sweeps table shapes nobody
+    hand-designed, under the same exactness disciplines as the hand
+    corpora:
+
+    * floats are pairwise-DISTINCT binary fractions (ORDER BY/LIMIT
+      determinism + exact IEEE sums in any reduction order);
+    * timestamps are pairwise distinct where present;
+    * primary keys stay unique and non-NULL;
+    * text/enum pools reuse the hand corpora's adversarial atoms.
+    """
+    import random
+
+    rng = random.Random(seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def maybe_null(vals: list, rate: float = 0.15) -> list:
+        return [None if rng.random() < rate else v for v in vals]
+
+    def distinct_fracs(n: int, lo: int, hi: int, q: int = 64) -> list:
+        """n pairwise-distinct multiples of 1/q in [lo, hi)."""
+        return [k / q for k in rng.sample(range(lo * q, hi * q), n)]
+
+    def fk_pool(keys: list, n: int, dangling: int) -> list:
+        pool = list(keys) + [dangling]
+        return maybe_null([rng.choice(pool) for _ in range(n)], 0.1)
+
+    n_region = rng.randint(3, 6)
+    _write(out_dir, "region", pa.schema([
+        ("r_regionkey", pa.int32()), ("r_name", pa.string()),
+    ]), {
+        "r_regionkey": list(range(n_region)),
+        "r_name": maybe_null(
+            rng.sample(["AMERICA", "ASIA", "EUROPE", "AFRICA", "MIDDLE EAST",
+                        ""], n_region), 0.2),
+    })
+
+    n_nation = rng.randint(5, 9)
+    _write(out_dir, "nation", pa.schema([
+        ("n_nationkey", pa.int32()), ("n_name", pa.string()),
+        ("n_regionkey", pa.int32()),
+    ]), {
+        "n_nationkey": list(range(n_nation)),
+        "n_name": maybe_null(rng.sample(
+            ["BRAZIL", "CANADA", "FRANCE", "JAPAN", "KENYA", "PERU",
+             "CÔTE D'IVOIRE", "ÅLAND", ""], n_nation), 0.15),
+        "n_regionkey": fk_pool(list(range(n_region)), n_nation, 99),
+    })
+
+    n_cust = rng.randint(10, 18)
+    _write(out_dir, "customer", pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+        ("c_mktsegment", pa.string()),
+    ]), {
+        "c_custkey": list(range(1, n_cust + 1)),
+        "c_name": maybe_null([f"Customer#{i:03d}" for i in range(1, n_cust + 1)]),
+        "c_nationkey": fk_pool(list(range(n_nation)), n_cust, 98),
+        "c_acctbal": maybe_null(distinct_fracs(n_cust, -20, 200)),
+        "c_mktsegment": maybe_null([rng.choice(
+            ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"])
+            for _ in range(n_cust)]),
+    })
+
+    n_supp = rng.randint(5, 9)
+    _write(out_dir, "supplier", pa.schema([
+        ("s_suppkey", pa.int64()), ("s_name", pa.string()),
+        ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64()),
+    ]), {
+        "s_suppkey": list(range(1, n_supp + 1)),
+        "s_name": maybe_null([f"Supplier#{i:03d}" for i in range(1, n_supp + 1)]),
+        "s_nationkey": fk_pool(list(range(n_nation)), n_supp, 99),
+        "s_acctbal": maybe_null(distinct_fracs(n_supp, -50, 600)),
+    })
+
+    n_part = rng.randint(10, 16)
+    adjectives = ["azure", "burnished", "dim", "forest", "green", "hot",
+                  "ivory", "jade", "khaki", "lime", "misty", "pale",
+                  "rosy", "slow", "tan", "wheat"]
+    _write(out_dir, "part", pa.schema([
+        ("p_partkey", pa.int64()), ("p_name", pa.string()),
+        ("p_brand", pa.string()), ("p_type", pa.string()),
+        ("p_size", pa.int32()), ("p_retailprice", pa.float64()),
+    ]), {
+        "p_partkey": list(range(1, n_part + 1)),
+        "p_name": maybe_null([f"{a} steel box" for a in
+                              rng.sample(adjectives, n_part)]),
+        "p_brand": maybe_null([f"Brand#{rng.randint(11, 15)}"
+                               for _ in range(n_part)]),
+        "p_type": maybe_null([rng.choice(
+            ["SMALL PLATED", "LARGE BRUSHED", "MEDIUM ANODIZED",
+             "SMALL POLISHED", "LARGE POLISHED", "SMALL BRUSHED"])
+            for _ in range(n_part)]),
+        "p_size": maybe_null([rng.randint(0, 50) for _ in range(n_part)]),
+        "p_retailprice": maybe_null(distinct_fracs(n_part, 900, 1000)),
+    })
+
+    n_ord = rng.randint(20, 34)
+    # distinct order dates: sampled day offsets (some NULLed after)
+    odays = rng.sample(range(1, 90), n_ord)
+    _write(out_dir, "orders", pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+        ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string()),
+    ]), {
+        "o_orderkey": list(range(1, n_ord + 1)),
+        "o_custkey": fk_pool(list(range(1, n_cust + 1)), n_ord, 999),
+        "o_orderstatus": maybe_null([rng.choice(["O", "F", "P"])
+                                     for _ in range(n_ord)]),
+        "o_totalprice": maybe_null(distinct_fracs(n_ord, 1000, 1100)),
+        "o_orderdate": maybe_null([_ts(d) for d in odays], 0.1),
+        "o_orderpriority": maybe_null([rng.choice(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+            for _ in range(n_ord)]),
+    })
+
+    n_li = rng.randint(40, 70)
+    sdays = rng.sample(range(1, 160), n_li)
+    _write(out_dir, "lineitem", pa.schema([
+        ("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+        ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+        ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+        ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+        ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+        ("l_shipdate", pa.timestamp("us")),
+    ]), {
+        "l_orderkey": fk_pool(list(range(1, n_ord + 1)), n_li, 777),
+        "l_partkey": fk_pool(list(range(1, n_part + 1)), n_li, 555),
+        "l_suppkey": fk_pool(list(range(1, n_supp + 1)), n_li, 444),
+        "l_linenumber": [rng.randint(1, 4) for _ in range(n_li)],
+        "l_quantity": maybe_null([float(rng.randint(1, 50))
+                                  for _ in range(n_li)], 0.1),
+        "l_extendedprice": maybe_null(distinct_fracs(n_li, 100, 1000), 0.1),
+        "l_discount": maybe_null([rng.randint(0, 3) / 16 for _ in range(n_li)], 0.2),
+        "l_tax": maybe_null([rng.randint(0, 3) / 32 for _ in range(n_li)], 0.2),
+        "l_returnflag": maybe_null([rng.choice(["R", "A", "N"])
+                                    for _ in range(n_li)]),
+        "l_linestatus": maybe_null([rng.choice(["O", "F"])
+                                    for _ in range(n_li)]),
+        "l_shipdate": maybe_null([_ts(1 + d // 2, d % 2) for d in sdays], 0.1),
+    })
+
+    n_ev = rng.randint(25, 45)
+    # distinct timestamps by construction: sampled (day, hour, minute)
+    # triples over a grid large enough to sample without replacement
+    slots = rng.sample(range(5 * 24 * 60), n_ev)
+    _write(out_dir, "events", pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ]), {
+        "event_id": list(range(1, n_ev + 1)),
+        "ts": maybe_null([_ts(1 + s // (24 * 60), (s // 60) % 24, s % 60)
+                          for s in slots], 0.1),
+        "user_id": maybe_null([rng.randint(7, 12) for _ in range(n_ev)]),
+        "event_type": maybe_null([rng.choice(["view", "click", "purchase"])
+                                  for _ in range(n_ev)]),
+        "value": maybe_null(distinct_fracs(n_ev, 0, 40)),
+        "props": maybe_null(['{"k":%d,"tag":"t%d"}' % (rng.randint(0, 30),
+                                                       rng.randint(0, 3))
+                             for _ in range(n_ev)]),
+    })
+
+    # documents: random token soup with deliberate exact dups, near-dups
+    # (one token swapped), whitespace chaos and unicode
+    words = ["the", "quick", "brown", "fox", "data", "shuffle", "spark",
+             "jumps", "dog", "étude", "naïve", "TOKEN", "a", "zz9"]
+    n_doc = rng.randint(9, 15)
+    texts: list = []
+    for _ in range(n_doc):
+        r = rng.random()
+        if r < 0.12 and texts:
+            texts.append(rng.choice([t for t in texts if t] or ["x"]))  # exact dup
+        elif r < 0.2:
+            texts.append(rng.choice(["", None, "single"]))
+        else:
+            k = rng.randint(3, 14)
+            toks = [rng.choice(words) for _ in range(k)]
+            sep = rng.choice([" ", "  ", " \t "])
+            texts.append(sep.join(toks))
+    _write(out_dir, "documents", pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+        ("source", pa.string()), ("n_chars", pa.int64()),
+    ]), {
+        "doc_id": list(range(1, n_doc + 1)),
+        "text": texts,
+        "lang": maybe_null([rng.choice(["en", "de", "xx"]) for _ in range(n_doc)]),
+        "source": maybe_null([rng.choice(["web", "books", "code"])
+                              for _ in range(n_doc)]),
+        "n_chars": [len(t) if t is not None else None for t in texts],
+    })
+
+    # embeddings: components are multiples of 1/8 (exact float32 dots);
+    # always one zero vector and one NULL (the norm/NULL guards)
+    n_vec = rng.randint(8, 14)
+    vecs: list = [[0.0, 0.0, 0.0, 0.0], None]
+    for _ in range(n_vec - 2):
+        vecs.append([rng.randint(-8, 8) / 8 for _ in range(4)])
+    rng.shuffle(vecs)
+    _write(out_dir, "embeddings", pa.schema([
+        ("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int32()),
+    ]), {
+        "vec_id": list(range(n_vec)),
+        "embedding": vecs,
+        "label": maybe_null([rng.randint(0, 2) for _ in range(n_vec)]),
+    })
+
+    return out_dir
+
+
 def main() -> int:
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -668,6 +882,13 @@ def main() -> int:
         gen, default = write_empty_corpus, "/tmp/empty_corpus"
     elif "--dirty" in flags:
         gen, default = write_dirty_corpus, "/tmp/dirty_corpus"
+    elif any(a.startswith("--fuzz") for a in flags):
+        fuzz_flag = next(a for a in flags if a.startswith("--fuzz"))
+        seed = int(fuzz_flag.split("=", 1)[1]) if "=" in fuzz_flag else 1515
+        out = args[0] if args else "/tmp/fuzz_corpus"
+        write_fuzz_corpus(out, seed)
+        print(f"wrote 10 tables to {out} (write_fuzz_corpus seed={seed})")
+        return 0
     else:
         gen, default = write_corpus, "/tmp/weird_corpus"
     out = args[0] if args else default
