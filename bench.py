@@ -493,9 +493,18 @@ def main() -> int:
             .select("year", "month", "day", "hour")
             .first()
         )
-        t0 = time.time()
+        # warm + median-of-3 (r15): reprocess is idempotent (rebuild the
+        # same partition), and its single-shot timing conflated the
+        # per-plan fixed cost with draw noise — the r14/r15 bench diffs
+        # flagged it as a recurring false regression; the v3 statistic
+        # the registry entries already use makes it comparable.
         reprocess_partition(spark, ws, part["year"], part["month"], part["day"], part["hour"])
-        timings["maint_reprocess_partition"] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            reprocess_partition(spark, ws, part["year"], part["month"], part["day"], part["hour"])
+            samples.append(time.time() - t0)
+        timings["maint_reprocess_partition"] = summarize_runs(samples)
     finally:
         shutil.rmtree(ws_base, ignore_errors=True)
         shutil.rmtree(one_part, ignore_errors=True)
@@ -526,11 +535,21 @@ def main() -> int:
             .select("year", "month", "day", "hour")
             .first()
         )
-        t0 = time.time()
+        # warm + median-of-3 (r15): same statistic as the partition
+        # sibling above — the pruned variant's sub-second time is fixed-
+        # cost-dominated (6 files decode), exactly where single-shot
+        # draws flagged false regressions two rounds running.
         n_rows = reprocess_partition(
             spark, ws2, tgt["year"], tgt["month"], tgt["day"], tgt["hour"]
         )
-        timings["maint_reprocess_pruned"] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            n_rows = reprocess_partition(
+                spark, ws2, tgt["year"], tgt["month"], tgt["day"], tgt["hour"]
+            )
+            samples.append(time.time() - t0)
+        timings["maint_reprocess_pruned"] = summarize_runs(samples)
         assert n_rows > 0, "spread-archive reprocess rebuilt zero rows"
     finally:
         shutil.rmtree(ws2_base, ignore_errors=True)

@@ -23,7 +23,7 @@ from zoneinfo import ZoneInfo
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-from .decode import DOUBLE_GRAMMAR
+from .decode import DATE_GRAMMAR, DOUBLE_GRAMMAR, HOUR_GRAMMAR
 
 SYDNEY = ZoneInfo("Australia/Sydney")
 
@@ -43,14 +43,13 @@ _INT_RE = re.compile(r"[+-]?[0-9]+\Z")
 # The core alternation is SHARED with decode.DOUBLE_TOKEN_RE and the
 # oracle's _sql_try_double, so the three mirrors cannot drift.
 _DOUBLE_RE = re.compile(f"(?:{DOUBLE_GRAMMAR})\\Z", re.IGNORECASE)
-# the PINNED filename-date grammar (decode.with_filename_metadata): 8
-# ASCII digits, years 0000 and 9999 excluded; 2-digit hour. Python's
-# strptime is width-LAX ('2018041' parses as 2018-04-01) where Spark's
-# try_to_timestamp is strict — the guard keeps the mirrors identical.
-# 9999 exclusion (ADVICE r14): '99991231_2300' is grammar-valid but the
-# +11h Sydney conversion overflows datetime.max (year 10000).
-_DATE_RE = re.compile(r"(?!0000|9999)[0-9]{8}\Z")
-_HOUR_RE = re.compile(r"[0-9]{2}\Z")
+# the PINNED filename-date grammar — compiled from the SHARED core
+# (decode.DATE_GRAMMAR/HOUR_GRAMMAR, one definition across all mirrors).
+# Python's strptime is width-LAX ('2018041' parses as 2018-04-01) where
+# Spark's try_to_timestamp is strict — the guard keeps the mirrors
+# identical; years 0000/9999 are excluded by the shared core.
+_DATE_RE = re.compile(DATE_GRAMMAR + r"\Z")
+_HOUR_RE = re.compile(HOUR_GRAMMAR + r"\Z")
 
 
 def _try_int(s: str):

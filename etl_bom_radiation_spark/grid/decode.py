@@ -64,6 +64,20 @@ def read_grid_files(
     )
 
 
+#: the PINNED filename date/hour grammar CORE, shared by every Python/
+#: Java-regex mirror (this module's fused rlike, the DataSource's and the
+#: driver-side pruner's compiled res) so the mirrors cannot drift — the
+#: DOUBLE_GRAMMAR discipline, applied after the grammar changed in two
+#: consecutive rounds (0000 r14, 9999 r15; review follow-up r15). The
+#: RE2-dialect oracles cannot use lookahead and keep their NOT LIKE
+#: renderings — parity-pinned by corpus cases WG44-WG46/WG54.
+#: Dates: exactly 8 ASCII digits, years 0000 (PySpark driver-side
+#: conversion crash) and 9999 (Sydney +11h rolls to year 10000,
+#: overflowing datetime.max) excluded. Hours: exactly 2 ASCII digits.
+DATE_GRAMMAR = r"(?!0000|9999)[0-9]{8}"
+HOUR_GRAMMAR = r"[0-9]{2}"
+
+
 def decoded_filename(path_col: str = "_path") -> Column:
     """The REAL filename from an ``input_file_name()`` path.
 
@@ -114,7 +128,7 @@ def with_filename_metadata(df: DataFrame, path_col: str = "_path") -> DataFrame:
     # identically in all three implementations.
     stamp = F.concat_ws(" ", date_piece, hour_piece)
     utc_ts = F.when(
-        stamp.rlike(r"^(?!0000|9999)[0-9]{8} [0-9]{2}$"),  # one fused regex
+        stamp.rlike(f"^{DATE_GRAMMAR} {HOUR_GRAMMAR}$"),  # one fused regex
         F.try_to_timestamp(stamp, F.lit("yyyyMMdd HH")),
     )
     return (

@@ -23,6 +23,8 @@ from zoneinfo import ZoneInfo
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .decode import DATE_GRAMMAR, HOUR_GRAMMAR
+
 _SYDNEY = ZoneInfo("Australia/Sydney")
 
 
@@ -41,14 +43,14 @@ def sydney_partition_for_filename(filename: str) -> tuple[int, int, int, int] | 
     pieces = stem.split("_")
     if len(pieces) < 4:
         return None
-    # the PINNED date grammar (decode.with_filename_metadata): 8 ASCII
-    # digits, years 0000/9999 excluded, 2-digit hour — strptime alone is
+    # the PINNED date grammar — the SHARED core (decode.DATE_GRAMMAR /
+    # HOUR_GRAMMAR; one definition across all mirrors): strptime alone is
     # width-lax ('2018041' parses) and 9999 overflows datetime.max in the
     # Sydney conversion (ADVICE r14). Pruning must agree with the
     # Catalyst parse exactly, or a listing-level prune would route a file
     # the decode NULL-dates into a real hour partition.
-    if not re.match(r"(?!0000|9999)[0-9]{8}\Z", pieces[2]) or not re.match(
-        r"[0-9]{2}\Z", pieces[3][:2]
+    if not re.match(DATE_GRAMMAR + r"\Z", pieces[2]) or not re.match(
+        HOUR_GRAMMAR + r"\Z", pieces[3][:2]
     ):
         return None
     try:

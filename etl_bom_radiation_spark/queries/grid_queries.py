@@ -184,11 +184,12 @@ _ORACLE_PTS = oracle_points(GRID_DIR)
 #: predicate bounds magnitude too, identically on both sides. 1e15 is
 #: binary-exact, far above any physical coordinate, and far below 2^63.
 COORD_BOUND = 1e15
-#: the oracle rendering of :func:`finite_coords` — one string so the
-#: g_coarsen / g_zorder_cluster oracles cannot drift from each other
+#: the oracle rendering of :func:`finite_coords` — interpolated from the
+#: SAME constant so neither the two oracles nor the Spark predicate can
+#: drift from each other (review follow-up r15)
 SQL_FINITE_COORDS = (
-    "isfinite(lon) AND isfinite(lat) "
-    "AND abs(lon) < 1e15 AND abs(lat) < 1e15"
+    f"isfinite(lon) AND isfinite(lat) "
+    f"AND abs(lon) < {COORD_BOUND!r} AND abs(lat) < {COORD_BOUND!r}"
 )
 
 

@@ -62,15 +62,14 @@ def _duck_one(col: str, kind: str | None) -> str:
         num = f"CAST({col} AS DOUBLE)"
     else:
         num = None
-    # ROUND only the "num" kind: epoch-micros are exact integers in a
-    # double (no fraction to round away), and DuckDB's double ROUND is
-    # LOSSY above ~2^53/10^6 — ROUND(1704495840000000.0, 6) returns
-    # ...0.2 (measured; the r15 relational fuzzer, seed 1517) where
-    # Spark's BigDecimal round is exact. Both sides therefore round
-    # num-kind only — identical expressions, no magnitude trap.
-    if kind == "num":
-        num_min, num_max = f"ROUND(MIN({num}), 6)", f"ROUND(MAX({num}), 6)"
-    elif num:
+    # NO rounding of min/max on either side: they are SELECTIONS of
+    # stored values (not accumulations), so both engines return the
+    # identical bit pattern — rounding adds nothing and DuckDB's double
+    # ROUND is LOSSY above ~2^53/10^6 (ROUND(1704495840000000.0, 6)
+    # returns ...0.2, measured; the r15 relational fuzzer, seed 1517,
+    # plus review follow-up: the same trap applies to any large num
+    # column, not just epoch-micros).
+    if num:
         num_min, num_max = f"MIN({num})", f"MAX({num})"
     else:
         num_min = num_max = "CAST(NULL AS DOUBLE)"
@@ -103,19 +102,17 @@ def x07_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.count(F.lit(1)).alias(f"{col}__rows"))
         aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{col}__null"))
         aggs.append(F.count_distinct(c).alias(f"{col}__dist"))
-        # round num-kind only, mirroring _duck_one: epoch-micros are
-        # exact integer doubles and DuckDB's ROUND is lossy at that
-        # magnitude (r15 fuzzer seed 1517)
+        # min/max unrounded, mirroring _duck_one: selections of stored
+        # values are bit-identical across engines, and DuckDB's double
+        # ROUND is lossy at large magnitude (r15 fuzzer seed 1517)
         if kind == "epoch":
-            aggs.append(F.min(F.unix_micros(c).cast("double")).alias(f"{col}__min"))
-            aggs.append(F.max(F.unix_micros(c).cast("double")).alias(f"{col}__max"))
+            nexpr = F.unix_micros(c).cast("double")
         elif kind == "num":
-            aggs.append(F.round(F.min(c.cast("double")), 6).alias(f"{col}__min"))
-            aggs.append(F.round(F.max(c.cast("double")), 6).alias(f"{col}__max"))
+            nexpr = c.cast("double")
         else:
             nexpr = F.lit(None).cast("double")
-            aggs.append(F.min(nexpr).alias(f"{col}__min"))
-            aggs.append(F.max(nexpr).alias(f"{col}__max"))
+        aggs.append(F.min(nexpr).alias(f"{col}__min"))
+        aggs.append(F.max(nexpr).alias(f"{col}__max"))
     wide = e.agg(*aggs)
     per_col = [
         F.struct(

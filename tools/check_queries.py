@@ -103,6 +103,11 @@ def main() -> int:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args) or not args[i + 1].endswith(".json"):
+            raise SystemExit(
+                "--json requires an output path ending in .json "
+                "(guards against eating a query filter as the filename)"
+            )
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
     filters = args
