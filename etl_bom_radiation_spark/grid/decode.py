@@ -131,13 +131,20 @@ def with_filename_metadata(df: DataFrame, path_col: str = "_path") -> DataFrame:
         stamp.rlike(f"^{DATE_GRAMMAR} {HOUR_GRAMMAR}$"),  # one fused regex
         F.try_to_timestamp(stamp, F.lit("yyyyMMdd HH")),
     )
-    return (
-        df.withColumn("_filename", filename)
-        .withColumn("_base", stem)  # full stem, mirroring bom.py:95 csv_name
-        .withColumn("RadiationType", F.try_element_at(pieces, F.lit(2)))  # bom.py:97
-        .withColumn("_utc_ts", utc_ts)
+    # ONE projection, not five chained withColumns: every withColumn
+    # re-analyzes the whole plan, and for the tiny-input consumers
+    # (g_gradient/g_regrid/g_zorder, maint_reprocess) plan BUILD time is
+    # 60-80% of entry wall time — the r15 quiet-capture bench isolated
+    # the r14 grammar-pin slowdown to exactly this analysis cost
+    # (measured: build 0.43->0.64 s on g_zorder with exec unchanged).
+    return df.select(
+        "*",
+        filename.alias("_filename"),
+        stem.alias("_base"),  # full stem, mirroring bom.py:95 csv_name
+        F.try_element_at(pieces, F.lit(2)).alias("RadiationType"),  # bom.py:97
+        utc_ts.alias("_utc_ts"),
         # bom.py:101-104: UTC -> Sydney wall clock (DST-aware).
-        .withColumn("Date", F.from_utc_timestamp(utc_ts, SYDNEY_TZ))
+        F.from_utc_timestamp(utc_ts, SYDNEY_TZ).alias("Date"),
     )
 
 
@@ -270,15 +277,18 @@ def decode_grids(
     )
 
     # G4: nodata filter (bom.py:144-147). Empty/non-numeric cells try_cast
-    # to NULL and are dropped by the same predicate (ANSI-safe).
+    # to NULL and are dropped by the same predicate (ANSI-safe). The
+    # filter references the cast expression directly; the named column
+    # materializes in the single output projection below (one analysis
+    # pass fewer — the plan-build-cost discipline of
+    # with_filename_metadata applies here too, r15).
     radiation = F.col("_cell").try_cast("int")
-    kept = cells.withColumn("Radiation", radiation).filter(
-        radiation.isNotNull() & (radiation != F.col("_nodata"))
-    )
+    kept = cells.filter(radiation.isNotNull() & (radiation != F.col("_nodata")))
 
-    # G5: coordinate arithmetic (bom.py:138-149).
-    #   lon = xll + col*cs ;  lat = (yll + nrows*cs) - (row+1)*cs
-    out = kept.select(
+    # G5/G6 in ONE projection: coordinate arithmetic (bom.py:138-149,
+    #   lon = xll + col*cs ;  lat = (yll + nrows*cs) - (row+1)*cs)
+    # plus the S4 partition keys (bom.py:28-32, Sydney-local).
+    return kept.select(
         "Date",
         "RadiationType",
         (F.col("_xll") + F.col("_col_idx") * F.col("_cellsize")).alias("Longitude"),
@@ -287,20 +297,19 @@ def decode_grids(
             + F.col("_nrows") * F.col("_cellsize")
             - (F.col("_row_idx") + 1) * F.col("_cellsize")
         ).alias("Latitude"),
-        "Radiation",
+        radiation.alias("Radiation"),
         *([F.col("_cellsize").alias("cellsize")] if keep_cellsize else []),
+        *(
+            [
+                F.year("Date").alias("year"),
+                F.month("Date").alias("month"),
+                F.dayofmonth("Date").alias("day"),
+                F.hour("Date").alias("hour"),
+            ]
+            if with_partition_cols
+            else []
+        ),
     )
-
-    if with_partition_cols:
-        # S4 partition keys (bom.py:28-32): Sydney-local year/month/day/hour.
-        out = out.select(
-            "*",
-            F.year("Date").alias("year"),
-            F.month("Date").alias("month"),
-            F.dayofmonth("Date").alias("day"),
-            F.hour("Date").alias("hour"),
-        )
-    return out
 
 
 def decode_grid_directory(spark: SparkSession, path: str, **kw) -> DataFrame:
