@@ -551,11 +551,17 @@ def q38b_datetime_more(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q46_regexp_extract_all",
+    # the COALESCE('') covers DuckDB's ARRAY_TO_STRING(empty list) ->
+    # NULL (Spark's array_join(empty) is '') but must NOT fire for NULL
+    # text, where Spark yields NULL too — r15 relational fuzzer, seed
+    # 1521 (the hand corpus' NULL text sits at a doc_id the % 5 filter
+    # drops, so four corpora never exercised it).
     oracle="""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
-           COALESCE(ARRAY_TO_STRING(list_sort(regexp_extract_all(text, '[0-9]+')), ','), '')
-               AS numbers_sorted,
+           CASE WHEN text IS NOT NULL THEN
+                COALESCE(ARRAY_TO_STRING(list_sort(regexp_extract_all(text, '[0-9]+')), ','), '')
+           END AS numbers_sorted,
            CAST(len(regexp_extract_all(text, '[a-z]{8,}')) AS BIGINT) AS n_longwords
     FROM documents WHERE doc_id % 5 = 0
     """,
