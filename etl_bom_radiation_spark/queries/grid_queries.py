@@ -246,7 +246,7 @@ def g_flagship_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_ORACLE_BASE
     + """
     SELECT fname, ncols, nrows,
-           ROUND(xll, 6) AS xll, ROUND(yll, 6) AS yll, ROUND(cs, 6) AS cs,
+           xll, yll, cs,
            nodata
     FROM meta
     """,
@@ -262,9 +262,14 @@ def g_header_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         decoded_filename().alias("fname"),
         _header_field(lines, 1).try_cast("int").alias("ncols"),
         _header_field(lines, 2).try_cast("int").alias("nrows"),
-        F.round(_header_double(lines, 3), 6).alias("xll"),
-        F.round(_header_double(lines, 4), 6).alias("yll"),
-        F.round(_header_double(lines, 5), 6).alias("cs"),
+        # UNROUNDED (grid fuzzer seed 88, r15): parsed header doubles are
+        # selections under the pinned grammar — bit-identical across
+        # engines with no rounding — and DuckDB's double ROUND is lossy
+        # at magnitude-dependent points (ROUND(1e188, 6) = 9.99...e187
+        # where Spark's BigDecimal round is exact; the x07 class).
+        _header_double(lines, 3).alias("xll"),
+        _header_double(lines, 4).alias("yll"),
+        _header_double(lines, 5).alias("cs"),
         _header_field(lines, 6).try_cast("int").alias("nodata"),
     )
 
