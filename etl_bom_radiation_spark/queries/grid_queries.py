@@ -175,6 +175,8 @@ def oracle_points(grid_dir: str) -> str:
 _ORACLE_BASE = oracle_base(GRID_DIR)
 #: scaffold + shared kept-points CTE for the decode-based oracles
 _ORACLE_PTS = oracle_points(GRID_DIR)
+#: guarded 6-dp rounds of the pts0 coordinates (defined below with
+#: round6/sql_round6; assigned after those helpers)
 
 
 #: long-quantizer-safe coordinate magnitude bound (ADVICE r14): a
@@ -191,6 +193,28 @@ SQL_FINITE_COORDS = (
     f"isfinite(lon) AND isfinite(lat) "
     f"AND abs(lon) < {COORD_BOUND!r} AND abs(lat) < {COORD_BOUND!r}"
 )
+
+
+#: magnitude guard for 6-dp coordinate rounding: below this, DuckDB's
+#: double ROUND is exact (x * 1e6 stays under 2^53); above it, ROUND is
+#: lossy at magnitude-dependent points (ROUND(1e188, 6) = 9.99…e187,
+#: measured — grid fuzzer seed 88) while Spark's BigDecimal round is
+#: always exact. 1e9 is binary-exact and far above any physical
+#: coordinate; huge grammar-valid headers pass through unrounded (their
+#: arithmetic is IEEE-identical on both engines anyway).
+ROUND_GUARD = 1e9
+
+
+def round6(c) -> "F.Column":
+    """Spark side of the guarded 6-dp round — MUST stay in lockstep with
+    :func:`sql_round6` (one pair, many call sites). NULL and NaN fall to
+    the otherwise branch unchanged on both engines."""
+    return F.when(F.abs(c) < ROUND_GUARD, F.round(c, 6)).otherwise(c)
+
+
+def sql_round6(e: str) -> str:
+    """DuckDB rendering of :func:`round6`."""
+    return f"CASE WHEN abs({e}) < {ROUND_GUARD!r} THEN ROUND({e}, 6) ELSE {e} END"
 
 
 def finite_coords() -> "F.Column":
@@ -213,11 +237,11 @@ def finite_coords() -> "F.Column":
 @register(
     "g_flagship_decode",
     oracle=_ORACLE_PTS
-    + """
+    + f"""
     SELECT strftime(syd, '%Y-%m-%d %H:%M') AS date_str,
            p[2] AS RadiationType,
-           ROUND(lon, 6) AS Longitude,
-           ROUND(lat, 6) AS Latitude,
+           {sql_round6('lon')} AS Longitude,
+           {sql_round6('lat')} AS Latitude,
            rad AS Radiation,
            CAST(year(syd) AS INT) AS year, CAST(month(syd) AS INT) AS month,
            CAST(day(syd) AS INT) AS day, CAST(hour(syd) AS INT) AS hour
@@ -231,8 +255,8 @@ def g_flagship_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select(
         F.date_format("Date", "yyyy-MM-dd HH:mm").alias("date_str"),
         "RadiationType",
-        F.round("Longitude", 6).alias("Longitude"),
-        F.round("Latitude", 6).alias("Latitude"),
+        round6(F.col("Longitude")).alias("Longitude"),
+        round6(F.col("Latitude")).alias("Latitude"),
         "Radiation",
         "year",
         "month",
@@ -302,13 +326,13 @@ def g_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "g_bbox_filter",
     oracle=_ORACLE_PTS
-    + """
-    SELECT ROUND(lon, 6) AS Longitude, ROUND(lat, 6) AS Latitude,
+    + f"""
+    SELECT {sql_round6('lon')} AS Longitude, {sql_round6('lat')} AS Latitude,
            CAST(SUM(rad) AS BIGINT) AS total_radiation,
            CAST(COUNT(*) AS BIGINT) AS obs
     FROM pts0
-    WHERE ROUND(lon, 6) BETWEEN 112.25 AND 113.25
-      AND ROUND(lat, 6) BETWEEN -43.75 AND -43.25
+    WHERE {sql_round6('lon')} BETWEEN 112.25 AND 113.25
+      AND {sql_round6('lat')} BETWEEN -43.75 AND -43.25
     GROUP BY 1, 2
     """,
 )
@@ -320,8 +344,8 @@ def g_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = decode_grid_directory(spark, GRID_DIR)
     return (
         pts.select(
-            F.round("Longitude", 6).alias("Longitude"),
-            F.round("Latitude", 6).alias("Latitude"),
+            round6(F.col("Longitude")).alias("Longitude"),
+            round6(F.col("Latitude")).alias("Latitude"),
             "Radiation",
         )
         .filter(
@@ -427,11 +451,11 @@ def g_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "g_datasource_decode",
     oracle=_ORACLE_PTS
-    + """
+    + f"""
     SELECT strftime(syd, '%Y-%m-%d %H:%M') AS date_str,
            p[2] AS RadiationType,
-           ROUND(lon, 6) AS Longitude,
-           ROUND(lat, 6) AS Latitude,
+           {sql_round6('lon')} AS Longitude,
+           {sql_round6('lat')} AS Latitude,
            rad AS Radiation,
            CAST(year(syd) AS INT) AS year, CAST(month(syd) AS INT) AS month,
            CAST(day(syd) AS INT) AS day, CAST(hour(syd) AS INT) AS hour
@@ -454,8 +478,8 @@ def g_datasource_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select(
         F.date_format("Date", "yyyy-MM-dd HH:mm").alias("date_str"),
         "RadiationType",
-        F.round("Longitude", 6).alias("Longitude"),
-        F.round("Latitude", 6).alias("Latitude"),
+        round6(F.col("Longitude")).alias("Longitude"),
+        round6(F.col("Latitude")).alias("Latitude"),
         "Radiation",
         "year",
         "month",
@@ -467,12 +491,12 @@ def g_datasource_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "g_cell_anomaly",
     oracle=_ORACLE_PTS
-    + """
+    + f"""
     , pts AS (
         SELECT strftime(syd, '%Y-%m-%d %H:%M') AS date_str,
                p[2] AS RadiationType,
-               ROUND(lon, 6) AS Longitude,
-               ROUND(lat, 6) AS Latitude,
+               {sql_round6('lon')} AS Longitude,
+               {sql_round6('lat')} AS Latitude,
                rad AS Radiation
         FROM pts0
     )
@@ -496,8 +520,8 @@ def g_cell_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = pts.select(
         F.date_format("Date", "yyyy-MM-dd HH:mm").alias("date_str"),
         "RadiationType",
-        F.round("Longitude", 6).alias("Longitude"),
-        F.round("Latitude", 6).alias("Latitude"),
+        round6(F.col("Longitude")).alias("Longitude"),
+        round6(F.col("Latitude")).alias("Latitude"),
         "Radiation",
     )
     w = Window.partitionBy("RadiationType", "Longitude", "Latitude")

@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import register
-from .grid_queries import MULTIRES_DIR, oracle_points
+from .grid_queries import MULTIRES_DIR, oracle_points, round6, sql_round6
 from ..grid.decode import decode_grid_directory
 
 _MULTIRES_PTS = oracle_points(MULTIRES_DIR)
@@ -58,7 +58,7 @@ _MULTIRES_PTS = oracle_points(MULTIRES_DIR)
 @register(
     "g_regrid_bilinear",
     oracle=_MULTIRES_PTS
-    + """
+    + f"""
     , pts AS (
         SELECT p[2] AS RadiationType,
                CAST(year(syd) AS INT) AS year, CAST(month(syd) AS INT) AS month,
@@ -74,14 +74,15 @@ _MULTIRES_PTS = oracle_points(MULTIRES_DIR)
     -- GROUP BY the ROUNDED keys (not the raw arithmetic): Spark groups on
     -- round(...,6), and on a non-binary-exact lattice ulp differences
     -- between arithmetic paths would otherwise split DuckDB groups that
-    -- Spark merges (code-review r4)
+    -- Spark merges (code-review r4). Rounds are magnitude-GUARDED
+    -- (sql_round6/round6 — fuzzer seed 88's lossy-DuckDB-ROUND class).
     SELECT RadiationType, year, month, day, hour,
-           ROUND(cs, 6) AS cellsize,
-           ROUND(tlon, 6) AS tlon, ROUND(tlat, 6) AS tlat,
+           {sql_round6('cs')} AS cellsize,
+           {sql_round6('tlon')} AS tlon, {sql_round6('tlat')} AS tlat,
            ROUND(CAST(SUM(rad) AS DOUBLE) / 4.0, 6) AS value
     FROM contrib
-    GROUP BY RadiationType, year, month, day, hour, ROUND(cs, 6),
-             ROUND(tlon, 6), ROUND(tlat, 6)
+    GROUP BY RadiationType, year, month, day, hour, {sql_round6('cs')},
+             {sql_round6('tlon')}, {sql_round6('tlat')}
     HAVING COUNT(*) = 4
     """,
 )
@@ -121,9 +122,9 @@ def g_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month",
             "day",
             "hour",
-            F.round(F.col("cellsize"), 6).alias("cellsize"),
-            F.round(F.col("t.tlon"), 6).alias("tlon"),
-            F.round(F.col("t.tlat"), 6).alias("tlat"),
+            round6(F.col("cellsize")).alias("cellsize"),
+            round6(F.col("t.tlon")).alias("tlon"),
+            round6(F.col("t.tlat")).alias("tlat"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_corners"),
@@ -137,7 +138,7 @@ def g_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "g_gradient",
     oracle=_MULTIRES_PTS
-    + """
+    + f"""
     , pts AS (
         SELECT p[2] AS RadiationType,
                CAST(year(syd) AS INT) AS year, CAST(month(syd) AS INT) AS month,
@@ -156,17 +157,17 @@ def g_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
                lon, lat - cs, NULL, rad FROM pts
     )
     SELECT RadiationType, year, month, day, hour,
-           ROUND(cs, 6) AS cellsize,
-           ROUND(tlon, 6) AS lon, ROUND(tlat, 6) AS lat,
-           ROUND(CAST(SUM(dxc) AS DOUBLE) / (2 * ROUND(cs, 6)), 6) AS grad_x,
-           ROUND(CAST(SUM(dyc) AS DOUBLE) / (2 * ROUND(cs, 6)), 6) AS grad_y,
-           ROUND(sqrt((CAST(SUM(dxc) AS DOUBLE) / (2 * ROUND(cs, 6))) ^ 2
-                    + (CAST(SUM(dyc) AS DOUBLE) / (2 * ROUND(cs, 6))) ^ 2), 6)
+           {sql_round6('cs')} AS cellsize,
+           {sql_round6('tlon')} AS lon, {sql_round6('tlat')} AS lat,
+           ROUND(CAST(SUM(dxc) AS DOUBLE) / (2 * {sql_round6('cs')}), 6) AS grad_x,
+           ROUND(CAST(SUM(dyc) AS DOUBLE) / (2 * {sql_round6('cs')}), 6) AS grad_y,
+           ROUND(sqrt((CAST(SUM(dxc) AS DOUBLE) / (2 * {sql_round6('cs')})) ^ 2
+                    + (CAST(SUM(dyc) AS DOUBLE) / (2 * {sql_round6('cs')})) ^ 2), 6)
                AS magnitude
     FROM contrib
-    -- rounded grouping keys for the same reason as the regrid oracle
-    GROUP BY RadiationType, year, month, day, hour, ROUND(cs, 6),
-             ROUND(tlon, 6), ROUND(tlat, 6)
+    -- rounded (magnitude-guarded) grouping keys, as in the regrid oracle
+    GROUP BY RadiationType, year, month, day, hour, {sql_round6('cs')},
+             {sql_round6('tlon')}, {sql_round6('tlat')}
     HAVING COUNT(*) = 4
     """,
 )
@@ -221,8 +222,9 @@ def g_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(contribs).alias("c"),
     )
     # group-constant lattice step: cellsize is part of the grouping key, so
-    # first() inside the agg is deterministic; rounded to mirror the oracle
-    step = F.round(F.first("cellsize"), 6)
+    # first() inside the agg is deterministic; guarded-rounded to mirror
+    # the oracle
+    step = round6(F.first("cellsize"))
     gx = F.sum(F.col("c.dxc")).cast("double") / (2 * step)
     gy = F.sum(F.col("c.dyc")).cast("double") / (2 * step)
     return (
@@ -232,9 +234,9 @@ def g_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month",
             "day",
             "hour",
-            F.round(F.col("cellsize"), 6).alias("cellsize"),
-            F.round(F.col("c.tlon"), 6).alias("lon"),
-            F.round(F.col("c.tlat"), 6).alias("lat"),
+            round6(F.col("cellsize")).alias("cellsize"),
+            round6(F.col("c.tlon")).alias("lon"),
+            round6(F.col("c.tlat")).alias("lat"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_contrib"),

@@ -39,7 +39,13 @@ from pyspark.sql import functions as F
 from . import register
 from ..grid.decode import decode_grid_directory
 from ..scale import zorder_key, zorder_key_sql
-from .grid_queries import MULTIRES_DIR, SQL_FINITE_COORDS, oracle_points
+from .grid_queries import (
+    MULTIRES_DIR,
+    SQL_FINITE_COORDS,
+    oracle_points,
+    round6,
+    sql_round6,
+)
 
 _MULTIRES_PTS = oracle_points(MULTIRES_DIR)
 
@@ -64,7 +70,7 @@ X0, Y0, QUANTUM = 110.0, -47.0, 0.125
         WHERE {SQL_FINITE_COORDS}
     )
     SELECT RadiationType,
-           ROUND(lon, 6) AS lon, ROUND(lat, 6) AS lat,
+           {sql_round6('lon')} AS lon, {sql_round6('lat')} AS lat,
            CAST(rad AS INT) AS radiation,
            CAST({zorder_key_sql("lon", "lat", X0, Y0, QUANTUM)} AS BIGINT) AS zkey
     FROM pts
@@ -86,8 +92,8 @@ def g_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = decode_grid_directory(spark, MULTIRES_DIR).filter(finite_coords())
     return pts.select(
         "RadiationType",
-        F.round("Longitude", 6).alias("lon"),
-        F.round("Latitude", 6).alias("lat"),
+        round6(F.col("Longitude")).alias("lon"),
+        round6(F.col("Latitude")).alias("lat"),
         F.col("Radiation").alias("radiation"),
         zorder_key(F.col("Longitude"), F.col("Latitude"), X0, Y0, QUANTUM).alias(
             "zkey"

@@ -280,6 +280,14 @@ def write_weird_grids(out_dir: str) -> str:
         nodata="\x7f-999\x7f",
         body="10 \x7f3 22\x7f 13\n1\x7f2 21 22 23\n30 31 32 33\n"))
 
+    # lossy-ROUND band (grid fuzzer seed 88, r15): 188 nines = 1e188 is
+    # finite and grammar-valid, and DuckDB's ROUND(x, 6) corrupts it
+    # (9.99...e187) where Spark's BigDecimal round is exact — the
+    # guarded round6/sql_round6 pair passes it through unrounded on both
+    # sides. Both corners so lon AND lat take the huge branch.
+    _w(out_dir, "WG61_GLOBAL_20180401_0118.txt", _grid(
+        xll="9" * 188, yll="9" * 188, body="10 11 12 13\n"))
+
     # huge-but-FINITE corner (ADVICE r14): xll=1e300 decodes fine
     # (lon = 1e300 exactly — the +0.5 lattice step is absorbed), but
     # FLOOR(lon) overflows BIGINT in DuckDB where Spark's floor->long
