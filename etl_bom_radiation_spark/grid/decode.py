@@ -108,7 +108,21 @@ def with_filename_metadata(df: DataFrame, path_col: str = "_path") -> DataFrame:
     doesn't match the grammar yields NULL metadata instead of aborting the
     batch (the reference's per-file try/except, bom.py:82-84; malformed rows
     are routed to quarantine by the ingest layer, not crashed on).
+
+    Precondition (ADVICE r15): the input must NOT already carry any of the
+    five output columns. The r15 plan-build fix replaced chained
+    ``withColumn`` (which REPLACES same-named columns) with a single
+    ``select("*", ...)`` projection, which would instead emit duplicate /
+    ambiguous columns — asserted here because the helper is public API.
     """
+    _OUT_COLS = {"_filename", "_base", "RadiationType", "_utc_ts", "Date"}
+    clash = _OUT_COLS.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_filename_metadata: input already carries {sorted(clash)}; "
+            "pass a fresh (_path, _content) frame (the select('*', ...) "
+            "projection would produce ambiguous duplicate columns)"
+        )
     filename = decoded_filename(path_col)
     stem = F.regexp_replace(filename, r"\.[^.]*$", "")  # os.path.splitext, bom.py:95
     pieces = F.split(stem, "_")  # bom.py:96

@@ -231,10 +231,12 @@ def q40_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     --   "7" / " +7 " both extract, while '2.9', '"x"', objects and
     --   booleans are NULL (DuckDB's bare VARCHAR->INT cast would round
     --   '2.9' to 3, hence the regexp admission). Spark's try_cast trims
-    --   EVERY char <= 0x20 (tab, newline, even \\x01 — UTF8String
-    --   trimAll), not just spaces, so the oracle strips that same class
-    --   via regexp before matching/casting (ADVICE r13; measured: Spark
-    --   try_cast('\\x017')=7 while DuckDB TRY_CAST NULLs it);
+    --   EVERY char <= 0x20 PLUS \\x7f/DEL (tab, newline, even \\x01 —
+    --   UTF8String trimAll; the \\x7f member found by the r15 byte
+    --   fuzzer, ADVICE r15 closed this third mirror), so the oracle
+    --   strips that same class via regexp before matching/casting
+    --   (ADVICE r13; measured: Spark try_cast('\\x017')=7 and
+    --   try_cast('\\x7f7')=7 while DuckDB TRY_CAST NULLs both);
     -- * k_struct (from_json "k INT"): JSON-TYPE-strict — integers only
     --   (BIGINT/UBIGINT by sign in DuckDB's json_type), string "7" is
     --   NULL.
@@ -247,11 +249,11 @@ def q40_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     regexp_replace(
                                       json_extract_string(
                                         TRY_CAST(props AS JSON), '$.k'),
-                                      '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g'),
+                                      '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g'),
                                     '[+-]?[0-9]+')
                          THEN regexp_replace(
                                 json_extract_string(TRY_CAST(props AS JSON), '$.k'),
-                                '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')
+                                '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g')
                     END AS INT) AS k_path,
            TRY_CAST(CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k')
                               IN ('INTEGER', 'BIGINT', 'UBIGINT')

@@ -343,3 +343,25 @@ def test_regrid_and_gradient_match_independent_python_model(spark):
     # and nothing beyond the model's gated targets
     assert set(got_regrid) == set(want_regrid)
     assert set(got_grad) == set(want_grad)
+
+
+def test_with_filename_metadata_rejects_colliding_input(spark):
+    """ADVICE r15: the helper is public API and now projects via
+    select("*", ...), which would emit ambiguous duplicate columns if the
+    input already carries an output name — it must refuse loudly instead."""
+    import pytest
+
+    from etl_bom_radiation_spark.grid.decode import with_filename_metadata
+
+    fresh = spark.createDataFrame(
+        [("a/IDCJ0000_GLOBAL_20180401_0100.txt", "x")], ["_path", "_content"]
+    )
+    out = with_filename_metadata(fresh)
+    assert len(out.columns) == len(set(out.columns))  # no duplicates
+    with pytest.raises(ValueError, match="already carries"):
+        with_filename_metadata(out)  # carries all five output columns
+    from pyspark.sql import functions as F
+
+    stale = fresh.withColumn("Date", F.lit("already-there"))
+    with pytest.raises(ValueError, match="Date"):
+        with_filename_metadata(stale)

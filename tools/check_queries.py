@@ -126,7 +126,13 @@ def main() -> int:
     results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
+        # "status" is the unambiguous per-query outcome (ADVICE r15: a
+        # consumer counting non-null err must not read the contractual
+        # rows-only entries as failures); "err" keeps the driver-
+        # CORRECTNESS shape, where "no_oracle" marks rows-only and
+        # "spark:/duckdb: ..." mark real engine exceptions.
         rec = {
+            "status": None,
             "rows_match": None, "schema_match": None, "hash_match": None,
             "spark_rows": None, "oracle_rows": None, "err": None,
         }
@@ -137,12 +143,14 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             rec["err"] = f"spark: {type(e).__name__}"
+            rec["status"] = "fail"
             n_fail += 1
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"ROWS  {name}: rows={len(got)} (no oracle) [{time.time()-t0:.1f}s]")
             rec["err"] = "no_oracle"
+            rec["status"] = "rows_only"
             n_rows_only += 1
             continue
         try:
@@ -151,6 +159,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
             rec["err"] = f"duckdb: {type(e).__name__}"
+            rec["status"] = "fail"
             n_fail += 1
             continue
         problems = compare(name, got, want)
@@ -159,11 +168,13 @@ def main() -> int:
         rec["hash_match"] = problems == []
         if problems:
             n_fail += 1
+            rec["status"] = "fail"
             print(f"FAIL  {name}: [{time.time()-t0:.1f}s]")
             for p in problems:
                 print(f"      {p}")
         else:
             n_pass += 1
+            rec["status"] = "pass"
             print(f"PASS  {name}: rows={len(got)} [{time.time()-t0:.1f}s]")
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")

@@ -580,6 +580,11 @@ def write_dirty_corpus(out_dir: str) -> str:
         '{"k": "8\\n"}',                # trailing-newline string integer
         '{"k": "\\u00019"}',            # \x01-padded: still <= 0x20, so
                                         # Spark yields 9 (ADVICE r13)
+        '{"k": "\\u007f7"}',            # \x7f/DEL-padded: UTF8String
+                                        # trimAll strips <= 0x20 PLUS DEL,
+                                        # so Spark try_cast yields 7; the
+                                        # oracle's class must include \x7f
+                                        # (ADVICE r15, r15 byte fuzzer)
     ]
     ev_n = 30
     ts4 = [_ts(1, 9, 0), _ts(1, 9, 10), _ts(1, 9, 20), _ts(1, 11, 0)]
