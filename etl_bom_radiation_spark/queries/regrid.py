@@ -165,6 +165,13 @@ def g_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + (CAST(SUM(dyc) AS DOUBLE) / (2 * {sql_round6('cs')})) ^ 2), 6)
                AS magnitude
     FROM contrib
+    -- degenerate-lattice guard (r16 grid fuzzer, seed 93): a header with
+    -- cellsize 0 (or tiny enough that the guarded round collapses it to
+    -- 0) makes the central-difference divisor zero — Spark ABORTS under
+    -- ANSI where DuckDB NULLs; both sides exclude exactly the grids
+    -- whose ROUNDED step is 0 (the value both divide by). COALESCE keeps
+    -- NULL-cellsize rows: they divide by NULL -> NULL on both engines.
+    WHERE COALESCE({sql_round6('cs')} <> 0, TRUE)
     -- rounded (magnitude-guarded) grouping keys, as in the regrid oracle
     GROUP BY RadiationType, year, month, day, hour, {sql_round6('cs')},
              {sql_round6('tlon')}, {sql_round6('tlat')}
@@ -220,6 +227,13 @@ def g_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         "cellsize",
         F.explode(contribs).alias("c"),
+    ).filter(
+        # degenerate-lattice guard (r16 grid fuzzer, seed 93): the central
+        # difference divides by the ROUNDED step below — a cellsize-0
+        # header (or one the guarded round collapses to 0) is an ANSI
+        # DIVIDE_BY_ZERO abort. Mirror of the oracle's WHERE COALESCE(...)
+        # — NULL cellsize stays (NULL divisor -> NULL on both engines).
+        F.coalesce(round6(F.col("cellsize")) != 0, F.lit(True))
     )
     # group-constant lattice step: cellsize is part of the grouping key, so
     # first() inside the agg is deterministic; guarded-rounded to mirror

@@ -73,7 +73,11 @@ def q36_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(LN(l_extendedprice), 6) AS lg,
            ROUND(LOG10(l_extendedprice), 6) AS l10,
            CAST(SIGN(l_extendedprice - 30000) AS INT) AS sg,
-           CAST(MOD(CAST(l_quantity AS BIGINT), 7) AS BIGINT) AS md
+           -- TRUNC first (r16 fuzzer): Spark's double->integral cast
+           -- TRUNCATES toward zero while DuckDB's CAST rounds to nearest
+           -- (-48.75 -> Spark -48, DuckDB -49) — invisible until the r16
+           -- corpus made l_quantity fractional
+           CAST(MOD(CAST(TRUNC(l_quantity) AS BIGINT), 7) AS BIGINT) AS md
     FROM lineitem
     """,
 )

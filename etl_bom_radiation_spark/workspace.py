@@ -157,11 +157,24 @@ def add_partitions(spark: SparkSession, fq_table: str, parts: list[dict]) -> int
 
 def register_batch_partitions(spark: SparkSession, fq_table: str, ws: Workspace, parts) -> None:
     """T8/D2-D4 composed: the post-commit metadata hook — MSCK once (marker
-    branch, bom_partition.py:152-163), ADD PARTITION afterwards."""
+    branch, bom_partition.py:152-163), ADD PARTITION afterwards, then a
+    table refresh.
+
+    The refresh closes a staleness hole the r16 streaming-ingest fuzzer
+    found (seed 1622): a batch whose files all land in ALREADY-registered
+    partitions (including the default partition) fires no ALTER TABLE at
+    all, so a catalog reader's cached file index never learns about the
+    newly published files — ``spark.table(t).count()`` stayed at the old
+    total while the direct parquet read saw the new rows. MSCK/ADD
+    invalidate the cache only for the partitions they touch; the explicit
+    refresh covers the appended-to-existing-partition case (the common
+    steady-state shape: most hours receive many files). Metadata-only,
+    no data scan."""
     if not msck_completed(spark, ws, fq_table):
         repair_table(spark, fq_table, ws)
     else:
         add_partitions(spark, fq_table, parts)
+    spark.catalog.refreshTable(fq_table)
 
 
 def register_run_file_partition(

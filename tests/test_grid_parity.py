@@ -142,8 +142,11 @@ def test_datasource_row_identical_on_binary_corpus(spark, binary_dir):
     cat = decode_grid_directory(spark, binary_dir)
     ds = spark.read.format("esri_grid").load(binary_dir)
     cols = cat.columns
-    assert sorted(map(tuple, cat.select(*cols).collect())) == sorted(
-        map(tuple, ds.select(*cols).collect())
+    # repr-keyed sort: a fuzz filename whose hour token is out of range
+    # (e.g. the FB...x024_..._2400 draw) decodes with NULL Date, and a
+    # plain tuple sort dies on None < datetime (r16 hunt harness find)
+    assert sorted(map(tuple, cat.select(*cols).collect()), key=repr) == sorted(
+        map(tuple, ds.select(*cols).collect()), key=repr
     )
 
 
@@ -327,12 +330,18 @@ def test_weird_corpus_liveness(weird_dir):
 
 
 # ----------------------------------------------------------- seeded fuzzer
-#: the committed r15 fuzz seed (VERDICT r14 #4). Deterministic: the sweep
-#: below is exactly reproducible from this constant; a new round bumps the
-#: seed (recording it in DRIFT) so each round explores new random shapes
-#: while past seeds' classes stay covered by the hand corpus pins they
-#: produced.
-FUZZ_SEED = 1515
+#: the committed r16 fuzz seed (VERDICT r15 #5 bump; r15 shipped 1515).
+#: Deterministic: the sweep below is exactly reproducible from this
+#: constant; a new round bumps the seed (recording it in DRIFT) so each
+#: round explores new random shapes while past seeds' classes stay
+#: covered by the hand corpus pins they produced. The r16 offline hunt
+#: (text+byte seeds 90-100, 1616) found one real class — a cellsize-0
+#: header ANSI-aborts the gradient's central difference (seed 93) —
+#: fixed with the rounded-step-0 exclusion and pinned as WG62/WG63.
+#: 1616 matches tests/test_ingest.py::INGEST_FUZZ_SEED by design: the
+#: same corpus shape is swept through both the batch oracles and the
+#: streaming drain.
+FUZZ_SEED = 1616
 
 
 @pytest.fixture(scope="module")

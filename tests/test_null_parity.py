@@ -78,11 +78,17 @@ from tools.gen_weird_corpus import (
     write_tie_corpus,
 )
 
-#: the committed r15 relational fuzz seed (VERDICT r14 #4). Seed 1515's
-#: first sweep caught a REAL engine drift invisible on four hand corpora:
-#: Spark levenshtein counts codepoints, DuckDB counts bytes (q36b oracle
-#: now transcodes). Deterministic: bump per round, recording in DRIFT.
-FUZZ_SEED = 1515
+#: the committed r16 relational fuzz seed (VERDICT r15 #5). The r16
+#: generator widened the value classes the map/struct/JSON/calendar/
+#: extended-agg oracles consume (fuzzed props JSON, weird-atom enums,
+#: 1700-2260 calendar dates, negative/fractional quantities, extreme
+#: line numbers); the first widened sweep caught a REAL mirror drift
+#: invisible on all prior corpora: Spark's double->integral cast
+#: TRUNCATES toward zero, DuckDB's CAST rounds to nearest (q37 oracle
+#: now TRUNCs first). Deterministic: bump per round, recording in DRIFT.
+#: (r15: 1515 — levenshtein codepoint-vs-byte + 5 more; r14 sweep notes
+#: in DRIFT_r15.)
+FUZZ_SEED = 1601
 
 QS = load_all()
 

@@ -676,6 +676,7 @@ def write_fuzz_corpus(out_dir: str, seed: int) -> str:
     * primary keys stay unique and non-NULL;
     * text/enum pools reuse the hand corpora's adversarial atoms.
     """
+    import json as _json
     import random
 
     rng = random.Random(seed)
@@ -683,6 +684,69 @@ def write_fuzz_corpus(out_dir: str, seed: int) -> str:
 
     def maybe_null(vals: list, rate: float = 0.15) -> list:
         return [None if rng.random() < rate else v for v in vals]
+
+    # widened value classes (VERDICT r15 #5): the map/struct/JSON/calendar/
+    # extended-agg oracle families (q40/q41/q48/q38b/q45, n07) had never
+    # seen fuzzed inputs — their consuming columns previously drew from
+    # clean enum pools only. The weird-string atoms reach q48's to_json
+    # rendering (escaping), q40's map values, and every group-by/order-by
+    # that touches event_type / o_orderpriority; both engines order
+    # strings by raw UTF-8 bytes so the draws stay hash-deterministic.
+    weird_atoms = [
+        'O\'Brien "Quoted" & Co.',
+        "back\\slash",
+        "line\nbreak",
+        "tab\there",
+        "  padded  ",
+        "unicode köln",
+        "emoji \U0001f998 tail",  # non-BMP: surrogate-pair JSON escapes
+        "<html>&amp;</html>",
+        "",
+        "ctrl\x01char",
+        "del\x7fchar",
+    ]
+
+    def enum_or_weird(pool: list, weird_rate: float = 0.25) -> str:
+        if rng.random() < weird_rate:
+            return rng.choice(weird_atoms)
+        return rng.choice(pool)
+
+    def fuzz_json() -> str:
+        """events.props draw: clean / malformed / every JSON type for k,
+        including string-typed k padded with Spark's trimAll class
+        (<=0x20 + DEL) — the q41/n07 coercion surface."""
+        r = rng.random()
+        if r < 0.30:  # clean, the hand-corpus shape
+            return '{"k":%d,"tag":"t%d"}' % (rng.randint(0, 30), rng.randint(0, 3))
+        if r < 0.42:  # malformed / non-object documents
+            return rng.choice(
+                ["{bad", "", "[1,2]", "123", "null", '{"k":', "  ", "true",
+                 '{"k" 1}', "{}"]
+            )
+        kind = rng.randrange(6)
+        if kind == 0:  # integer k: int32 overflow, 2^53 neighborhood, big
+            return '{"k": %d}' % rng.choice(
+                [3000000000, -3000000000, 2147483647, -2147483648,
+                 9007199254740993, rng.randint(-10**18, 10**18),
+                 rng.randint(-40, 40)]
+            )
+        if kind == 1:  # non-integer-typed k
+            return '{"k": %s}' % rng.choice(
+                ["2.9", "-0.5", "1e3", "0.0", "true", "false", "null",
+                 '{"n": 1}', "[1]"]
+            )
+        if kind == 2:  # string-typed k: numeric cores under trimAll padding
+            pad_l = rng.choice(["", " ", "\t", "\n", "\x01", "\x7f", "\x0b"])
+            pad_r = rng.choice(["", " ", "\t", "\x7f"])
+            core = rng.choice(["7", "+12", "-3", "007", "x", "2.9", "", "1e2"])
+            return _json.dumps({"k": pad_l + core + pad_r})
+        if kind == 3:  # weird string k / extra keys
+            return _json.dumps(
+                {"k": rng.choice(weird_atoms), "tag": rng.choice(weird_atoms)}
+            )
+        if kind == 4:  # whitespace-padded document, clean payload
+            return "  " + _json.dumps({"k": rng.randint(0, 9)}) + " "
+        return _json.dumps({"tag": "no k", "other": rng.randint(0, 5)})
 
     def distinct_fracs(n: int, lo: int, hi: int, q: int = 64) -> list:
         """n pairwise-distinct multiples of 1/q in [lo, hi)."""
@@ -763,8 +827,34 @@ def write_fuzz_corpus(out_dir: str, seed: int) -> str:
     })
 
     n_ord = rng.randint(20, 34)
-    # distinct order dates: sampled day offsets (some NULLed after)
-    odays = rng.sample(range(1, 90), n_ord)
+    # distinct order dates (r16 calendar fuzz, VERDICT r15 #5): ~2/3 stay
+    # in the hand corpora's 2024 neighborhood, ~1/3 sample the wide
+    # proleptic-Gregorian range 1700-2260 (capped inside pandas' ns
+    # Timestamp range so toPandas round-trips; both engines are proleptic
+    # Gregorian so 1700+ draws also dodge the 1582 cutover) — leap days,
+    # month ends and century boundaries reach q38b's add_months /
+    # quarter / date_trunc arithmetic. Distinctness: sampled ordinals.
+    from datetime import date as _date, datetime as _dt
+
+    wide_lo = _date(1700, 1, 1).toordinal()
+    wide_hi = _date(2260, 12, 31).toordinal()
+    n_wide = n_ord // 3
+    ords = [
+        _date(2024, 1, 1).toordinal() + d for d in rng.sample(range(1, 90), n_ord - n_wide)
+    ] + rng.sample(range(wide_lo, wide_hi), n_wide)
+    # nudge some wide draws onto calendar edges (Feb 29, Dec 31, month ends)
+    edge_days = [
+        _date(2000, 2, 29), _date(1900, 12, 31), _date(2100, 1, 31),
+        _date(1999, 12, 31), _date(2024, 2, 29), _date(1752, 9, 30),
+    ]
+    for i in range(min(len(edge_days), n_wide)):
+        ords[n_ord - 1 - i] = edge_days[i].toordinal()
+    ords = list(dict.fromkeys(ords))  # dedupe, keep order
+    while len(ords) < n_ord:  # refill any collisions, staying distinct
+        c = rng.randrange(wide_lo, wide_hi)
+        if c not in ords:
+            ords.append(c)
+    odates = [_dt.fromordinal(o) for o in ords]
     _write(out_dir, "orders", pa.schema([
         ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
         ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
@@ -775,8 +865,8 @@ def write_fuzz_corpus(out_dir: str, seed: int) -> str:
         "o_orderstatus": maybe_null([rng.choice(["O", "F", "P"])
                                      for _ in range(n_ord)]),
         "o_totalprice": maybe_null(distinct_fracs(n_ord, 1000, 1100)),
-        "o_orderdate": maybe_null([_ts(d) for d in odays], 0.1),
-        "o_orderpriority": maybe_null([rng.choice(
+        "o_orderdate": maybe_null(odates, 0.1),
+        "o_orderpriority": maybe_null([enum_or_weird(
             ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
             for _ in range(n_ord)]),
     })
@@ -794,9 +884,17 @@ def write_fuzz_corpus(out_dir: str, seed: int) -> str:
         "l_orderkey": fk_pool(list(range(1, n_ord + 1)), n_li, 777),
         "l_partkey": fk_pool(list(range(1, n_part + 1)), n_li, 555),
         "l_suppkey": fk_pool(list(range(1, n_supp + 1)), n_li, 444),
-        "l_linenumber": [rng.randint(1, 4) for _ in range(n_li)],
-        "l_quantity": maybe_null([float(rng.randint(1, 50))
-                                  for _ in range(n_li)], 0.1),
+        # r16 (VERDICT r15 #5): negative/large line numbers reach q45's
+        # bit_and/bit_or/bit_xor two's-complement reductions; negative
+        # and fractional quantities give bool_and(l_quantity > 0) and
+        # median interpolation real work
+        "l_linenumber": [rng.choice(
+            [rng.randint(-5, 8), 2147483647, -2147483648, 0]
+            if rng.random() < 0.2 else [rng.randint(1, 4)])
+            for _ in range(n_li)],
+        "l_quantity": maybe_null(
+            [float(rng.randint(-50, 50)) + rng.choice([0.0, 0.25, 0.5])
+             for _ in range(n_li)], 0.1),
         "l_extendedprice": maybe_null(distinct_fracs(n_li, 100, 1000), 0.1),
         "l_discount": maybe_null([rng.randint(0, 3) / 16 for _ in range(n_li)], 0.2),
         "l_tax": maybe_null([rng.randint(0, 3) / 32 for _ in range(n_li)], 0.2),
@@ -820,12 +918,13 @@ def write_fuzz_corpus(out_dir: str, seed: int) -> str:
         "ts": maybe_null([_ts(1 + s // (24 * 60), (s // 60) % 24, s % 60)
                           for s in slots], 0.1),
         "user_id": maybe_null([rng.randint(7, 12) for _ in range(n_ev)]),
-        "event_type": maybe_null([rng.choice(["view", "click", "purchase"])
+        # r16 (VERDICT r15 #5): weird-atom event types reach q40's map
+        # values and every event_type group-by; fuzz_json() sweeps the
+        # q41/n07 JSON coercion surface with typed/malformed/padded k
+        "event_type": maybe_null([enum_or_weird(["view", "click", "purchase"])
                                   for _ in range(n_ev)]),
         "value": maybe_null(distinct_fracs(n_ev, 0, 40)),
-        "props": maybe_null(['{"k":%d,"tag":"t%d"}' % (rng.randint(0, 30),
-                                                       rng.randint(0, 3))
-                             for _ in range(n_ev)]),
+        "props": maybe_null([fuzz_json() for _ in range(n_ev)]),
     })
 
     # documents: random token soup with deliberate exact dups, near-dups

@@ -288,6 +288,16 @@ def write_weird_grids(out_dir: str) -> str:
     _w(out_dir, "WG61_GLOBAL_20180401_0118.txt", _grid(
         xll="9" * 188, yll="9" * 188, body="10 11 12 13\n"))
 
+    # degenerate lattice (r16 grid fuzzer, seed 93): cellsize 0 makes the
+    # gradient's central-difference divisor zero — Spark ANSI-aborts,
+    # DuckDB NULLs; the gradient now excludes rounded-step-0 grids on
+    # both sides. A tiny-but-nonzero step (1e-9) collapses to 0 under the
+    # guarded 6-dp round and must take the same exclusion.
+    _w(out_dir, "WG62_GLOBAL_20180401_0119.txt", _grid(
+        cs="0", body="10 11 12 13\n20 21 22 23\n"))
+    _w(out_dir, "WG63_GLOBAL_20180401_0120.txt", _grid(
+        cs="1e-9", body="10 11 12 13\n20 21 22 23\n"))
+
     # huge-but-FINITE corner (ADVICE r14): xll=1e300 decodes fine
     # (lon = 1e300 exactly — the +0.5 lattice step is absorbed), but
     # FLOOR(lon) overflows BIGINT in DuckDB where Spark's floor->long
