@@ -58,7 +58,32 @@ def write_bucketed(
 
     Sorting within buckets lets the subsequent SortMergeJoin skip its sort
     phase entirely — the join becomes a streaming merge of pre-sorted,
-    co-located buckets."""
+    co-located buckets.
+
+    Crash-leftover guard (r16): a process killed between the managed
+    table's directory creation and its catalog registration leaves an
+    orphaned location that makes every later ``saveAsTable`` abort with
+    LOCATION_ALREADY_EXISTS — ``mode="overwrite"`` can't recover because
+    the catalog has no table to overwrite. Under overwrite semantics the
+    caller has declared the old contents disposable, so if the table is
+    absent from the catalog but its would-be managed location exists, the
+    stale directory is removed before writing."""
+    if mode == "overwrite":
+        spark = df.sparkSession
+        if not spark.catalog.tableExists(table):
+            import os
+            import shutil
+
+            warehouse = spark.conf.get("spark.sql.warehouse.dir")
+            if warehouse.startswith("file:"):
+                warehouse = warehouse[len("file:"):]
+            db, _, tbl = table.rpartition(".")
+            parent = (
+                os.path.join(warehouse, f"{db.lower()}.db") if db else warehouse
+            )
+            loc = os.path.join(parent, tbl.lower())
+            if os.path.isdir(loc):
+                shutil.rmtree(loc)
     writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, bucket_col)
     if sort:
         writer = writer.sortBy(bucket_col)

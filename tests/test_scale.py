@@ -39,6 +39,34 @@ def test_bucketed_join_no_exchange(spark, tables):
         spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_write_bucketed_recovers_from_orphaned_location(spark, tables):
+    """Crash-leftover guard (r16): a kill between the managed table's
+    directory creation and its catalog registration leaves a location
+    with no table — saveAsTable then aborts with LOCATION_ALREADY_EXISTS
+    forever, and mode="overwrite" can't recover (no catalog entry to
+    overwrite). write_bucketed must clear the stale directory and
+    succeed. Found live: the r16 bench loop's attempt-4 kill wedged
+    every subsequent capture."""
+    import os
+
+    li, _ = tables
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    spark.sql("DROP TABLE IF EXISTS b_orphan_t")
+    loc = os.path.join(warehouse, "b_orphan_t")
+    os.makedirs(os.path.join(loc, "junk"), exist_ok=True)  # the orphan
+    try:
+        scale.write_bucketed(li, "b_orphan_t", "l_orderkey", num_buckets=4)
+        assert spark.table("b_orphan_t").count() == li.count()
+        # second overwrite over a REGISTERED table still works (the
+        # guard must not touch a live table's location)
+        scale.write_bucketed(li, "b_orphan_t", "l_orderkey", num_buckets=4)
+        assert spark.table("b_orphan_t").count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orphan_t")
+
+
 def test_salted_join_matches_plain_join(spark, tables):
     """Salting scatters the hot key across `salt` reducers without changing
     the join result."""
