@@ -109,7 +109,7 @@ from pyspark.sql import functions as F
 from .queries.banded_lsh import BUCKET_CAP, band_frame, gate_buckets, hashed_sets
 from .queries.incremental_lsh import shard_verdicts
 from .queries.llm_queries import _shingles, _tokens
-from .queries.minhash_eval import sketch_signatures
+from .queries.minhash_eval import sketch_from_hashes
 
 _META = "meta.json"
 
@@ -127,16 +127,20 @@ def _sketch_frames(spark: SparkSession, docs: DataFrame, gate: bool = True):
     for a (doc_id, text) frame — the exact n42/n49 stages (shared
     helpers), one text pass.  ``update_lsh_index`` needs the UNGATED
     band rows: its gate must see existing bucket occupancy, not just
-    the batch."""
+    the batch.  Hash-once (OPTIMIZATION r16, sketch_from_hashes
+    docstring): the hashed-set frame is built first and the sketch
+    explodes it — one polyhash per (doc, distinct shingle), not two."""
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("ws"))
     shs = toks.select(
         "doc_id", F.array_distinct(_shingles("ws", 2)).alias("s")
     ).localCheckpoint(eager=False)
-    sh = shs.select("doc_id", F.explode("s").alias("sh"))
-    bands = band_frame(sketch_signatures(spark, sh))
+    hsets = hashed_sets(shs)
+    bands = band_frame(
+        sketch_from_hashes(hsets.select("doc_id", F.explode("hs").alias("x")))
+    )
     if gate:
         bands = gate_buckets(bands)
-    return bands, hashed_sets(shs)
+    return bands, hsets
 
 
 def _meta_path(spark: SparkSession, index_dir: str):

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 
 from . import load_tables, register
 from .llm_queries import _DUCK_TOKENS, _duck_polyhash, _polyhash, _shingles, _tokens
-from .minhash_eval import _DUCK_SH2, _duck_sig_cte, SEEDS, sketch_signatures
+from .minhash_eval import _DUCK_SH2, _duck_sig_cte, SEEDS, sketch_from_hashes
 
 #: DuckDB polyhash of the list_transform lambda variable `q`
 _DUCK_PH_Q = _duck_polyhash("q")
@@ -204,8 +204,15 @@ def n42_minhash_banded_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shs = toks.select(
         "doc_id", F.array_distinct(_shingles("ws", 2)).alias("s")
     ).localCheckpoint(eager=False)  # feeds the sketch AND both verify sides
-    sh = shs.select("doc_id", F.explode("s").alias("sh"))
-    sig = sketch_signatures(spark, sh)
+    # hash-once (OPTIMIZATION r16, sketch_from_hashes docstring): the
+    # verify-stage hashed sets are built FIRST and the sketch explodes
+    # them, instead of polyhashing the exploded strings a second time —
+    # min per (doc, seed) is invariant under the distinct-collapse, so
+    # sig is bit-identical (oracle hash gate re-verified)
+    hsets = hashed_sets(shs)
+    sig = sketch_from_hashes(
+        hsets.select("doc_id", F.explode("hs").alias("x"))
+    )
     # shared banding machinery (band_frame / gate_buckets docstrings) —
     # one copy for n42's pipeline and n49's persisted-index layout
     gated = gate_buckets(band_frame(sig))
@@ -234,7 +241,7 @@ def n42_minhash_banded_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -> ~1 s for the 97k-candidate verify at sf0.1). Both engines hash
     # with the same polyhash, so even a collision changes the result
     # identically on both sides (probability ~|union|^2/2p ~ 1e-6).
-    hsets = hashed_sets(shs)
+    # (hsets built above — ONE hashed-set frame feeds sketch and verify)
     x = hsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sx"))
     y = hsets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sy"))
     jac = F.size(F.array_intersect("sx", "sy")).cast("double") / F.size(

@@ -69,7 +69,7 @@ from .banded_lsh import (
     hashed_sets,
 )
 from .llm_queries import _DUCK_TOKENS, _shingles, _tokens
-from .minhash_eval import _DUCK_SH2, _duck_sig_cte, sketch_signatures
+from .minhash_eval import _DUCK_SH2, _duck_sig_cte, sketch_from_hashes
 
 #: which doc_ids form the "arriving" shard: doc_id % SHARD_MOD == SHARD_REM
 SHARD_MOD = 10
@@ -268,8 +268,14 @@ def n49_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shs = toks.select(
         "doc_id", F.array_distinct(_shingles("ws", 2)).alias("s")
     ).localCheckpoint(eager=False)
-    sh = shs.select("doc_id", F.explode("s").alias("sh"))
-    sig = sketch_signatures(spark, sh)
+    # hash-once (OPTIMIZATION r16, sketch_from_hashes docstring): the
+    # hashed shingle sets are built FIRST and the sketch explodes them —
+    # one polyhash per (doc, distinct shingle) instead of two; sig is
+    # bit-identical (min invariant under the distinct-collapse)
+    hsets = hashed_sets(shs)
+    sig = sketch_from_hashes(
+        hsets.select("doc_id", F.explode("hs").alias("x"))
+    )
     bands = band_frame(sig)
     # `%` (sign-of-dividend), NOT F.pmod: the oracle's `%` is DuckDB's
     # sign-of-dividend remainder, so pmod would route a negative doc_id
@@ -282,7 +288,7 @@ def n49_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cap sees only the shard (shared gate_buckets — the n42 gate)
     idx_gated = gate_buckets(bands.filter(~is_inc))
     inc_gated = gate_buckets(bands.filter(is_inc))
-    hsets = hashed_sets(shs)
+    # (hsets built above — ONE hashed-set frame feeds sketch and verify)
     return shard_verdicts(
         idx_gated,
         inc_gated,

@@ -96,6 +96,40 @@ def _duck_sig_cte() -> str:
     )"""
 
 
+def sketch_from_hashes(based: DataFrame) -> DataFrame:
+    """MinHash signature frame from a PRE-HASHED (doc_id, x) frame — the
+    affine-permutation + min-aggregation half of :func:`sketch_signatures`
+    without the polyhash projection.
+
+    OPTIMIZATION r16 (guide §1.2 step 2 — don't compute things twice):
+    the pipelines that build BOTH the sketch and the verify-stage hashed
+    shingle sets (n42, n49, lsh_index) were polyhashing every
+    (doc, shingle) pair twice — once exploded for the sketch, once inside
+    ``hashed_sets``'s transform.  Feeding the sketch from the EXPLODED
+    HASHED SET instead halves the dominant interpreted-HOF term and
+    explodes BIGINTs instead of strings (measured at sf0.1: the sketch's
+    hash pass 0.95 s -> 0.27 s as an explode of the pre-hashed array).
+    Values are bit-identical: ``hs`` is ``array_distinct`` of exactly the
+    hashes the old path computed per row, and a min-aggregate is
+    invariant under duplicate removal — a polyhash COLLISION between two
+    distinct shingles of one doc collapses to one row here where the old
+    frame carried two, but min() over the same value set is unchanged
+    (oracle hash gates re-verified for n42/n49)."""
+    mins = based.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % _POLY_MOD).alias(f"m{i}")
+            for i, (a, b) in enumerate(AFFINE)
+        ]
+    )
+    # unpivot to the (doc_id, seed, mn) contract: stack over 16 columns
+    # of an already doc-sized frame (SEEDS rows per doc, same as before,
+    # but AFTER the aggregation instead of before it)
+    pairs = ", ".join(f"{i}, m{i}" for i in range(SEEDS))
+    return mins.select(
+        "doc_id", F.expr(f"stack({SEEDS}, {pairs}) AS (seed, mn)")
+    )
+
+
 def sketch_signatures(spark: SparkSession, sh: DataFrame) -> DataFrame:
     """MinHash signature frame from an exploded (doc_id, sh) shingle frame:
     ONE engine-neutral polyhash per shingle, then the 16 affine
@@ -112,19 +146,8 @@ def sketch_signatures(spark: SparkSession, sh: DataFrame) -> DataFrame:
     per doc per partition, and min is order-independent so the values
     are bit-identical (n36/n42 oracle parity re-checked; measured
     sketch-stage numbers in DRIFT_r08)."""
-    based = sh.select("doc_id", _polyhash(F.col("sh")).alias("x"))
-    mins = based.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % _POLY_MOD).alias(f"m{i}")
-            for i, (a, b) in enumerate(AFFINE)
-        ]
-    )
-    # unpivot to the (doc_id, seed, mn) contract: stack over 16 columns
-    # of an already doc-sized frame (SEEDS rows per doc, same as before,
-    # but AFTER the aggregation instead of before it)
-    pairs = ", ".join(f"{i}, m{i}" for i in range(SEEDS))
-    return mins.select(
-        "doc_id", F.expr(f"stack({SEEDS}, {pairs}) AS (seed, mn)")
+    return sketch_from_hashes(
+        sh.select("doc_id", _polyhash(F.col("sh")).alias("x"))
     )
 
 
