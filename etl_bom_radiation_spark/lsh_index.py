@@ -333,7 +333,12 @@ def build_lsh_index(spark: SparkSession, docs: DataFrame, index_dir: str) -> Non
     bands, hsets = _sketch_frames(spark, docs)
     bands.write.mode("overwrite").parquet(f"{index_dir}/bands.parquet")
     hsets.write.mode("overwrite").parquet(f"{index_dir}/hsets.parquet")
-    mx = docs.agg(F.max("doc_id")).first()[0]
+    # high-water mark from the ALREADY-MATERIALIZED hset frame — one row
+    # per input doc (hashed_sets neither filters nor explodes), so
+    # max(doc_id) is identical to an agg over ``docs``, without a second
+    # scan of the corpus (OPTIMIZATION r16, guide §1.2 step 1: don't
+    # rescan what a checkpoint already pinned)
+    mx = hsets.agg(F.max("doc_id")).first()[0]
     _write_meta(spark, index_dir, -(2**62) if mx is None else int(mx))
 
 
@@ -553,8 +558,11 @@ def _fold_frames(
     # broadcast hint here — the joins below hint their own small sides
     # (touched, occ); a hint on THIS frame would sit under an aggregate
     # and the outer side of a left join, where it is unusable and only
-    # logs "join hint ... not part of a join relation" per fold.
-    new_bands = new_bands.localCheckpoint()
+    # logs "join hint ... not part of a join relation" per fold.  LAZY
+    # (OPTIMIZATION r16): blocks materialize inside the first consuming
+    # job (the touched-bucket broadcast build) instead of a dedicated
+    # eager-checkpoint driver job per fold.
+    new_bands = new_bands.localCheckpoint(eager=False)
 
     # occupancy of ONLY the touched buckets: broadcast semi-join keeps the
     # index scan shuffle-free; the count aggregates <= cap rows per
@@ -580,10 +588,14 @@ def _fold_frames(
         .select("doc_id", "band", "bk")
     )
     if idx_view is not None:
-        # pin the delta now: later cycles re-read a materialized
-        # batch-sized frame instead of re-running the admission lineage
-        admitted = admitted.localCheckpoint()
-        new_hsets = new_hsets.localCheckpoint()
+        # pin the delta for later cycles.  LAZY checkpoints (OPTIMIZATION
+        # r16, guide §1.2 driver fixed cost): the blocks materialize as a
+        # side effect of the append writes just below, so later cycles
+        # still re-read a materialized batch-sized frame — the former
+        # EAGER checkpoints were two separate driver jobs per sub-batch
+        # cycle for the same pinning.
+        admitted = admitted.localCheckpoint(eager=False)
+        new_hsets = new_hsets.localCheckpoint(eager=False)
     try:
         admitted.write.mode("append").parquet(f"{index_dir}/bands.parquet")
         new_hsets.write.mode("append").parquet(f"{index_dir}/hsets.parquet")
@@ -656,6 +668,7 @@ def admit_batch(
     epoch=None,
     _replay: bool | None = None,
     _view: _IndexView | None = None,
+    _stats: tuple | None = None,
 ) -> DataFrame:
     """Probe-and-fold an arriving ``batch`` (doc_id, text, ...) in one
     call, returning the per-doc verdict frame — result-identical to
@@ -750,11 +763,18 @@ def admit_batch(
         if index_dir not in _KNOWN_CLEAN:
             vacuum_lsh_index(spark, index_dir)
             _KNOWN_CLEAN.add(index_dir)
-    stats = batch.agg(
-        F.count("*").alias("n"),
-        F.min("doc_id").alias("mn"),
-        F.max("doc_id").alias("mx"),
-    ).first()
+    if _stats is None:
+        row = batch.agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"),
+        ).first()
+        stats = {"n": row["n"], "mn": row["mn"], "mx": row["mx"]}
+    else:
+        # precomputed by the parent split's ONE grouped aggregation
+        # (OPTIMIZATION r16): identical values to the per-leaf agg this
+        # replaces — count/min/max of exactly this sub-batch's rows
+        stats = {"n": _stats[0], "mn": _stats[1], "mx": _stats[2]}
     n = stats["n"]
     if n > 0 and not _replay:
         hw = _read_meta(spark, index_dir)["max_doc_id"]
@@ -777,10 +797,21 @@ def admit_batch(
         # sketch ONCE: the probe and the fold read the same materialized
         # band/hset frames (the sketch is the arrival's dominant linear
         # term — update_lsh_index re-sketching the keepers from text
-        # would double it)
+        # would double it).  persist(), not eager localCheckpoint
+        # (OPTIMIZATION r16, guide §1.2 driver fixed cost): the caches
+        # are populated as a side effect of the verdicts materialization
+        # just below — the same sharing at two fewer driver jobs per
+        # cycle; unpersisted after the fold so a long-running admission
+        # stream cannot accumulate cache entries
+        # OPTIMIZATION r16 (guide §1.2 driver fixed cost): no extra
+        # eager .localCheckpoint() layer here — _sketch_frames' band and
+        # hset frames are already LAZILY checkpointed by band_frame /
+        # hashed_sets, so their blocks materialize inside the first
+        # consuming job (the verdicts materialization) and every later
+        # consumer (the fold's joins) reads the same pinned blocks.  The
+        # former eager re-checkpoints were two pure double-checkpoint
+        # driver jobs per cycle.
         bands_u, hsets_b = _sketch_frames(spark, batch, gate=False)
-        bands_u = bands_u.localCheckpoint()
-        hsets_b = hsets_b.localCheckpoint()
         verdicts = _probe_frames(
             spark,
             index_dir,
@@ -789,7 +820,7 @@ def admit_batch(
             hsets_b,
             as_of_id=stats["mn"] if _replay else None,
             idx_view=_view,
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         keeps = verdicts.filter(F.col("decision") == "keep")
         if _replay:
             mx_keep = keeps.agg(F.max("doc_id")).first()[0]
@@ -815,8 +846,26 @@ def admit_batch(
         return verdicts
     # localCheckpoint so the k per-sub filters materialize the batch once
     # (determinism does NOT depend on it: the cuts are a pure function of
-    # the batch's lo/hi/k, so a replay in a fresh process reproduces them)
-    tagged = _split_batch(batch, k, stats["mn"], stats["mx"]).localCheckpoint()
+    # the batch's lo/hi/k, so a replay in a fresh process reproduces them).
+    # LAZY (OPTIMIZATION r16): the grouped stats aggregation right below
+    # is the first consumer and materializes the blocks inside its own job.
+    tagged = _split_batch(batch, k, stats["mn"], stats["mx"]).localCheckpoint(
+        eager=False
+    )
+    # ONE grouped aggregation replaces k per-leaf stats jobs plus k
+    # isEmpty probes (OPTIMIZATION r16, guide §1.2 driver fixed cost):
+    # the leaves receive exactly the count/min/max the per-sub agg would
+    # have computed, and absent keys are the empty ranges isEmpty skipped
+    sub_stats = {
+        int(r["_sub"]): (r["n"], r["mn"], r["mx"])
+        for r in tagged.groupBy("_sub")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"),
+        )
+        .collect()
+    }
     # generation reuse (VERDICT r12 #6): pin the committed view ONCE for
     # all k sub-batch cycles — each cycle's probe and fold read the
     # persisted base plus the prior cycles' committed deltas instead of
@@ -828,9 +877,9 @@ def admit_batch(
     try:
         parts = []
         for i in range(k):
-            sub = tagged.filter(F.col("_sub") == i).drop("_sub")
-            if sub.isEmpty():
+            if i not in sub_stats:
                 continue  # width-equal cuts leave sparse ranges empty
+            sub = tagged.filter(F.col("_sub") == i).drop("_sub")
             parts.append(
                 # max_docs forwards: id skew can over-fill a width-equal
                 # range, and an over-filled sub-batch must re-split (within
@@ -839,6 +888,7 @@ def admit_batch(
                 admit_batch(
                     spark, index_dir, sub, max_docs=max_docs,
                     epoch=epoch, _replay=_replay, _view=_view,
+                    _stats=sub_stats[i],
                 )
             )
         out = parts[0]
