@@ -188,10 +188,18 @@ def n37_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact hash gate, plus the scanned-candidate fraction that is IVF's
     whole point at scale."""
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    base = base_vectors(e)
+    # materialize-before-reuse (OPTIMIZATION r16, guide §1.2 step 1 /
+    # §3 plan-size note): base feeds quant/q0/ranked/corpus, scored feeds
+    # assign+probe, ranked feeds both top-k branches, cand feeds the
+    # restricted rank and the candidate count — WITHOUT the pins Catalyst
+    # duplicates each shared subtree per consumer (the before-plan shows
+    # 13 parquet scans of embeddings for this one query; after: 1 scan +
+    # four lazily-materialized batch-sized frames).  Results identical:
+    # the pins only stop recomputation.
+    base = base_vectors(e).localCheckpoint(eager=False)
     quant = quantize(base)
     cent = centroid_frame(quant)
-    scored = cell_scores(quant, cent)
+    scored = cell_scores(quant, cent).localCheckpoint(eager=False)
     assign = assign_cells(scored)
     # the probe set stays a DataFrame (4-row broadcast) — no collect()
     probe = (
@@ -203,13 +211,17 @@ def n37_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q0 = base.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv0"))
     ranked = base.crossJoin(F.broadcast(q0)).select(
         "vec_id", F.round(_cosine(F.col("v"), F.col("qv0")), 6).alias("sim")
-    )
+    ).localCheckpoint(eager=False)
     exact_k = (
         ranked.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(K)
         .select("vec_id")
     )
-    cand = assign.join(F.broadcast(probe), "cell").select("vec_id")
+    cand = (
+        assign.join(F.broadcast(probe), "cell")
+        .select("vec_id")
+        .localCheckpoint(eager=False)
+    )
     ivf_k = (
         ranked.join(cand, "vec_id")
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())

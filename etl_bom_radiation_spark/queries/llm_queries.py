@@ -1305,7 +1305,17 @@ def n22_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     base = d.select("doc_id", _tokens(F.col("text")).alias("ws"))
     pairs = base.select("doc_id", F.explode("ws").alias("term"))
-    tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialize-before-reuse (OPTIMIZATION r16): tf feeds BOTH the join
+    # left side and the document-frequency aggregation — unpinned,
+    # Catalyst duplicated the whole scan → tokenize → explode → count
+    # subtree per consumer (the before-plan scanned documents twice and
+    # ran the Generate twice); the lazy pin cuts it to one scan, same
+    # values (the pin only stops recomputation)
+    tf = (
+        pairs.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

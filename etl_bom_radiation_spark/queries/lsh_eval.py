@@ -144,12 +144,16 @@ def n38_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     # base_vectors also drops vectors with non-finite components — the
     # round(x*SCALE) BIGINT quantization below shares ivf_eval's
-    # CAST_OVERFLOW hazard (specials-corpus net r13)
-    base = base_vectors(e)
+    # CAST_OVERFLOW hazard (specials-corpus net r13).
+    # materialize-before-reuse (OPTIMIZATION r16, see n37): base, quant,
+    # coded, ranked and cand each feed 2+ consumers — unpinned, Catalyst
+    # duplicated the subtrees (the before-plan scanned embeddings 17
+    # times); the lazy pins cut it to one scan plus batch-sized frames.
+    base = base_vectors(e).localCheckpoint(eager=False)
     quant = base.select(
         "vec_id",
         F.transform("v", lambda x: F.round(x * SCALE).cast("long")).alias("qv"),
-    )
+    ).localCheckpoint(eager=False)
     pairs = spark.createDataFrame(_PLANE_PAIRS, "bit int, ia long, ib long")
     planes = (
         pairs.join(
@@ -177,6 +181,7 @@ def n38_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("vec_id")
         .agg(F.sum("bitval").alias("code"))
+        .localCheckpoint(eager=False)
     )
     flips = F.array(*[F.lit(f).cast("long") for f in FLIPS])
     probe = (
@@ -188,13 +193,17 @@ def n38_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q0 = base.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv0"))
     ranked = base.crossJoin(F.broadcast(q0)).select(
         "vec_id", F.round(_cosine(F.col("v"), F.col("qv0")), 6).alias("sim")
-    )
+    ).localCheckpoint(eager=False)
     exact_k = (
         ranked.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(K)
         .select("vec_id")
     )
-    cand = coded.join(F.broadcast(probe), "code").select("vec_id")
+    cand = (
+        coded.join(F.broadcast(probe), "code")
+        .select("vec_id")
+        .localCheckpoint(eager=False)
+    )
     lsh_k = (
         ranked.join(cand, "vec_id")
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
