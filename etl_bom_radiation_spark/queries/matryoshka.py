@@ -50,6 +50,25 @@ RERANK = 50
 K = 10
 
 
+def scored_frame(base: DataFrame) -> DataFrame:
+    """(vec_id, sim_full, sim_trunc): one corpus pass computing both
+    similarity columns against the 1-row broadcast query vector.  A
+    separate function so tests/test_plans.py can assert the stage's
+    plan (the BroadcastNestedLoopJoin query-vector attach) against the
+    SAME construction the query uses — the scored frame itself is
+    checkpoint-pinned by the query (OPTIMIZATION r16), which hides the
+    attach below a Scan ExistingRDD in the final plan (the
+    pagerank_step/graph_frames testability pattern)."""
+    q0 = base.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return base.crossJoin(F.broadcast(q0)).select(
+        "vec_id",
+        F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("sim_full"),
+        F.round(
+            _cosine(F.slice("v", 1, D_TRUNC), F.slice("qv", 1, D_TRUNC)), 6
+        ).alias("sim_trunc"),
+    )
+
+
 @register(
     "n41_matryoshka_recall",
     oracle=f"""
@@ -98,14 +117,12 @@ def n41_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
     )
-    q0 = base.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    scored = base.crossJoin(F.broadcast(q0)).select(
-        "vec_id",
-        F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("sim_full"),
-        F.round(
-            _cosine(F.slice("v", 1, D_TRUNC), F.slice("qv", 1, D_TRUNC)), 6
-        ).alias("sim_trunc"),
-    )
+    # materialize-before-reuse (OPTIMIZATION r16, see n37/n38): scored
+    # feeds BOTH the exact top-k and the truncated shortlist — unpinned,
+    # Catalyst duplicated the whole scan + double-cosine subtree per
+    # branch (4 parquet scans of embeddings in the before-plan; after:
+    # one).  Values identical — the pin only stops recomputation.
+    scored = scored_frame(base).localCheckpoint(eager=False)
     exact_k = (
         scored.orderBy(F.col("sim_full").desc(), F.col("vec_id").asc())
         .limit(K)

@@ -665,11 +665,30 @@ def test_zorder_key_is_narrow_on_decode(spark, oracle_sf_dir):
 def test_matryoshka_shortlists_via_heaps_not_global_sort(spark, oracle_sf_dir):
     # both the truncated-sim shortlist and the rerank are limit-k over an
     # order: TakeOrderedAndProject (per-partition heaps), never a global
-    # sort of the corpus; the query vector is a 1-row broadcast
+    # sort of the corpus; the query vector is a 1-row broadcast.  The
+    # scored frame is checkpoint-pinned in the query (r16: one corpus
+    # scan instead of a duplicated subtree per top-k branch), so the
+    # query-vector attach is asserted on the scored STAGE itself — the
+    # same construction the query calls (the graph_frames pattern).
     p = _plan(spark, oracle_sf_dir, "n41_matryoshka_recall")
     assert "TakeOrderedAndProject" in p
     assert "Exchange rangepartitioning" not in p
-    assert "BroadcastNestedLoopJoin" in p  # the 1-row query-vector attach
+    assert "Scan ExistingRDD" in p  # the pinned scored frame feeds both heaps
+
+    import pyspark.sql.functions as F
+
+    from etl_bom_radiation_spark.queries import load_tables
+    from etl_bom_radiation_spark.queries.matryoshka import D_TRUNC, scored_frame
+
+    e = load_tables(spark, oracle_sf_dir, "embeddings")["embeddings"]
+    base = e.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") >= D_TRUNC)
+    ).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sp = scored_frame(base)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in sp  # the 1-row query-vector attach
+    assert "Exchange rangepartitioning" not in sp
 
 
 def test_table_profile_single_scan_multi_distinct(spark, oracle_sf_dir):
