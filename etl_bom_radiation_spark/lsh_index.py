@@ -94,6 +94,21 @@ Parity with the one-shot query is pytest-locked: building the index
 from the n49 index side and probing the n49 shard must reproduce the
 query's rows exactly (tests/test_scale.py).
 
+Cluster-mode durability note (VERDICT r16 #8): the module's lazy
+``localCheckpoint`` pins produce EXECUTOR-LOCAL blocks with lineage
+truncated — on a cluster, losing an executor loses its blocks and they
+are NOT recomputable, so a job consuming a pinned frame after such a
+loss fails (in ``local[*]`` the executor is the driver; the hazard is
+moot).  That is an accepted trade here because no pinned frame is the
+durability story: every pin is scoped to ONE driver call (a probe, a
+fold, one admit_batch invocation), and the crash/retry protocol
+re-reads the PERSISTED parquet tables plus ``meta.json`` — a failed
+call is retried from storage (vacuum + replay), never from cached
+blocks.  On clusters where mid-call executor loss is routine, swap the
+pins for ``persist(StorageLevel.MEMORY_AND_DISK)`` (recomputable
+lineage, at re-derivation cost) or reliable ``checkpoint()`` — the
+sharing structure is unchanged either way.
+
 Reference parity: no reference analog (the reference's pipeline has no
 dedup at all); this is the LLM-training-corpus maintenance workflow
 SURVEY §2.H's near-dup family exists to serve.
@@ -131,9 +146,11 @@ def _sketch_frames(spark: SparkSession, docs: DataFrame, gate: bool = True):
     docstring): the hashed-set frame is built first and the sketch
     explodes it — one polyhash per (doc, distinct shingle), not two."""
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("ws"))
-    shs = toks.select(
-        "doc_id", F.array_distinct(_shingles("ws", 2)).alias("s")
-    ).localCheckpoint(eager=False)
+    # UNPINNED since OPTIMIZATION r17 (ADVICE r16): hsets is shs' only
+    # consumer after the hash-once refactor, so the former checkpoint of
+    # the distinct-shingle STRING arrays bought no reuse — the hsets pin
+    # (hashed_sets) is the shared barrier
+    shs = toks.select("doc_id", F.array_distinct(_shingles("ws", 2)).alias("s"))
     hsets = hashed_sets(shs)
     bands = band_frame(
         sketch_from_hashes(hsets.select("doc_id", F.explode("hs").alias("x")))
@@ -797,12 +814,7 @@ def admit_batch(
         # sketch ONCE: the probe and the fold read the same materialized
         # band/hset frames (the sketch is the arrival's dominant linear
         # term — update_lsh_index re-sketching the keepers from text
-        # would double it).  persist(), not eager localCheckpoint
-        # (OPTIMIZATION r16, guide §1.2 driver fixed cost): the caches
-        # are populated as a side effect of the verdicts materialization
-        # just below — the same sharing at two fewer driver jobs per
-        # cycle; unpersisted after the fold so a long-running admission
-        # stream cannot accumulate cache entries
+        # would double it).
         # OPTIMIZATION r16 (guide §1.2 driver fixed cost): no extra
         # eager .localCheckpoint() layer here — _sketch_frames' band and
         # hset frames are already LAZILY checkpointed by band_frame /

@@ -201,9 +201,12 @@ def n42_minhash_banded_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     d = load_tables(spark, sf_dir, "documents")["documents"]
     toks = d.select("doc_id", _tokens(F.col("text")).alias("ws"))
-    shs = toks.select(
-        "doc_id", F.array_distinct(_shingles("ws", 2)).alias("s")
-    ).localCheckpoint(eager=False)  # feeds the sketch AND both verify sides
+    # UNPINNED since OPTIMIZATION r17 (ADVICE r16): after the hash-once
+    # refactor hsets is shs' ONLY consumer here, so checkpointing the
+    # distinct-shingle STRING arrays bought no reuse — the hsets pin
+    # below is the shared barrier (it feeds the sketch AND both verify
+    # sides); one fused projection per row, no intermediate block write
+    shs = toks.select("doc_id", F.array_distinct(_shingles("ws", 2)).alias("s"))
     # hash-once (OPTIMIZATION r16, sketch_from_hashes docstring): the
     # verify-stage hashed sets are built FIRST and the sketch explodes
     # them, instead of polyhashing the exploded strings a second time —
@@ -214,8 +217,12 @@ def n42_minhash_banded_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         hsets.select("doc_id", F.explode("hs").alias("x"))
     )
     # shared banding machinery (band_frame / gate_buckets docstrings) —
-    # one copy for n42's pipeline and n49's persisted-index layout
-    gated = gate_buckets(band_frame(sig))
+    # one copy for n42's pipeline and n49's persisted-index layout.
+    # PINNED (OPTIMIZATION r17, guide §1.2 step 1): the bucket self-join
+    # consumes this frame on BOTH sides, and without the barrier the gate
+    # window (Exchange + double Sort + WindowGroupLimit + Window) runs
+    # once per side — 2x in the committed before-plan (plans/r17)
+    gated = gate_buckets(band_frame(sig)).localCheckpoint(eager=False)
     a = gated.select(
         F.col("doc_id").alias("doc_a"),
         F.col("band").alias("band_a"),

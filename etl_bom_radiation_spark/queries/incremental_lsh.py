@@ -99,8 +99,15 @@ def shard_verdicts(
     probed, never shuffled (no SortMergeJoin anywhere; asserted in
     tests for both callers)."""
     # the incoming band frame is shard-sized: broadcast it so neither the
-    # probe nor the in-shard pairing ever shuffles the index
-    inc_gated = F.broadcast(inc_gated)
+    # probe nor the in-shard pairing ever shuffles the index.  PINNED
+    # first (OPTIMIZATION r17, guide §1.2 step 1): this frame feeds THREE
+    # consumers (the index probe join plus both sides of the in-shard
+    # pairing), and without the barrier Catalyst re-derives the whole
+    # gate-window subtree — Exchange + double Sort + WindowGroupLimit +
+    # Window over the band frame — once per consumer (3x in the committed
+    # n49 before-plan, plans/r17).  The pin computes the gate once and
+    # lets the identical broadcast builds reuse one exchange.
+    inc_gated = F.broadcast(inc_gated.localCheckpoint(eager=False))
     inc_a = inc_gated.select(
         F.col("doc_id").alias("doc"),
         F.col("band").alias("nb"),

@@ -298,7 +298,13 @@ def n48_authority_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFra
     counts and the draw — the tiny alloc table broadcasts back, the
     corpus never shuffles for the decision."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    ranks = source_rank_frame(d)
+    # PINNED (OPTIMIZATION r17, guide §1.2 step 1): the rank frame feeds
+    # the budget aggregate (via tot) AND the allocation join — without
+    # the barrier the whole post-checkpoint tail (wu_final distinct +
+    # rank/weight join) re-derives per consumer, and the duplication
+    # compounds through alloc (the committed n48 before-plan repeats a
+    # 46-operator subtree; plans/r17).  Source-sized frame, trivial pin.
+    ranks = source_rank_frame(d).localCheckpoint(eager=False)
     # one id/source projection read once: counts + draw share it
     dd = (
         d.filter(F.col("source").isNotNull())
@@ -339,6 +345,10 @@ def n48_authority_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFra
                 " div CAST(r_total AS DECIMAL(38,0)) AS BIGINT)"
             ).alias("alloc_docs"),
         )
+        # PINNED (OPTIMIZATION r17): alloc feeds the per-document draw
+        # (broadcast) AND the final result join — unpinned, each consumer
+        # re-ran the rank/count/budget join chain (plans/r17 before/after)
+        .localCheckpoint(eager=False)
     )
     # ONE broadcast probe per document; keep is folded per source on the
     # 1-column frame BEFORE re-attaching the alloc metadata, so the

@@ -386,7 +386,7 @@ def test_sketch_signatures_match_python_model(spark, docs):
     sh_df = spark.createDataFrame(rows, "doc_id long, sh string")
     got = {
         (r["doc_id"], r["seed"]): r["mn"]
-        for r in sketch_signatures(spark, sh_df).collect()
+        for r in sketch_signatures(sh_df).collect()
     }
     want = {
         (i, seed): mn
