@@ -119,7 +119,6 @@ def shard_verdicts(
             (F.col("band") == F.col("nb")) & (F.col("bk") == F.col("nk")),
         )
         .select("doc", F.col("doc_id").alias("other"))
-        .distinct()
         .withColumn("kind", F.lit("index"))
     )
     inc_b = inc_gated.select(
@@ -136,11 +135,15 @@ def shard_verdicts(
             & (F.col("doc") < F.col("later")),
         )
         .select(F.col("later").alias("doc"), F.col("doc").alias("other"))
-        .distinct()
         .withColumn("kind", F.lit("shard"))
         .select("doc", "other", "kind")
     )
-    cand = cand_idx.select("doc", "other", "kind").unionByName(cand_shard)
+    # ONE distinct after the union instead of one per branch
+    # (OPTIMIZATION r17, guide §2.4): `kind` is constant within a branch
+    # and differs across them, so distinct-over-union collapses exactly
+    # the same rows the two per-branch distincts did — same candidate
+    # set, one candidate shuffle exchange instead of two per probe.
+    cand = cand_idx.select("doc", "other", "kind").unionByName(cand_shard).distinct()
     # verify without EVER shuffling the index-side hset table: the `doc`
     # half of every pair is an incoming doc (shard-sized hset slice,
     # broadcast), and the enriched candidate frame is itself
